@@ -1,0 +1,106 @@
+"""Streaming BAM → CSR packing: group records by read name, filter, pack.
+
+TPU-era equivalent of `parse_alignments` (`alignment_parser.rs:301-437`):
+records are streamed from the (parallel-inflated) BAM, grouped by contiguous
+read name, run through the alignment filters, and appended to the CSR store.
+The first `sort_check_num` read names are hashed to verify the input is
+name-collated (`alignment_parser.rs:396-409`).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..config import FilterOpts
+from ..constants import EMPTY_READ_NAME
+from ..io.bam import BamReader, BamRecord
+from .filters import filter_group
+from .store import AlignmentStore, StoreBuilder, TranscriptCoverage
+
+log = logging.getLogger("oarfish_tpu")
+
+
+class CollationError(ValueError):
+    pass
+
+
+def iter_name_groups(records: Iterable[BamRecord], sort_check_num: int = 100_000):
+    """Yield (name, [mapped records]) groups of contiguous read names,
+    counting unmapped records; raises CollationError if a name recurs in a
+    non-contiguous block within the first `sort_check_num` groups."""
+    seen = set()
+    rg_num = 0
+    prev_name: Optional[str] = None
+    group = []
+    num_unmapped = 0
+    for rec in records:
+        if rec.is_unmapped:
+            num_unmapped += 1
+            continue
+        if rec.name == prev_name:
+            if rec.ref_id >= 0:
+                group.append(rec)
+        else:
+            if prev_name is not None and group:
+                yield prev_name, group
+            group = []
+            prev_name = rec.name
+            if rg_num < sort_check_num:
+                if rec.name in seen:
+                    raise CollationError(
+                        "the input BAM appears not to be name-collated: "
+                        f"alignment records for read {rec.name!r} were "
+                        "observed twice in a non-contiguous block. Provide a "
+                        "BAM collated by record name."
+                    )
+                seen.add(rec.name)
+                rg_num += 1
+            if rec.ref_id >= 0:
+                group.append(rec)
+    if group:
+        yield prev_name, group
+    iter_name_groups.num_unmapped = num_unmapped  # exposed for the caller
+
+
+def pack_bam(
+    reader: BamReader,
+    txp_len: np.ndarray,
+    opts: FilterOpts,
+    bin_width: int,
+    sort_check_num: int = 100_000,
+    keep_names: bool = False,
+) -> Tuple[AlignmentStore, TranscriptCoverage, int]:
+    """Stream the open BAM into an `AlignmentStore` + coverage bins.
+
+    Returns (store, coverage, num_unmapped). This is the host half of the
+    pipeline — everything downstream runs on device.
+    """
+    coverage = TranscriptCoverage(
+        txp_len, bin_width if opts.model_coverage else 0
+    )
+    builder = StoreBuilder(coverage, keep_names=keep_names)
+
+    gen = iter_name_groups(reader.records(), sort_check_num)
+    n_groups = 0
+    for name, group in gen:
+        fg = filter_group(opts, builder.discard, txp_len, group)
+        if fg is not None and builder.add_filtered_group(
+            fg, name if name else EMPTY_READ_NAME
+        ):
+            # the reference filters the group in place, so uniqueness is
+            # judged on the POST-filter size (`alignment_parser.rs:384-388`)
+            if len(fg.txp_id) == 1:
+                builder.num_unique_alignments += 1
+        n_groups += 1
+        if n_groups % 500_000 == 0:
+            log.info("processed %d read groups", n_groups)
+
+    num_unmapped = getattr(iter_name_groups, "num_unmapped", 0)
+    store = builder.finalize()
+    log.info(
+        "the alignment file contained %d unmapped read records.", num_unmapped
+    )
+    return store, coverage, num_unmapped

@@ -1,0 +1,159 @@
+"""Device EM: the sparse E/M fixed-point iteration as pure JAX.
+
+The TPU-native redesign of `src/em.rs`. The per-read CSR is flattened into
+segment operations — no data-dependent Python control flow, everything under
+one `lax.while_loop` so XLA compiles the whole EM to a single device
+program:
+
+  e-step   gather `prev[txp] * w`, per-read denominators via a sorted
+           `segment_sum` over read ids
+  m-step   per-transcript `segment_sum` of `contrib/denom` over a
+           precomputed sort-by-transcript permutation (deterministic —
+           unlike the reference's relaxed-atomic scatter, `em.rs:74`)
+  stop     signed max relative diff over transcripts with prev > 1e-5,
+           `< thresh` only after iteration 50 (`em.rs:194-212`)
+
+Bootstrap replicates reuse the same kernel with a per-read multiplicity
+vector (multinomial resample ≡ the reference's sorted with-replacement
+index sample, `bootstrap.rs:7-16`) and are `vmap`ped across replicates.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EM_DENOM_THRESH, MIN_READ_THRESH
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["txp_id", "weights", "read_id", "txp_sort_perm", "txp_id_sorted"],
+    meta_fields=["num_reads", "num_txps"],
+)
+@dataclass(frozen=True)
+class EmData:
+    """Device-resident CSR for the EM (static across iterations)."""
+
+    txp_id: jax.Array  # i32 [A]
+    weights: jax.Array  # f32/f64 [A]: as_prob * cov_prob * dens_prob
+    read_id: jax.Array  # i32 [A], sorted ascending (CSR expansion)
+    txp_sort_perm: jax.Array  # i32 [A]: argsort(txp_id, stable)
+    txp_id_sorted: jax.Array  # i32 [A]: txp_id[txp_sort_perm]
+    num_reads: int
+    num_txps: int
+
+    @staticmethod
+    def build(
+        txp_id: np.ndarray,
+        weights: np.ndarray,
+        read_id: np.ndarray,
+        num_reads: int,
+        num_txps: int,
+        dtype=jnp.float32,
+    ) -> "EmData":
+        perm = np.argsort(txp_id, kind="stable").astype(np.int32)
+        return EmData(
+            txp_id=jnp.asarray(txp_id, dtype=jnp.int32),
+            weights=jnp.asarray(weights, dtype=dtype),
+            read_id=jnp.asarray(read_id, dtype=jnp.int32),
+            txp_sort_perm=jnp.asarray(perm),
+            txp_id_sorted=jnp.asarray(txp_id[perm], dtype=jnp.int32),
+            num_reads=int(num_reads),
+            num_txps=int(num_txps),
+        )
+
+
+def _m_step(data: EmData, prev: jax.Array, multiplicity: Optional[jax.Array]):
+    """One fused E/M step (`em.rs:87-133`), fully vectorized."""
+    contrib = prev[data.txp_id] * data.weights
+    denom = jax.ops.segment_sum(
+        contrib, data.read_id, data.num_reads, indices_are_sorted=True
+    )
+    if multiplicity is not None:
+        mult = multiplicity.astype(prev.dtype)
+        scale = jnp.where(denom > EM_DENOM_THRESH, mult / denom, 0.0)
+    else:
+        scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
+    inc = contrib * scale[data.read_id]
+    curr = jax.ops.segment_sum(
+        inc[data.txp_sort_perm],
+        data.txp_id_sorted,
+        data.num_txps,
+        indices_are_sorted=True,
+    )
+    return curr
+
+
+def _rel_diff(prev: jax.Array, curr: jax.Array) -> jax.Array:
+    """Signed max relative diff over transcripts with prev > 1e-5
+    (`em.rs:194-201`); 0 when no transcript qualifies."""
+    mask = prev > MIN_READ_THRESH
+    safe_prev = jnp.where(mask, prev, 1.0)
+    rd = jnp.where(mask, (curr - prev) / safe_prev, -jnp.inf)
+    return jnp.maximum(jnp.max(rd), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iter", "min_iters"),
+)
+def run_em(
+    data: EmData,
+    init: jax.Array,
+    max_iter: int,
+    convergence_thresh,
+    multiplicity: Optional[jax.Array] = None,
+    min_iters: int = 50,
+):
+    """Full EM loop (`em.rs:144-255`): while-loop of fused E/M steps, early
+    stop after `min_iters`, then zero tiny abundances and run one final
+    step. Returns (counts, num_iterations)."""
+    convergence_thresh = jnp.asarray(convergence_thresh, dtype=init.dtype)
+
+    def cond(state):
+        niter, _prev, converged = state
+        return (niter < max_iter) & (~converged)
+
+    def body(state):
+        niter, prev, _ = state
+        curr = _m_step(data, prev, multiplicity)
+        rd = _rel_diff(prev, curr)
+        converged = (rd < convergence_thresh) & (niter > min_iters)
+        return (niter + 1, curr, converged)
+
+    niter0 = jnp.asarray(0, dtype=jnp.int32)
+    niter, prev, _ = jax.lax.while_loop(
+        cond, body, (niter0, init, jnp.asarray(False))
+    )
+    prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
+    counts = _m_step(data, prev, multiplicity)
+    return counts, niter
+
+
+def uniform_init(data: EmData, dtype, total_weight: Optional[float] = None):
+    """Uniform length-free initialization `total_reads / T`
+    (`em.rs:160-167`)."""
+    tw = float(total_weight if total_weight is not None else data.num_reads)
+    return jnp.full(data.num_txps, tw / data.num_txps, dtype=dtype)
+
+
+def em(
+    data: EmData,
+    max_iter: int = 1000,
+    convergence_thresh: float = 1e-3,
+    init_abundances: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+):
+    """Convenience driver: returns (counts ndarray f64, niter)."""
+    if init_abundances is not None:
+        init = jnp.asarray(init_abundances, dtype=dtype)
+    else:
+        init = uniform_init(data, dtype)
+    counts, niter = run_em(data, init, max_iter, convergence_thresh)
+    return np.asarray(counts, dtype=np.float64), int(niter)
