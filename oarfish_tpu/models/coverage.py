@@ -1,0 +1,199 @@
+"""Coverage models: logistic (bulk), binomial/multinomial (single-cell),
+and the per-read coverage-probability normalization.
+
+Reference semantics: `src/util/logistic_probability.rs`,
+`src/util/binomial_probability.rs`, `src/util/normalize_probability.rs`.
+These are one-shot O(total_bins)/O(total_alignment_bins) passes executed
+between packing and the EM; they are fully vectorized here (the reference
+rayon-parallelizes over transcripts; vectorization subsumes that). All
+arithmetic orders follow the reference, including its quirks:
+
+* `logistic_prob` first adds a pseudo-count `total_weight/100` to every bin
+  *in place* (`logistic_probability.rs:51`), then converts to f32 counts.
+* `normalize_read_probs` folds bins over `start_bin..end_bin` with the end
+  bin *excluded* — its `i == end_bin` arm is unreachable
+  (`normalize_probability.rs:37-46`) — except for the `start_bin == end_bin`
+  case which contributes a fractional weight of the single bin.
+* the binomial model rescales counts so the max bin is 709 (ln_gamma
+  overflow guard, `binomial_probability.rs:17,60-70`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import gammaln
+
+from ..host.store import AlignmentStore, TranscriptCoverage
+
+
+def logistic(x: np.ndarray, a: float) -> np.ndarray:
+    """Scaled logistic clamped to [1e-8, 0.99999]
+    (`logistic_probability.rs:7-10`)."""
+    return np.clip(1.0 / (1.0 + np.exp(-a * x)), 1e-8, 0.99999)
+
+
+def logistic_prob(cov: TranscriptCoverage, growth_rate: float) -> np.ndarray:
+    """Per-bin logistic coverage probabilities for all transcripts
+    (`logistic_prob`, `logistic_probability.rs:40-79`). Returns a flat f64
+    array aligned with `cov.bins` / `cov.bin_offsets`. Mutates `cov.bins`
+    by the pseudo-count, exactly as the reference mutates
+    `coverage_bins`."""
+    T = len(cov.txp_len)
+    t_of_bin = np.repeat(np.arange(T), cov.nbins)
+    # pseudo-count: total_weight/100 added to every bin, in place
+    cov.bins += (cov.total_weight / 100.0)[t_of_bin]
+    counts_f32, _widths_f32 = cov.normalized_counts_and_lengths()
+
+    counts64 = counts_f32.astype(np.float64)
+    count_sum = np.zeros(T)
+    np.add.at(count_sum, t_of_bin, counts64)
+    expected = count_sum / cov.nbins.astype(np.float64)
+
+    active = count_sum > 1e-8
+    out = np.zeros(len(cov.bins), dtype=np.float64)
+    act_bins = active[t_of_bin]
+    exp_b = expected[t_of_bin][act_bins]
+    diff = (exp_b - counts64[act_bins]) / exp_b
+    out[act_bins] = logistic(diff, growth_rate)
+    return out
+
+
+def binomial_probability(
+    counts_f32: np.ndarray, widths_f32: np.ndarray, distinct_rate: float
+) -> np.ndarray:
+    """Multinomial bin probability for ONE transcript
+    (`binomial_probability.rs:7-178`). Inputs are that transcript's f32 bin
+    counts/widths."""
+    ZERO_THRESH = 1e-20
+    MAX_SCALE = 709.0
+    n = len(counts_f32)
+    count_sum = np.float32(counts_f32.sum())
+    if count_sum == 0.0 or distinct_rate == 0.0:
+        return np.zeros(n)
+
+    c = counts_f32.astype(np.float64)
+    w = widths_f32.astype(np.float64)
+    probabilities = np.where((c == 0.0) | (w == 0.0), 0.0, c / (w * distinct_rate))
+
+    max_val = counts_f32.max()
+    mod = np.where(
+        counts_f32 == max_val,
+        np.float32(MAX_SCALE),
+        ((counts_f32.astype(np.float64) * MAX_SCALE) / float(max_val)).astype(
+            np.float32
+        ),
+    )
+    sum_vec = np.float32(mod.sum())
+    log_num1 = gammaln(float(sum_vec) + 1.0)
+    log_denom = gammaln(mod.astype(np.float64) + 1.0) + gammaln(
+        (sum_vec - mod).astype(np.float64) + 1.0
+    )
+    ln_zero = np.log(ZERO_THRESH)
+    num2 = np.where(
+        probabilities > ZERO_THRESH,
+        np.log(np.maximum(probabilities, ZERO_THRESH)) * mod.astype(np.float64),
+        ln_zero * mod.astype(np.float64),
+    )
+    one_minus = 1.0 - probabilities
+    num3 = np.where(
+        one_minus > ZERO_THRESH,
+        np.log(np.maximum(one_minus, ZERO_THRESH))
+        * (sum_vec - mod).astype(np.float64),
+        ln_zero * (sum_vec - mod).astype(np.float64),
+    )
+    result = np.exp(log_num1 - log_denom + num2 + num3)
+    s = result.sum()
+    return result / s
+
+
+def binomial_continuous_prob(cov: TranscriptCoverage) -> np.ndarray:
+    """Per-bin binomial coverage probabilities for all transcripts
+    (`binomial_continuous_prob`, `binomial_probability.rs:180-224`).
+    Mutates `cov.bins` by the pseudo-count. Returns flat f64 array."""
+    T = len(cov.txp_len)
+    t_of_bin = np.repeat(np.arange(T), cov.nbins)
+    cov.bins += (cov.total_weight / 100.0)[t_of_bin]
+    counts_f32, widths_f32 = cov.normalized_counts_and_lengths()
+    out = np.zeros(len(cov.bins), dtype=np.float64)
+    for t in range(T):
+        s, e = cov.bin_offsets[t], cov.bin_offsets[t + 1]
+        cs, ws = counts_f32[s:e], widths_f32[s:e]
+        distinct_rate = float(
+            (cs.astype(np.float64) / ws.astype(np.float64)).sum()
+        )
+        out[s:e] = binomial_probability(cs, ws, distinct_rate)
+    return out
+
+
+def normalize_read_probs(
+    store: AlignmentStore,
+    cov: TranscriptCoverage,
+    cov_prob_flat: np.ndarray,
+    bin_width: int,
+) -> None:
+    """Fill `store.cov_prob` with per-alignment expected coverage
+    probabilities, normalized to sum 1 within each read
+    (`normalize_read_probs`, `normalize_probability.rs:5-74`).
+    Fully vectorized over all alignments via ragged bin expansion."""
+    A = store.num_alignments
+    if A == 0:
+        return
+    tid = store.txp_id.astype(np.int64)
+    start = store.start.astype(np.float64)
+    end = store.end.astype(np.float64)
+    tlen = cov.lenf[tid]
+    bl = float(bin_width)
+
+    nb = cov.nbins[tid]
+    start_bin = (start / bl).astype(np.int64)
+    end_bin = np.minimum((end / bl).astype(np.int64), nb - 1)
+
+    same = start_bin == end_bin
+    expected = np.zeros(A, dtype=np.float64)
+
+    # case 1: single-bin alignments — w = (end-start)/bl over cp[start_bin]
+    if same.any():
+        w = (end[same] - start[same]) / bl
+        cp = cov_prob_flat[cov.bin_offsets[tid[same]] + start_bin[same]]
+        # expected = (w*cp)/w == cp; w == 0 gives the reference's 0/0 = NaN,
+        # caught by the finiteness check below (the reference panics too)
+        expected[same] = np.where(w != 0.0, cp, np.nan)
+
+    # case 2: multi-bin — fold i in [start_bin, end_bin) with the first bin
+    # fractional and the end bin EXCLUDED (reference quirk)
+    multi = ~same
+    if multi.any():
+        mi = np.nonzero(multi)[0]
+        counts = (end_bin[mi] - start_bin[mi]).astype(np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(mi, counts)
+        first = np.zeros(len(mi) + 1, dtype=np.int64)
+        np.cumsum(counts, out=first[1:])
+        local = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(first[:-1], counts)
+            + start_bin[rep]
+        )
+        is_first = local == start_bin[rep]
+        bin_end_first = np.minimum(
+            bl * start_bin[rep].astype(np.float64) + bl, tlen[rep]
+        )
+        w = np.where(is_first, (bin_end_first - start[rep]) / bl, 1.0)
+        cp = cov_prob_flat[cov.bin_offsets[tid[rep]] + local]
+        tw = np.zeros(A)
+        cw = np.zeros(A)
+        np.add.at(tw, rep, w)
+        np.add.at(cw, rep, w * cp)
+        expected[mi] = cw[mi] / tw[mi]
+
+    if not np.isfinite(expected).all():
+        raise FloatingPointError(
+            "invalid result in normalize_read_probs (NaN/inf coverage prob)"
+        )
+
+    # normalize within each read to sum 1 (sum<=0 -> divide by 1)
+    rid = store.read_ids()
+    nsum = np.zeros(store.num_reads)
+    np.add.at(nsum, rid, expected)
+    denom = np.where(nsum > 0.0, nsum, 1.0)
+    store.cov_prob[:] = expected / denom[rid]

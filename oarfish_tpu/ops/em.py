@@ -118,14 +118,20 @@ def run_em(
 
     def cond(state):
         niter, _prev, converged = state
-        return (niter < max_iter) & (~converged)
+        return jnp.any((niter < max_iter) & (~converged))
 
     def body(state):
-        niter, prev, _ = state
+        niter, prev, converged = state
         curr = _m_step(data, prev, multiplicity)
         rd = _rel_diff(prev, curr)
-        converged = (rd < convergence_thresh) & (niter > min_iters)
-        return (niter + 1, curr, converged)
+        newly = (rd < convergence_thresh) & (niter > min_iters)
+        # freeze already-converged state: under `vmap` (bootstrap
+        # replicates) the while_loop runs until ALL replicates converge,
+        # so each replicate must stop updating at its own stopping point
+        # to preserve the reference's per-replicate semantics
+        curr = jnp.where(converged, prev, curr)
+        niter = jnp.where(converged, niter, niter + 1)
+        return (niter, curr, converged | newly)
 
     niter0 = jnp.asarray(0, dtype=jnp.int32)
     niter, prev, _ = jax.lax.while_loop(

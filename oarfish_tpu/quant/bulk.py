@@ -1,0 +1,202 @@
+"""Bulk quantification driver: BAM → CSR → device EM → output files.
+
+TPU-era equivalent of `bulk.rs` (`quantify_bulk_alignments_from_bam`,
+`bulk.rs:212-259`, and the shared inference/output tail
+`perform_inference_and_write_output`, `bulk.rs:83-210`). The host packs;
+everything numeric (coverage weighting folded into per-alignment weights,
+the EM while-loop, the bootstrap batch) runs on the JAX device. There is
+no em/em_par split: the device EM is deterministic and uses the serial
+path's convergence guard (`niter > 50`), which is the parity target
+(SURVEY §3.5 — the reference's parallel path is nondeterministic and uses
+a different guard).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..config import Args, FilterOpts, ReadAssignmentProbOut
+from ..host.packer import pack_bam
+from ..host.store import AlignmentStore, TranscriptCoverage
+from ..io.bam import BamReader, verify_header
+from ..models.coverage import logistic_prob, normalize_read_probs
+from ..models.kde import get_kde_model
+from ..ops import bootstrap as bootstrap_ops
+from ..ops.em import EmData, em
+from ..utils.digest import digest_from_header
+from .meta import get_json_info
+from .short_read import read_short_quant_vec
+from .writers import (
+    get_aux_counts,
+    write_infrep_file,
+    write_out_prob,
+    write_output,
+)
+
+log = logging.getLogger("oarfish_tpu")
+
+
+def resolve_em_dtype(em_dtype: str):
+    """`auto` picks f64 on CPU (exact parity) and f32 on TPU (native
+    speed; f64 is software-emulated on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:
+        # TPU backend unavailable (e.g. another process holds the single
+        # axon tunnel) — fall back to CPU rather than dying
+        log.warning("accelerator backend unavailable; falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.default_backend()
+    if em_dtype == "auto":
+        em_dtype = "float64" if platform == "cpu" else "float32"
+    if em_dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        return jnp.float64
+    return jnp.float32
+
+
+def build_em_inputs(
+    store: AlignmentStore,
+    num_txps: int,
+    model_coverage: bool,
+    dens_prob: Optional[np.ndarray],
+    dtype,
+) -> EmData:
+    """Fold the constant per-alignment factors into one weight vector and
+    ship the CSR to device (`em.rs:97-111`: prob * cov_prob * dens_prob)."""
+    w = store.as_prob.astype(np.float64)
+    if model_coverage:
+        w = w * store.cov_prob
+    if dens_prob is not None:
+        w = w * dens_prob
+    return EmData.build(
+        store.txp_id,
+        w,
+        store.read_ids(),
+        store.num_reads,
+        num_txps,
+        dtype=dtype,
+    )
+
+
+def perform_inference_and_write_output(
+    store: AlignmentStore,
+    coverage: TranscriptCoverage,
+    txps_name,
+    txps_len,
+    opts: FilterOpts,
+    args: Args,
+    digest: dict,
+    aln_time_s: float,
+) -> np.ndarray:
+    """Shared inference + output tail (`bulk.rs:83-210`)."""
+    log.info("discard table:\n%s", store.discard.to_table())
+
+    dens_prob = None
+    if args.use_kde:
+        kde = get_kde_model(store, coverage.lenf)
+        tlen = coverage.lenf[store.txp_id].astype(np.int64)
+        aln_len = (store.end - store.start).astype(np.int64)
+        dens_prob = kde.lookup(tlen, aln_len)
+
+    if opts.model_coverage:
+        cov_flat = logistic_prob(coverage, args.growth_rate)
+        normalize_read_probs(store, coverage, cov_flat, args.bin_width)
+
+    log.info("Total number of alignment records : %d", store.num_alignments)
+    log.info("number of aligned reads : %d", store.num_reads)
+    log.info("number of unique alignments : %d", store.num_unique_alignments)
+
+    init = None
+    if args.short_quant is not None:
+        init = read_short_quant_vec(args.short_quant, txps_name)
+
+    dtype = resolve_em_dtype(args.em_dtype)
+    data = build_em_inputs(
+        store, len(txps_name), opts.model_coverage, dens_prob, dtype
+    )
+    t0 = time.time()
+    counts, niter = em(
+        data,
+        max_iter=args.max_em_iter,
+        convergence_thresh=args.convergence_thresh,
+        init_abundances=init,
+        dtype=dtype,
+    )
+    log.info("EM converged after %d iterations in %.3fs", niter, time.time() - t0)
+
+    unique, total = get_aux_counts(store, len(txps_name))
+    info = get_json_info(args, opts, store.discard, digest, aln_time_s)
+    write_output(args.output, info, txps_name, txps_len, counts, unique, total)
+
+    if args.num_bootstraps > 0:
+        t0 = time.time()
+        breps = bootstrap_ops.bootstrap(
+            data,
+            args.num_bootstraps,
+            max_iter=args.max_em_iter,
+            convergence_thresh=args.convergence_thresh,
+            init_abundances=init,
+            dtype=dtype,
+            seed=args.seed,
+        )
+        log.info(
+            "%d bootstrap replicates in %.3fs",
+            args.num_bootstraps,
+            time.time() - t0,
+        )
+        write_infrep_file(args.output, breps)
+
+    if args.write_assignment_probs is not None:
+        write_out_prob(
+            args.output,
+            store,
+            counts,
+            txps_name,
+            args.display_thresh,
+            opts.model_coverage,
+            compressed=args.write_assignment_probs
+            == ReadAssignmentProbOut.COMPRESSED,
+        )
+
+    return counts
+
+
+def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarray:
+    """Alignment-mode entry (`bulk.rs:212-259`)."""
+    reader = BamReader(args.alignments, threads=max(args.threads - 1, 1))
+    verify_header(reader.header, args.alignments)
+    txps_name = reader.header.ref_names
+    txps_len = np.asarray(reader.header.ref_lengths, dtype=np.int64)
+    log.info("parsed reference information for %d transcripts.", len(txps_name))
+    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+
+    t0 = time.time()
+    store, coverage, _num_unmapped = pack_bam(
+        reader,
+        txps_len,
+        opts,
+        bin_width=args.bin_width,
+        sort_check_num=args.sort_check_num,
+        keep_names=opts.write_assignment_probs,
+    )
+    aln_time_s = time.time() - t0
+    log.info("Parsing of alignments from input took %.3fs", aln_time_s)
+
+    return perform_inference_and_write_output(
+        store,
+        coverage,
+        txps_name,
+        txps_len,
+        opts,
+        args,
+        digest,
+        aln_time_s,
+    )

@@ -1,0 +1,270 @@
+"""Single-cell quantification: per-barcode EM over a CB-collated BAM.
+
+Reference behavior: `single_cell.rs:54-267` + the per-barcode helpers in
+`alignment_parser.rs:170-299` — records are peeled per contiguous CB tag,
+name-sorted (primary before secondary), filtered, given a per-cell
+**binomial** coverage model, and quantified with an independent serial EM;
+output is a cells×transcripts MatrixMarket matrix plus barcode/feature
+lists.
+
+TPU-native redesign: instead of a worker-thread pool running thousands of
+scalar EMs (`single_cell.rs:91-193`), cells are packed into *size buckets*
+(alignments/reads/transcripts padded to powers of two), each cell's
+transcript ids relabeled to a dense local space, and each bucket runs as a
+single `vmap`ped batched EM on device — one compiled program per bucket
+shape, all cells in a bucket iterating in lockstep with per-cell
+convergence freezing.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Args, FilterOpts
+from ..host.filters import DiscardTable, filter_group
+from ..host.store import AlignmentStore, StoreBuilder, TranscriptCoverage
+from ..io.bam import BamReader, BamRecord, verify_header
+from ..models.coverage import binomial_continuous_prob, normalize_read_probs
+from ..ops.em import EmData, run_em
+from ..utils.digest import digest_from_header
+from .meta import humantime
+from .writers import write_single_cell_output
+
+log = logging.getLogger("oarfish_tpu")
+
+
+def iter_barcode_groups(records) -> Iterator[Tuple[bytes, List[BamRecord]]]:
+    """Yield (barcode, mapped records) for contiguous CB blocks
+    (`parse_alignments_for_barcode`, `alignment_parser.rs:244-299`).
+    Barcodes are uppercased for comparison (`single_cell.rs:202-210`)."""
+    current: Optional[bytes] = None
+    group: List[BamRecord] = []
+    for rec in records:
+        if rec.is_unmapped:
+            continue
+        if rec.barcode is None:
+            raise ValueError("could not get CB tag value")
+        bc = rec.barcode.upper()
+        if bc != current:
+            if current is not None and group:
+                yield current, group
+            current = bc
+            group = []
+        group.append(rec)
+    if current is not None and group:
+        yield current, group
+
+
+def build_cell_store(
+    records: List[BamRecord],
+    txp_len: np.ndarray,
+    opts: FilterOpts,
+    bin_width: int,
+) -> Tuple[AlignmentStore, TranscriptCoverage]:
+    """Per-cell store: name-sort with primary-first
+    (`sort_and_parse_barcode_records`, `alignment_parser.rs:170-241`),
+    group by name, filter, pack."""
+    records = sorted(records, key=lambda r: (r.name, r.is_secondary))
+    coverage = TranscriptCoverage(
+        txp_len, bin_width if opts.model_coverage else 0
+    )
+    builder = StoreBuilder(coverage)
+    group: List[BamRecord] = []
+    prev = None
+    for rec in records:
+        if rec.name != prev:
+            if group:
+                fg = filter_group(opts, builder.discard, txp_len, group)
+                builder.add_filtered_group(fg)
+            group = []
+            prev = rec.name
+        if rec.ref_id >= 0:
+            group.append(rec)
+    if group:
+        fg = filter_group(opts, builder.discard, txp_len, group)
+        builder.add_filtered_group(fg)
+    return builder.finalize(), coverage
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+class CellBatch:
+    """One size bucket of cells, padded and stacked for a vmapped EM."""
+
+    def __init__(self, a_pad: int, r_pad: int, t_pad: int, t_global: int):
+        self.a_pad, self.r_pad, self.t_pad = a_pad, r_pad, t_pad
+        self.t_global = t_global
+        self.txp_local: List[np.ndarray] = []
+        self.weights: List[np.ndarray] = []
+        self.read_id: List[np.ndarray] = []
+        self.num_reads: List[int] = []
+        self.global_ids: List[np.ndarray] = []
+        self.cell_index: List[int] = []
+
+    def add(self, cell_index, txp_local, w, read_id, num_reads, global_ids):
+        self.txp_local.append(txp_local)
+        self.weights.append(w)
+        self.read_id.append(read_id)
+        self.num_reads.append(num_reads)
+        self.global_ids.append(global_ids)
+        self.cell_index.append(cell_index)
+
+    def run(self, args: Args, dtype):
+        """Batched EM over this bucket; returns per-cell (global_ids,
+        counts) in bucket order."""
+        B = len(self.txp_local)
+        a_p, r_p, t_p = self.a_pad, self.r_pad, self.t_pad
+        # padding: dummy alignments with w=0 on a dummy read (r_p) and a
+        # dummy transcript slot (t_p); dummy reads get denom 0 -> dropped
+        txp = np.full((B, a_p), t_p, dtype=np.int32)
+        wts = np.zeros((B, a_p), dtype=np.float64)
+        rid = np.full((B, a_p), r_p, dtype=np.int32)
+        perm = np.zeros((B, a_p), dtype=np.int32)
+        tsorted = np.zeros((B, a_p), dtype=np.int32)
+        init = np.zeros((B, t_p + 1), dtype=np.float64)
+        for i in range(B):
+            a = len(self.txp_local[i])
+            txp[i, :a] = self.txp_local[i]
+            wts[i, :a] = self.weights[i]
+            rid[i, :a] = self.read_id[i]
+            p = np.argsort(txp[i], kind="stable").astype(np.int32)
+            perm[i] = p
+            tsorted[i] = txp[i][p]
+            # uniform init avg = R_cell / T_global (`em.rs:164-166` with the
+            # cell's read count over the FULL transcriptome size)
+            init[i, :] = self.num_reads[i] / self.t_global
+        data = EmData(
+            txp_id=jnp.asarray(txp),
+            weights=jnp.asarray(wts, dtype=dtype),
+            read_id=jnp.asarray(rid),
+            txp_sort_perm=jnp.asarray(perm),
+            txp_id_sorted=jnp.asarray(tsorted),
+            num_reads=r_p + 1,
+            num_txps=t_p + 1,
+        )
+        counts, _ = jax.vmap(
+            lambda d, i0: run_em(
+                d, i0, args.max_em_iter, args.convergence_thresh
+            )
+        )(data, jnp.asarray(init, dtype=dtype))
+        counts = np.asarray(counts, dtype=np.float64)
+        out = []
+        for i in range(B):
+            t_c = len(self.global_ids[i])
+            out.append((self.cell_index[i], self.global_ids[i], counts[i, :t_c]))
+        return out
+
+
+def quantify_single_cell_from_collated_bam(args: Args, opts: FilterOpts):
+    reader = BamReader(args.alignments, threads=max(args.threads - 1, 1))
+    verify_header(reader.header, args.alignments)
+    txps_name = reader.header.ref_names
+    txps_len = np.asarray(reader.header.ref_lengths, dtype=np.int64)
+    T = len(txps_name)
+    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+
+    from .bulk import resolve_em_dtype
+
+    dtype = resolve_em_dtype(args.em_dtype)
+
+    t_start = time.time()
+    barcodes: List[str] = []
+    buckets: Dict[Tuple[int, int, int], CellBatch] = {}
+    num_cells = 0
+    skipped_empty = 0
+
+    for barcode, records in iter_barcode_groups(reader.records()):
+        store, coverage = build_cell_store(records, txps_len, opts, args.bin_width)
+        if store.num_reads == 0:
+            # the reference still runs the EM (yielding all-zero counts) and
+            # writes the barcode row; we record the barcode with no entries
+            barcodes.append(barcode.decode("ascii", "replace"))
+            num_cells += 1
+            skipped_empty += 1
+            continue
+        if opts.model_coverage:
+            flat = binomial_continuous_prob(coverage)
+            normalize_read_probs(store, coverage, flat, args.bin_width)
+            w = store.as_prob.astype(np.float64) * store.cov_prob
+        else:
+            w = store.as_prob.astype(np.float64)
+
+        # relabel to a dense local transcript space
+        global_ids, local = np.unique(store.txp_id, return_inverse=True)
+        key = (
+            _ceil_pow2(store.num_alignments),
+            _ceil_pow2(store.num_reads),
+            _ceil_pow2(len(global_ids)),
+        )
+        batch = buckets.get(key)
+        if batch is None:
+            batch = buckets[key] = CellBatch(*key, T)
+        batch.add(
+            num_cells,
+            local.astype(np.int32),
+            w,
+            store.read_ids(),
+            store.num_reads,
+            global_ids,
+        )
+        barcodes.append(barcode.decode("ascii", "replace"))
+        num_cells += 1
+        if num_cells % 100 == 0:
+            log.info("Processed %d cells.", num_cells)
+
+    log.info(
+        "parsed %d cells (%d with no surviving alignments) in %s; "
+        "%d size buckets",
+        num_cells,
+        skipped_empty,
+        humantime(time.time() - t_start),
+        len(buckets),
+    )
+
+    rows: List[int] = []
+    cols: List[int] = []
+    vals: List[float] = []
+    t_em = time.time()
+    for key in sorted(buckets):
+        for cell_index, gids, counts in buckets[key].run(args, dtype):
+            nz = counts > 0.0
+            for g, v in zip(gids[nz], counts[nz]):
+                rows.append(cell_index)
+                cols.append(int(g))
+                vals.append(np.float32(v))
+    log.info("ran %d cell EMs in %s", num_cells, humantime(time.time() - t_em))
+
+    info = {
+        "prob_model": "logistic_coverage" if args.model_coverage else "no_coverage",
+        "bin_width": args.bin_width,
+        "alignments": str(args.alignments),
+        "output": str(args.output),
+        "verbose": args.verbose,
+        "single_cell": True,
+        "quiet": args.quiet,
+        "em_max_iter": args.max_em_iter,
+        "em_convergence_thresh": args.convergence_thresh,
+        "threads": args.threads,
+        "filter_group": None,
+        "short_quant": args.short_quant,
+        "digest": digest,
+    }
+    write_single_cell_output(
+        args.output,
+        info,
+        txps_name,
+        barcodes,
+        np.asarray(rows),
+        np.asarray(cols),
+        np.asarray(vals, dtype=np.float32),
+        num_cells,
+    )
+    return num_cells

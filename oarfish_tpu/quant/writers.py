@@ -1,0 +1,213 @@
+"""Output serialization: `.quant`, `.ambig_info.tsv`, `.meta_info.json`,
+`.infreps.pq`, `.prob[.lz4]`, `.count.mtx`, `.features.txt`, `.barcodes.txt`.
+
+Byte-compatible with the reference's writers
+(`src/util/write_function.rs`, `src/util/parquet_utils.rs`,
+`src/util/aux_counts.rs`) — these files are the parity target a downstream
+consumer of oarfish output reads.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..constants import EM_DENOM_THRESH
+from ..host.store import AlignmentStore
+from ..utils import lz4f
+
+
+def rust_f64_str(v: float) -> str:
+    """Format an f64 the way Rust's `Display` does: shortest round-trip
+    decimal, no trailing `.0`, never exponent notation for the magnitudes
+    that arise here."""
+    if v != v:
+        return "NaN"
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    s = repr(float(v))
+    if "e" in s or "E" in s:
+        # expand exponent notation (counts never reach these magnitudes,
+        # but stay correct if they do)
+        s = np.format_float_positional(v, trim="-")
+    return s
+
+
+def _with_extension(output: Path, ext: str) -> Path:
+    return Path(str(output) + ext)
+
+
+def _ensure_parent(output: Path) -> None:
+    p = Path(output).parent
+    if str(p) not in ("", "."):
+        os.makedirs(p, exist_ok=True)
+
+
+def get_aux_counts(store: AlignmentStore, num_txps: int):
+    """Per-transcript unique/total alignment-record counts
+    (`aux_counts.rs:23-50`)."""
+    total = np.zeros(num_txps, dtype=np.int64)
+    unique = np.zeros(num_txps, dtype=np.int64)
+    np.add.at(total, store.txp_id, 1)
+    sizes = np.diff(store.boundaries)
+    uniq_rows = np.nonzero(sizes == 1)[0]
+    if len(uniq_rows):
+        uniq_tids = store.txp_id[store.boundaries[uniq_rows]]
+        np.add.at(unique, uniq_tids, 1)
+    return unique, total
+
+
+def write_output(
+    output: Path,
+    info: dict,
+    txps_name: Sequence[str],
+    txps_len: Sequence[int],
+    counts: np.ndarray,
+    unique_counts: np.ndarray,
+    total_counts: np.ndarray,
+) -> None:
+    """`P.quant` + `P.ambig_info.tsv` + `P.meta_info.json`
+    (`write_function.rs:73-148`)."""
+    output = Path(output)
+    _ensure_parent(output)
+
+    with open(_with_extension(output, ".meta_info.json"), "w") as fh:
+        json.dump(info, fh, indent=2)
+
+    with open(_with_extension(output, ".quant"), "w") as fh:
+        fh.write("tname\tlen\tnum_reads\n")
+        for name, length, c in zip(txps_name, txps_len, counts):
+            fh.write(f"{name}\t{length}\t{rust_f64_str(float(c))}\n")
+
+    with open(_with_extension(output, ".ambig_info.tsv"), "w") as fh:
+        fh.write("unique_reads\tambig_reads\ttotal_reads\n")
+        for u, t in zip(unique_counts, total_counts):
+            ambig = max(int(t) - int(u), 0)
+            fh.write(f"{int(u)}\t{ambig}\t{int(t)}\n")
+
+
+def write_infrep_file(output: Path, breps: np.ndarray) -> None:
+    """`P.infreps.pq`: parquet v2, zstd, one `bootstrap.{i}` Float64 column
+    per replicate (`write_function.rs:199-209`, `parquet_utils.rs:15-44`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    output = Path(output)
+    _ensure_parent(output)
+    cols = {
+        f"bootstrap.{i}": pa.array(np.asarray(breps[i], dtype=np.float64))
+        for i in range(len(breps))
+    }
+    table = pa.table(cols)
+    pq.write_table(
+        table,
+        _with_extension(output, ".infreps.pq"),
+        compression="zstd",
+        use_dictionary=False,
+        version="2.6",
+        data_page_version="2.0",
+    )
+
+
+def prob_display_decimals(display_thresh: float) -> int:
+    """Decimal places for `.prob` probabilities
+    (`write_function.rs:218-224`)."""
+    if display_thresh > 0.0 and math.isfinite(display_thresh):
+        return int(min(max(math.ceil(-math.log10(display_thresh)), 3), 9))
+    return 9
+
+
+def write_out_prob(
+    output: Path,
+    store: AlignmentStore,
+    counts: np.ndarray,
+    txps_name: Sequence[str],
+    display_thresh: float,
+    model_coverage: bool,
+    compressed: bool,
+) -> None:
+    """`P.prob[.lz4]`: per-read posterior assignment probabilities
+    (`write_out_prob`, `write_function.rs:226-340`)."""
+    output = Path(output)
+    _ensure_parent(output)
+    decimals = prob_display_decimals(display_thresh)
+
+    names = store.read_names
+    if names is None:
+        raise ValueError(
+            "cannot write assignment probabilities without read names"
+        )
+
+    lines: List[str] = [f"{len(txps_name)}\t{store.num_reads}"]
+    lines.extend(txps_name)
+
+    cov = store.cov_prob if model_coverage else None
+    for r in range(store.num_reads):
+        s, e = int(store.boundaries[r]), int(store.boundaries[r + 1])
+        tids = store.txp_id[s:e]
+        probs = store.as_prob[s:e].astype(np.float64)
+        if cov is not None:
+            probs = probs * cov[s:e]
+        w = counts[tids] * probs
+        denom = float(w.sum())
+        nprob = np.clip(w / denom, 0.0, 1.0) if denom != 0.0 else w * np.nan
+        keep = nprob >= display_thresh  # NaN compares False, like Rust
+        kept_t = tids[keep]
+        kept_p = nprob[keep]
+        denom2 = float(kept_p.sum())
+        if denom2 != 0:
+            kept_p = kept_p / denom2
+        name = names[r].rstrip("\x00")
+        ids = "\t".join(str(int(t)) for t in kept_t)
+        pvals = "\t".join(f"{p:.{decimals}f}" for p in kept_p)
+        # exact reference line shape (`write_function.rs:296,330`):
+        # "<name>\t<k>\t<ids...>\t<probs...>" — the two joins are written
+        # even when empty, leaving trailing tabs for k == 0
+        lines.append(f"{name}\t{len(kept_t)}\t{ids}\t{pvals}")
+
+    payload = ("\n".join(lines) + "\n").encode()
+    if compressed:
+        with open(_with_extension(output, ".prob.lz4"), "wb") as fh:
+            fh.write(lz4f.compress_frame(payload))
+    else:
+        with open(_with_extension(output, ".prob"), "wb") as fh:
+            fh.write(payload)
+
+
+def write_single_cell_output(
+    output: Path,
+    info: dict,
+    txps_name: Sequence[str],
+    barcodes: Sequence[str],
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    num_rows: int,
+) -> None:
+    """`.count.mtx` (MatrixMarket COO) + `.features.txt` + `.barcodes.txt`
+    + meta json (`write_single_cell_output`, `write_function.rs:25-70`,
+    barcode sink at `single_cell.rs:169-187,247-264`)."""
+    output = Path(output)
+    _ensure_parent(output)
+
+    with open(_with_extension(output, ".meta_info.json"), "w") as fh:
+        json.dump(info, fh, indent=2)
+
+    with open(_with_extension(output, ".count.mtx"), "w") as fh:
+        fh.write("%%MatrixMarket matrix coordinate real general\n")
+        fh.write(f"{num_rows} {len(txps_name)} {len(vals)}\n")
+        for r, c, v in zip(rows, cols, vals):
+            fh.write(f"{int(r) + 1} {int(c) + 1} {rust_f64_str(float(v))}\n")
+
+    with open(_with_extension(output, ".features.txt"), "w") as fh:
+        for name in txps_name:
+            fh.write(f"{name}\n")
+
+    with open(_with_extension(output, ".barcodes.txt"), "w") as fh:
+        for bc in barcodes:
+            fh.write(f"{bc}\n")

@@ -1,0 +1,172 @@
+"""End-to-end bulk quantification through the CLI, validated against an
+independent oracle pipeline (host pack + NumPy f64 EM)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from oarfish_tpu.cli import main
+from oarfish_tpu.config import Args, FilterOpts
+from oarfish_tpu.host.packer import pack_bam
+from oarfish_tpu.io.bam import BamReader
+from oarfish_tpu.models.coverage import logistic_prob, normalize_read_probs
+from oarfish_tpu.ops.em_oracle import combine_weights, do_em_oracle
+from util_sim import simulate_bam
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bulk")
+    p = d / "sirv_sim.bam"
+    names, lengths, truth = simulate_bam(p, num_reads=800, seed=11)
+    return d, p, names, lengths, truth
+
+
+def oracle_counts(bam_path, lengths, model_coverage=False, bin_width=100):
+    reader = BamReader(bam_path)
+    opts = FilterOpts(model_coverage=model_coverage)
+    store, cov, _ = pack_bam(
+        reader, np.asarray(lengths), opts, bin_width=bin_width
+    )
+    if model_coverage:
+        flat = logistic_prob(cov, 2.0)
+        normalize_read_probs(store, cov, flat, bin_width)
+    w = combine_weights(store.as_prob, store.cov_prob, model_coverage)
+    return do_em_oracle(store.txp_id, w, store.boundaries, len(lengths))
+
+
+def read_quant(path):
+    names, lens, counts = [], [], []
+    with open(path) as fh:
+        assert fh.readline() == "tname\tlen\tnum_reads\n"
+        for line in fh:
+            n, l, c = line.rstrip("\n").split("\t")
+            names.append(n)
+            lens.append(int(l))
+            counts.append(float(c))
+    return names, lens, np.array(counts)
+
+
+def test_cli_bulk_basic(sim):
+    d, p, names, lengths, truth = sim
+    out = d / "basic" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out), "--em-dtype", "float64",
+               "--quiet"])
+    assert rc == 0
+    qn, ql, qc = read_quant(str(out) + ".quant")
+    assert qn == names and ql == lengths
+    want = oracle_counts(p, lengths)
+    np.testing.assert_allclose(qc, want, rtol=1e-9, atol=1e-9)
+
+    meta = json.loads(Path(str(out) + ".meta_info.json").read_text())
+    assert meta["prob_model"] == "no_coverage"
+    assert meta["alignment_source"] == "from_bam"
+    assert meta["num_bootstraps"] == 0
+    assert meta["digest"]["bam_digest"]["seqcol_digest"]["names"]
+
+    ambig = Path(str(out) + ".ambig_info.tsv").read_text().splitlines()
+    assert ambig[0] == "unique_reads\tambig_reads\ttotal_reads"
+    assert len(ambig) == len(names) + 1
+    # total records across transcripts == packed alignments
+    tot = sum(int(x.split("\t")[2]) for x in ambig[1:])
+    reader = BamReader(p)
+    store, _, _ = pack_bam(reader, np.asarray(lengths), FilterOpts(), 100)
+    assert tot == store.num_alignments
+
+
+def test_cli_bulk_coverage_model(sim):
+    d, p, names, lengths, truth = sim
+    out = d / "cov" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out), "--model-coverage",
+               "--em-dtype", "float64", "--quiet"])
+    assert rc == 0
+    _, _, qc = read_quant(str(out) + ".quant")
+    want = oracle_counts(p, lengths, model_coverage=True)
+    np.testing.assert_allclose(qc, want, rtol=1e-9, atol=1e-9)
+    meta = json.loads(Path(str(out) + ".meta_info.json").read_text())
+    assert meta["prob_model"] == "logistic_coverage"
+    assert meta["filter_options"]["model_coverage"] is True
+
+
+def test_cli_bootstraps(sim):
+    import pyarrow.parquet as pq
+
+    d, p, names, lengths, truth = sim
+    out = d / "boot" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out), "--num-bootstraps", "8",
+               "--em-dtype", "float64", "--quiet"])
+    assert rc == 0
+    t = pq.read_table(str(out) + ".infreps.pq")
+    assert t.column_names == [f"bootstrap.{i}" for i in range(8)]
+    assert t.num_rows == len(names)
+    reps = np.stack([t.column(i).to_numpy() for i in range(8)])
+    _, _, qc = read_quant(str(out) + ".quant")
+    # bootstrap means should be near the point estimate for expressed txps
+    hi = qc > 20
+    assert hi.any()
+    rel = np.abs(reps.mean(axis=0)[hi] - qc[hi]) / qc[hi]
+    assert (rel < 0.5).all()
+    # replicates differ from one another (actually resampled)
+    assert np.std(reps, axis=0)[hi].max() > 0
+
+
+def test_cli_write_probs(sim):
+    d, p, names, lengths, truth = sim
+    out = d / "probs" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out),
+               "--write-assignment-probs", "--em-dtype", "float64", "--quiet"])
+    assert rc == 0
+    lines = Path(str(out) + ".prob").read_text().splitlines()
+    ntxp, nreads = map(int, lines[0].split("\t"))
+    assert ntxp == len(names)
+    assert lines[1 : 1 + ntxp] == names
+    body = lines[1 + ntxp :]
+    assert len(body) == nreads
+    for line in body[:50]:
+        parts = line.split("\t")
+        k = int(parts[1])
+        probs = [float(x) for x in parts[2 + k : 2 + 2 * k]]
+        if k:
+            assert abs(sum(probs) - 1.0) < 1e-3
+        # default display-thresh 1e-6 -> 6 decimals
+        if k:
+            assert len(parts[2 + k].split(".")[-1]) == 6
+
+
+def test_cli_write_probs_lz4(sim):
+    from oarfish_tpu.utils.lz4f import decompress_frame
+
+    d, p, names, lengths, truth = sim
+    out = d / "probslz" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out),
+               "--write-assignment-probs=lz4", "--em-dtype", "float64",
+               "--quiet"])
+    assert rc == 0
+    raw = decompress_frame(Path(str(out) + ".prob.lz4").read_bytes())
+    plain = Path(str(d / "probs" / "q") + ".prob").read_bytes()
+    assert raw == plain
+
+
+def test_cli_filter_group_nanocount(sim):
+    d, p, names, lengths, truth = sim
+    out = d / "nano" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out), "--filter-group",
+               "nanocount-filters", "--em-dtype", "float64", "--quiet"])
+    assert rc == 0
+    meta = json.loads(Path(str(out) + ".meta_info.json").read_text())
+    fo = meta["filter_options"]
+    assert fo["three_prime_clip"] == 50
+    assert fo["which_strand"] == "Forward"
+    assert meta["filter_group"] == "NanocountFilters"
+
+
+def test_cli_mode_validation(sim, capsys):
+    d, p, *_ = sim
+    with pytest.raises(SystemExit):
+        main(["-o", "x"])  # no input mode
+    with pytest.raises(SystemExit):
+        main(["--alignments", str(p)])  # no output
+    with pytest.raises(SystemExit):
+        main(["--reads", "r.fq", "-o", "x"])  # no reference/seq-tech

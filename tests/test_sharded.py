@@ -1,0 +1,54 @@
+"""Sharded (multi-device) EM vs the single-device path and the oracle,
+on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from oarfish_tpu.ops.em_oracle import do_em_oracle
+from oarfish_tpu.parallel.sharded_em import ShardedCsr, sharded_em
+from test_em import random_csr
+
+
+def test_shard_partitioning():
+    rng = np.random.default_rng(0)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=100, T=20)
+    sh = ShardedCsr(txp_id, w, boundaries, T, 4)
+    # ranges tile [0, R)
+    assert sh.read_ranges[0][0] == 0 and sh.read_ranges[-1][1] == R
+    for (s0, e0), (s1, e1) in zip(sh.read_ranges, sh.read_ranges[1:]):
+        assert e0 == s1
+    # every real alignment present exactly once, weights preserved
+    total_real = sum(
+        int((sh.read_id[d] <= sh.r_pad - 1).sum() if False else (sh.weights[d] != 0).sum())
+        for d in range(4)
+    )
+    assert total_real == (w != 0).sum()
+
+
+def test_sharded_em_matches_oracle():
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(1)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=500, T=60)
+    init = np.full(T, R / T, dtype=np.float64)
+    counts, niter = sharded_em(
+        txp_id, w, boundaries, T, init, max_iter=200,
+        convergence_thresh=1e-3, dtype=jnp.float64,
+    )
+    want = do_em_oracle(txp_id, w, boundaries, T, max_iter=200)
+    np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9)
+    assert niter > 50
+
+
+def test_sharded_em_various_shard_counts():
+    rng = np.random.default_rng(2)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=203, T=30)
+    init = np.full(T, R / T, dtype=np.float64)
+    want = do_em_oracle(txp_id, w, boundaries, T, max_iter=120)
+    for D in (1, 2, 3, 8):
+        counts, _ = sharded_em(
+            txp_id, w, boundaries, T, init, max_iter=120,
+            convergence_thresh=1e-3, dtype=jnp.float64, num_shards=D,
+        )
+        np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9,
+                                   err_msg=f"shards={D}")
