@@ -1,0 +1,485 @@
+// Host-side streaming BAM decoder: multithreaded BGZF inflate + columnar
+// record extraction.
+//
+// TPU-era replacement for the reference's noodles-bam/noodles-bgzf ingest
+// path (reference: src/alignment_parser.rs:301-437 record streaming;
+// noodles multithreaded bgzf, main.rs:408-414). Responsibilities here are
+// deliberately narrow: inflate, decode the fields the quantifier needs
+// (name grouping, flags, ref id, position, CIGAR reference span, sequence
+// length, AS score, CB barcode), verify name-collation, and hand columnar
+// arrays to Python where the vectorized filter + CSR pack run.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC bam_decoder.cpp
+//        -o liboarfish_host.so -lz -pthread
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct Block {
+  size_t in_off;
+  size_t in_size;   // total member size
+  size_t out_off;
+  size_t out_size;  // ISIZE
+};
+
+bool scan_blocks(const uint8_t* data, size_t n, std::vector<Block>& blocks,
+                 size_t& total_out, std::string& err) {
+  size_t pos = 0;
+  total_out = 0;
+  while (pos < n) {
+    if (pos + 18 > n || data[pos] != 0x1f || data[pos + 1] != 0x8b) {
+      err = "bad gzip magic at offset " + std::to_string(pos);
+      return false;
+    }
+    uint8_t flg = data[pos + 3];
+    if (!(flg & 0x04)) {
+      err = "gzip member without FEXTRA; not a BGZF file";
+      return false;
+    }
+    uint16_t xlen;
+    memcpy(&xlen, data + pos + 10, 2);
+    size_t xpos = pos + 12, xend = xpos + xlen;
+    size_t bsize = 0;
+    while (xpos + 4 <= xend) {
+      uint8_t si1 = data[xpos], si2 = data[xpos + 1];
+      uint16_t slen;
+      memcpy(&slen, data + xpos + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, data + xpos + 4, 2);
+        bsize = size_t(bs) + 1;
+      }
+      xpos += 4 + slen;
+    }
+    if (!bsize || pos + bsize > n) {
+      err = "BGZF block missing/invalid BC subfield";
+      return false;
+    }
+    uint32_t isize;
+    memcpy(&isize, data + pos + bsize - 4, 4);
+    blocks.push_back({pos, bsize, total_out, isize});
+    total_out += isize;
+    pos += bsize;
+  }
+  return true;
+}
+
+bool inflate_block(const uint8_t* src, const Block& b, uint8_t* dst) {
+  uint16_t xlen;
+  memcpy(&xlen, src + b.in_off + 10, 2);
+  const uint8_t* comp = src + b.in_off + 12 + xlen;
+  size_t comp_len = b.in_size - 12 - xlen - 8;
+  if (b.out_size == 0) return true;
+  z_stream zs{};
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(comp);
+  zs.avail_in = static_cast<uInt>(comp_len);
+  zs.next_out = dst + b.out_off;
+  zs.avail_out = static_cast<uInt>(b.out_size);
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.avail_out == 0;
+}
+
+// CIGAR ops consuming the reference: M(0) D(2) N(3) =(7) X(8)
+inline bool consumes_ref(uint32_t op) {
+  return op == 0 || op == 2 || op == 3 || op == 7 || op == 8;
+}
+
+struct Columns {
+  std::vector<int64_t> group_id;
+  std::vector<uint16_t> flag;
+  std::vector<int32_t> ref_id;
+  std::vector<int64_t> pos;
+  std::vector<int64_t> ref_span;
+  std::vector<int64_t> seq_len;
+  std::vector<int64_t> score;
+  std::vector<uint8_t> has_score;
+  std::vector<int64_t> cb_id;  // barcode id per record (-1 if no CB)
+};
+
+}  // namespace
+
+extern "C" {
+
+struct OarfishDecoded {
+  int64_t n_records;
+  int64_t n_groups;
+  int64_t n_refs;
+  int64_t num_unmapped;
+  int64_t* group_id;
+  uint16_t* flag;
+  int32_t* ref_id;
+  int64_t* pos;
+  int64_t* ref_span;
+  int64_t* seq_len;
+  int64_t* score;
+  uint8_t* has_score;
+  int64_t* cb_id;
+  // header
+  char* header_text;
+  int64_t header_text_len;
+  char* ref_names;  // \0-separated, n_refs entries
+  int64_t ref_names_len;
+  int64_t* ref_lengths;
+  // group head names (\0-separated, n_groups entries) when requested
+  char* group_names;
+  int64_t group_names_len;
+  // distinct barcodes (\0-separated) in first-seen order, when present
+  char* barcodes;
+  int64_t barcodes_len;
+  int64_t n_barcodes;
+  // status
+  char* error;  // malloc'd message on failure (all arrays null then)
+  char* dup_name;  // set when the collation check failed
+};
+
+void oarfish_decoded_free(OarfishDecoded* d) {
+  if (!d) return;
+  free(d->group_id);
+  free(d->flag);
+  free(d->ref_id);
+  free(d->pos);
+  free(d->ref_span);
+  free(d->seq_len);
+  free(d->score);
+  free(d->has_score);
+  free(d->cb_id);
+  free(d->header_text);
+  free(d->ref_names);
+  free(d->ref_lengths);
+  free(d->group_names);
+  free(d->barcodes);
+  free(d->error);
+  free(d->dup_name);
+  free(d);
+}
+
+}  // extern "C" (reopened below)
+
+static OarfishDecoded* make_error(const std::string& msg) {
+  auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
+  d->error = strdup(msg.c_str());
+  return d;
+}
+
+template <typename T>
+static T* steal(std::vector<T>& v) {
+  T* p = static_cast<T*>(malloc(v.size() * sizeof(T)));
+  memcpy(p, v.data(), v.size() * sizeof(T));
+  return p;
+}
+
+extern "C" {
+
+OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
+                                   int keep_names, int64_t sort_check_num,
+                                   int want_barcodes) {
+  // --- read the whole file
+  FILE* fh = fopen(path, "rb");
+  if (!fh) return make_error(std::string("cannot open ") + path);
+  fseek(fh, 0, SEEK_END);
+  long fsize = ftell(fh);
+  fseek(fh, 0, SEEK_SET);
+  std::vector<uint8_t> comp(fsize);
+  if (fread(comp.data(), 1, fsize, fh) != size_t(fsize)) {
+    fclose(fh);
+    return make_error("short read");
+  }
+  fclose(fh);
+
+  // --- parallel BGZF inflate (output offsets from each member's ISIZE)
+  std::vector<Block> blocks;
+  size_t total_out = 0;
+  std::string err;
+  if (!scan_blocks(comp.data(), comp.size(), blocks, total_out, err))
+    return make_error(err);
+  std::vector<uint8_t> buf(total_out);
+  {
+    std::atomic<size_t> next{0};
+    std::atomic<bool> ok{true};
+    int nt = threads > 0 ? threads : 1;
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+      pool.emplace_back([&] {
+        size_t i;
+        while ((i = next.fetch_add(1)) < blocks.size()) {
+          if (!inflate_block(comp.data(), blocks[i], buf.data()))
+            ok.store(false);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+    if (!ok.load()) return make_error("BGZF inflate failure");
+  }
+  comp.clear();
+  comp.shrink_to_fit();
+
+  // --- header
+  const uint8_t* p = buf.data();
+  size_t n = buf.size();
+  if (n < 12 || memcmp(p, "BAM\x01", 4) != 0)
+    return make_error("missing BAM magic");
+  int32_t l_text;
+  memcpy(&l_text, p + 4, 4);
+  size_t off = 8;
+  std::string header_text(reinterpret_cast<const char*>(p + off), l_text);
+  off += l_text;
+  int32_t n_ref;
+  memcpy(&n_ref, p + off, 4);
+  off += 4;
+  std::string ref_names;
+  std::vector<int64_t> ref_lengths(n_ref);
+  for (int i = 0; i < n_ref; i++) {
+    int32_t l_name;
+    memcpy(&l_name, p + off, 4);
+    off += 4;
+    ref_names.append(reinterpret_cast<const char*>(p + off), l_name - 1);
+    ref_names.push_back('\0');
+    off += l_name;
+    int32_t l_ref;
+    memcpy(&l_ref, p + off, 4);
+    off += 4;
+    ref_lengths[i] = l_ref;
+  }
+
+  // --- record scan (sequential: grouping needs name order anyway; field
+  // extraction is a few ns/record)
+  Columns c;
+  std::string group_names;
+  std::string barcodes_blob;
+  std::vector<std::string> barcode_order;
+  std::unordered_set<std::string> seen_names;
+  // map barcode -> id (first-seen order)
+  std::unordered_map<std::string, int64_t> bc_lookup;
+
+  int64_t num_unmapped = 0;
+  int64_t group = -1;
+  int64_t checked_groups = 0;
+  std::string prev_name;
+  char* dup_name = nullptr;
+  bool have_prev = false;
+
+  while (off + 4 <= n) {
+    int32_t block_size;
+    memcpy(&block_size, p + off, 4);
+    if (off + 4 + block_size > n)
+      return make_error("truncated BAM record");
+    const uint8_t* r = p + off + 4;
+    off += 4 + size_t(block_size);
+
+    int32_t ref_id, pos_, l_seq;
+    memcpy(&ref_id, r, 4);
+    memcpy(&pos_, r + 4, 4);
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar, flag_;
+    memcpy(&n_cigar, r + 12, 2);
+    memcpy(&flag_, r + 14, 2);
+    memcpy(&l_seq, r + 16, 4);
+    const char* name = reinterpret_cast<const char*>(r + 32);
+    size_t name_len = size_t(l_read_name) - 1;
+
+    if (flag_ & 0x4) {
+      num_unmapped++;
+      continue;
+    }
+
+    // CIGAR reference span
+    size_t cig_off = 32 + l_read_name;
+    int64_t span = 0;
+    for (uint16_t i = 0; i < n_cigar; i++) {
+      uint32_t cv;
+      memcpy(&cv, r + cig_off + 4 * size_t(i), 4);
+      if (consumes_ref(cv & 0xF)) span += cv >> 4;
+    }
+
+    // aux tags: AS (int) and optionally CB (string)
+    size_t tag_off = cig_off + 4 * size_t(n_cigar) + (size_t(l_seq) + 1) / 2 +
+                     size_t(l_seq);
+    size_t rec_end = size_t(block_size);
+    int64_t score = 0;
+    bool has_score = false;
+    int64_t cb = -1;
+    while (tag_off + 3 <= rec_end) {
+      uint8_t t0 = r[tag_off], t1 = r[tag_off + 1], vt = r[tag_off + 2];
+      tag_off += 3;
+      switch (vt) {
+        case 'A':
+          tag_off += 1;
+          break;
+        case 'c': {
+          if (t0 == 'A' && t1 == 'S') {
+            score = *reinterpret_cast<const int8_t*>(r + tag_off);
+            has_score = true;
+          }
+          tag_off += 1;
+          break;
+        }
+        case 'C': {
+          if (t0 == 'A' && t1 == 'S') {
+            score = r[tag_off];
+            has_score = true;
+          }
+          tag_off += 1;
+          break;
+        }
+        case 's': {
+          if (t0 == 'A' && t1 == 'S') {
+            int16_t v;
+            memcpy(&v, r + tag_off, 2);
+            score = v;
+            has_score = true;
+          }
+          tag_off += 2;
+          break;
+        }
+        case 'S': {
+          if (t0 == 'A' && t1 == 'S') {
+            uint16_t v;
+            memcpy(&v, r + tag_off, 2);
+            score = v;
+            has_score = true;
+          }
+          tag_off += 2;
+          break;
+        }
+        case 'i': {
+          if (t0 == 'A' && t1 == 'S') {
+            int32_t v;
+            memcpy(&v, r + tag_off, 4);
+            score = v;
+            has_score = true;
+          }
+          tag_off += 4;
+          break;
+        }
+        case 'I': {
+          if (t0 == 'A' && t1 == 'S') {
+            uint32_t v;
+            memcpy(&v, r + tag_off, 4);
+            score = v;
+            has_score = true;
+          }
+          tag_off += 4;
+          break;
+        }
+        case 'f':
+          tag_off += 4;
+          break;
+        case 'Z':
+        case 'H': {
+          size_t z = tag_off;
+          while (z < rec_end && r[z] != 0) z++;
+          if (want_barcodes && t0 == 'C' && t1 == 'B' && vt == 'Z') {
+            std::string bc(reinterpret_cast<const char*>(r + tag_off),
+                           z - tag_off);
+            auto it = bc_lookup.find(bc);
+            if (it == bc_lookup.end()) {
+              cb = int64_t(barcode_order.size());
+              bc_lookup.emplace(bc, cb);
+              barcode_order.push_back(bc);
+            } else {
+              cb = it->second;
+            }
+          }
+          tag_off = z + 1;
+          break;
+        }
+        case 'B': {
+          uint8_t sub = r[tag_off];
+          uint32_t count;
+          memcpy(&count, r + tag_off + 1, 4);
+          size_t esz = (sub == 'c' || sub == 'C') ? 1
+                       : (sub == 's' || sub == 'S') ? 2
+                                                    : 4;
+          tag_off += 5 + esz * count;
+          break;
+        }
+        default:
+          return make_error("unknown tag value type");
+      }
+    }
+
+    // name grouping over mapped records (alignment_parser.rs:361-415)
+    bool same = have_prev && prev_name.size() == name_len &&
+                memcmp(prev_name.data(), name, name_len) == 0;
+    if (!same) {
+      group++;
+      prev_name.assign(name, name_len);
+      have_prev = true;
+      if (keep_names) {
+        group_names.append(name, name_len);
+        group_names.push_back('\0');
+      }
+      if (checked_groups < sort_check_num) {
+        auto ins = seen_names.insert(prev_name);
+        if (!ins.second && !dup_name) dup_name = strdup(prev_name.c_str());
+        checked_groups++;
+      }
+    }
+    if (ref_id < 0) continue;  // mapped but no reference: never pushed
+
+    c.group_id.push_back(group);
+    c.flag.push_back(flag_);
+    c.ref_id.push_back(ref_id);
+    c.pos.push_back(pos_);
+    c.ref_span.push_back(span);
+    c.seq_len.push_back(l_seq);
+    c.score.push_back(score);
+    c.has_score.push_back(has_score ? 1 : 0);
+    if (want_barcodes) c.cb_id.push_back(cb);
+  }
+
+  auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
+  d->n_records = int64_t(c.flag.size());
+  d->n_groups = group + 1;
+  d->n_refs = n_ref;
+  d->num_unmapped = num_unmapped;
+  d->group_id = steal(c.group_id);
+  d->flag = steal(c.flag);
+  d->ref_id = steal(c.ref_id);
+  d->pos = steal(c.pos);
+  d->ref_span = steal(c.ref_span);
+  d->seq_len = steal(c.seq_len);
+  d->score = steal(c.score);
+  d->has_score = steal(c.has_score);
+  d->cb_id = want_barcodes ? steal(c.cb_id) : nullptr;
+  d->header_text = static_cast<char*>(malloc(header_text.size()));
+  memcpy(d->header_text, header_text.data(), header_text.size());
+  d->header_text_len = int64_t(header_text.size());
+  d->ref_names = static_cast<char*>(malloc(ref_names.size()));
+  memcpy(d->ref_names, ref_names.data(), ref_names.size());
+  d->ref_names_len = int64_t(ref_names.size());
+  d->ref_lengths = steal(ref_lengths);
+  if (keep_names) {
+    d->group_names = static_cast<char*>(malloc(group_names.size()));
+    memcpy(d->group_names, group_names.data(), group_names.size());
+    d->group_names_len = int64_t(group_names.size());
+  }
+  if (want_barcodes) {
+    for (auto& bc : barcode_order) {
+      barcodes_blob.append(bc);
+      barcodes_blob.push_back('\0');
+    }
+    d->barcodes = static_cast<char*>(malloc(barcodes_blob.size()));
+    memcpy(d->barcodes, barcodes_blob.data(), barcodes_blob.size());
+    d->barcodes_len = int64_t(barcodes_blob.size());
+    d->n_barcodes = int64_t(barcode_order.size());
+  }
+  d->dup_name = dup_name;
+  return d;
+}
+
+}  // extern "C"

@@ -104,3 +104,98 @@ def pack_bam(
         "the alignment file contained %d unmapped read records.", num_unmapped
     )
     return store, coverage, num_unmapped
+
+
+def pack_bam_fast(
+    path,
+    opts: FilterOpts,
+    bin_width: int,
+    threads: int = 4,
+    sort_check_num: int = 100_000,
+    keep_names: bool = False,
+):
+    """Fast whole-file pack: C++ columnar decode (when built) + vectorized
+    filtering + CSR assembly. Falls back to the Python reader for the
+    decode stage. Returns (header, store, coverage, num_unmapped).
+
+    This is the production ingest path; `pack_bam` (streaming per-group)
+    remains as the differential oracle.
+    """
+    from ..io.bam import BamReader
+    from . import native
+    from .filters import DiscardTable
+    from .vector_filter import columns_from_records, filter_records
+
+    dec = native.decode_bam(
+        path,
+        threads=threads,
+        keep_names=keep_names,
+        sort_check_num=sort_check_num,
+    )
+    if dec is not None:
+        header = dec.header
+        cols = dec.columns
+        num_unmapped = dec.num_unmapped
+        group_names = dec.group_names
+        if dec.dup_name is not None:
+            raise CollationError(
+                "the input BAM appears not to be name-collated: alignment "
+                f"records for read {dec.dup_name!r} were observed twice in a "
+                "non-contiguous block. Provide a BAM collated by record name."
+            )
+    else:
+        reader = BamReader(path, threads=threads)
+        header = reader.header
+        # reuse the collation check from the streaming path
+        seen = set()
+        names_acc = []
+
+        def checked(records):
+            prev = None
+            rg = 0
+            for rec in records:
+                if not rec.is_unmapped and rec.name != prev:
+                    if rg < sort_check_num:
+                        if rec.name in seen:
+                            raise CollationError(
+                                "the input BAM appears not to be "
+                                f"name-collated: read {rec.name!r} observed "
+                                "twice in a non-contiguous block."
+                            )
+                        seen.add(rec.name)
+                        rg += 1
+                    prev = rec.name
+                yield rec
+
+        cols, names_acc, num_unmapped = columns_from_records(
+            checked(reader.records())
+        )
+        group_names = names_acc if keep_names else None
+
+    txp_len = np.asarray(header.ref_lengths, dtype=np.int64)
+    packed = filter_records(opts, txp_len, cols)
+
+    coverage = TranscriptCoverage(
+        txp_len, bin_width if opts.model_coverage else 0
+    )
+    coverage.add_intervals(packed.txp_id, packed.start, packed.end)
+
+    read_names = None
+    if keep_names and group_names is not None:
+        read_names = [group_names[g] for g in packed.group_of_read]
+
+    store = AlignmentStore(
+        txp_id=packed.txp_id,
+        start=packed.start,
+        end=packed.end,
+        as_prob=packed.prob,
+        cov_prob=np.zeros(len(packed.txp_id), dtype=np.float64),
+        boundaries=packed.boundaries,
+        discard=packed.discard,
+        num_unique_alignments=packed.num_unique_alignments,
+        read_names=read_names,
+    )
+    log.info(
+        "the alignment file contained %d unmapped read records.", num_unmapped
+    )
+    return header, store, coverage, num_unmapped

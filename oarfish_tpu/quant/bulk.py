@@ -171,22 +171,22 @@ def perform_inference_and_write_output(
 
 def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarray:
     """Alignment-mode entry (`bulk.rs:212-259`)."""
-    reader = BamReader(args.alignments, threads=max(args.threads - 1, 1))
-    verify_header(reader.header, args.alignments)
-    txps_name = reader.header.ref_names
-    txps_len = np.asarray(reader.header.ref_lengths, dtype=np.int64)
-    log.info("parsed reference information for %d transcripts.", len(txps_name))
-    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+    from ..host.packer import pack_bam_fast
 
     t0 = time.time()
-    store, coverage, _num_unmapped = pack_bam(
-        reader,
-        txps_len,
+    header, store, coverage, _num_unmapped = pack_bam_fast(
+        args.alignments,
         opts,
         bin_width=args.bin_width,
+        threads=max(args.threads - 1, 1),
         sort_check_num=args.sort_check_num,
         keep_names=opts.write_assignment_probs,
     )
+    verify_header(header, args.alignments)
+    txps_name = header.ref_names
+    txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
+    log.info("parsed reference information for %d transcripts.", len(txps_name))
+    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
     aln_time_s = time.time() - t0
     log.info("Parsing of alignments from input took %.3fs", aln_time_s)
 

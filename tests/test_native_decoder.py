@@ -1,0 +1,106 @@
+"""Differential tests: C++ columnar decoder vs the Python BAM reader, and
+the fast pack path vs the streaming per-group oracle path."""
+
+import numpy as np
+import pytest
+
+from oarfish_tpu.config import FilterOpts, Strand
+from oarfish_tpu.host import native
+from oarfish_tpu.host.packer import CollationError, pack_bam, pack_bam_fast
+from oarfish_tpu.host.vector_filter import columns_from_records
+from oarfish_tpu.io import bam
+from oarfish_tpu.io.bam import BamReader
+from util_sim import simulate_bam
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native decoder not built"
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_bam(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native")
+    p = d / "sim.bam"
+    simulate_bam(p, num_reads=700, seed=21)
+    return p
+
+
+def test_decoder_matches_python_reader(fixture_bam):
+    dec = native.decode_bam(fixture_bam, keep_names=True)
+    reader = BamReader(fixture_bam)
+    cols, names, num_unmapped = columns_from_records(reader.records())
+
+    assert dec.header.ref_names == reader.header.ref_names
+    assert dec.header.ref_lengths == reader.header.ref_lengths
+    assert dec.header.programs() == reader.header.programs()
+    assert dec.num_unmapped == num_unmapped
+    assert dec.dup_name is None
+    np.testing.assert_array_equal(dec.columns.group_id, cols.group_id)
+    np.testing.assert_array_equal(dec.columns.flag, cols.flag)
+    np.testing.assert_array_equal(dec.columns.ref_id, cols.ref_id)
+    np.testing.assert_array_equal(dec.columns.pos, cols.pos)
+    np.testing.assert_array_equal(dec.columns.ref_span, cols.ref_span)
+    np.testing.assert_array_equal(dec.columns.seq_len, cols.seq_len)
+    np.testing.assert_array_equal(dec.columns.score, cols.score)
+    np.testing.assert_array_equal(dec.columns.has_score, cols.has_score)
+    assert dec.group_names == names
+
+
+def test_decoder_barcodes(tmp_path):
+    p = tmp_path / "bc.bam"
+    simulate_bam(p, num_reads=60, seed=7, barcodes=["AAAA", "CCCC"])
+    dec = native.decode_bam(p, want_barcodes=True)
+    assert dec.barcodes == ["AAAA", "CCCC"]
+    assert set(np.unique(dec.cb_id)) <= {0, 1}
+    # contiguous: barcode 0 records all before barcode 1
+    switch = np.nonzero(np.diff(dec.cb_id))[0]
+    assert len(switch) == 1
+
+
+def test_fast_pack_matches_oracle_pack(fixture_bam):
+    for opts in (FilterOpts(), FilterOpts(model_coverage=True),
+                 FilterOpts(which_strand=Strand.FORWARD, three_prime_clip=50)):
+        header, store_f, cov_f, unm_f = pack_bam_fast(
+            fixture_bam, opts, bin_width=100, keep_names=True
+        )
+        reader = BamReader(fixture_bam)
+        store_o, cov_o, unm_o = pack_bam(
+            reader,
+            np.asarray(header.ref_lengths),
+            opts,
+            bin_width=100,
+            keep_names=True,
+        )
+        assert unm_f == unm_o
+        np.testing.assert_array_equal(store_f.txp_id, store_o.txp_id)
+        np.testing.assert_array_equal(store_f.start, store_o.start)
+        np.testing.assert_array_equal(store_f.end, store_o.end)
+        np.testing.assert_array_equal(store_f.as_prob, store_o.as_prob)
+        np.testing.assert_array_equal(store_f.boundaries, store_o.boundaries)
+        assert store_f.discard.to_json_dict() == store_o.discard.to_json_dict()
+        assert store_f.num_unique_alignments == store_o.num_unique_alignments
+        assert store_f.read_names == store_o.read_names
+        np.testing.assert_allclose(cov_f.bins, cov_o.bins, rtol=1e-12)
+        np.testing.assert_allclose(cov_f.total_weight, cov_o.total_weight)
+
+
+def test_fast_pack_collation_error(tmp_path):
+    p = tmp_path / "bad.bam"
+    recs = [
+        dict(name="r1", flag=0, ref_id=0, pos=0, cigar="100M", seq="A" * 100,
+             score=100),
+        dict(name="r2", flag=0, ref_id=0, pos=0, cigar="100M", seq="A" * 100,
+             score=100),
+        dict(name="r1", flag=0, ref_id=0, pos=5, cigar="100M", seq="A" * 100,
+             score=90),
+    ]
+    bam.write_bam(p, ["t"], [500], recs)
+    with pytest.raises(CollationError, match="r1"):
+        pack_bam_fast(p, FilterOpts(), bin_width=0)
+
+
+def test_decoder_error_paths(tmp_path):
+    p = tmp_path / "junk.bam"
+    p.write_bytes(b"this is not a bam file")
+    with pytest.raises(ValueError):
+        native.decode_bam(p)
