@@ -262,8 +262,14 @@ def main(argv=None) -> int:
     if args.only_index:
         log.error("raw-read indexing is not yet available in this build")
         return 2
-    if args.genome_alignments is not None or args.genome is not None:
-        log.error("genome (projection) modes are not yet available in this build")
+    if args.genome_alignments is not None:
+        from .quant.genome import quantify_genome_alignments_from_bam
+
+        quantify_genome_alignments_from_bam(args, opts)
+        log.info("oarfish-tpu completed successfully.")
+        return 0
+    if args.genome is not None:
+        log.error("genome raw-read mode is not yet available in this build")
         return 2
     if args.reads is not None:
         log.error("raw-read mapping mode is not yet available in this build")

@@ -86,6 +86,7 @@ class BamRecord:
     seq_len: int
     score: Optional[int]  # AS tag
     barcode: Optional[bytes]  # CB tag
+    cigar: Optional[List[Tuple[int, int]]] = None  # (len, op) when retained
 
     @property
     def is_unmapped(self) -> bool:
@@ -181,7 +182,7 @@ def _parse_tags(buf: bytes, off: int, end: int):
     return score, barcode
 
 
-def decode_record(buf: bytes) -> BamRecord:
+def decode_record(buf: bytes, keep_cigar: bool = False) -> BamRecord:
     """Decode one BAM record body (after the leading block_size)."""
     (
         ref_id,
@@ -197,15 +198,20 @@ def decode_record(buf: bytes) -> BamRecord:
     name = buf[off : off + l_read_name - 1].decode()
     off += l_read_name
     ref_span = 0
+    cigar = [] if keep_cigar else None
     for i in range(n_cigar):
         (c,) = struct.unpack_from("<I", buf, off + 4 * i)
         if _REF_CONSUMING[c & 0xF]:
             ref_span += c >> 4
+        if keep_cigar:
+            cigar.append((c >> 4, c & 0xF))
     off += 4 * n_cigar
     off += (l_seq + 1) // 2  # packed sequence
     off += l_seq  # quality
     score, barcode = _parse_tags(buf, off, len(buf))
-    return BamRecord(name, flag, ref_id, pos, ref_span, l_seq, score, barcode)
+    return BamRecord(
+        name, flag, ref_id, pos, ref_span, l_seq, score, barcode, cigar
+    )
 
 
 class BamReader:
@@ -238,7 +244,7 @@ class BamReader:
             del self._buf[: self._off]
             self._off = 0
 
-    def records(self) -> Iterator[BamRecord]:
+    def records(self, keep_cigar: bool = False) -> Iterator[BamRecord]:
         while True:
             while len(self._buf) - self._off < 4:
                 try:
@@ -254,7 +260,9 @@ class BamReader:
                 except StopIteration:
                     raise BamFormatError("truncated BAM record") from None
             start = self._off + 4
-            rec = decode_record(bytes(self._buf[start : start + block_size]))
+            rec = decode_record(
+                bytes(self._buf[start : start + block_size]), keep_cigar
+            )
             self._off = start + block_size
             self._compact()
             yield rec
