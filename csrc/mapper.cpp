@@ -1,0 +1,534 @@
+// Long-read minimizer seed-chain mapper (raw-read mode backend).
+//
+// TPU-era replacement for the reference's external `rammap` crate
+// (reference: src/util/mapper.rs wraps rammap; presets selected per
+// sequencing tech at src/util/aligner.rs:34-41). From-scratch design:
+//
+//   index:  (k, w) minimizers over the target set -> postings sorted by
+//           minimizer hash (flat arrays, binary-searchable), frequent-seed
+//           cutoff like minimap2's -f.
+//   map:    read minimizers -> anchors (target, strand, tpos, qpos) ->
+//           per-(target,strand) colinear chaining DP (bounded lookback)
+//           -> top `best_n` chains with target span + chaining score.
+//
+// Scores approximate an alignment score (2 * chained bases, capped by
+// query coverage) so the engine's `exp((score-best)/D)` weighting behaves
+// like the alignment-mode path. No base-level extension DP (yet).
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC mapper.cpp
+//        -o liboarfish_mapper.so -pthread
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t HASH_MUL = 0x9E3779B97F4A7C15ULL;
+
+inline uint64_t hash64(uint64_t x, uint64_t mask) {
+  x = (~x + (x << 21)) & mask;
+  x = x ^ (x >> 24);
+  x = (x + (x << 3) + (x << 8)) & mask;
+  x = x ^ (x >> 14);
+  x = (x + (x << 2) + (x << 4)) & mask;
+  x = x ^ (x >> 28);
+  x = (x + (x << 31)) & mask;
+  return x;
+}
+
+// 2-bit encode; 4 = ambiguous
+inline int nt4(uint8_t c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': case 'U': case 'u': return 3;
+    default: return 4;
+  }
+}
+
+struct Minimizer {
+  uint64_t key;   // hashed canonical k-mer
+  uint32_t rid;   // target id (or read-local unused)
+  uint32_t pos;   // start position of k-mer
+  uint8_t strand; // 0 = forward canonical, 1 = reverse canonical
+};
+
+// extract (k,w) minimizers of seq into out
+void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
+                        uint32_t rid, std::vector<Minimizer>& out) {
+  if (len < size_t(k)) return;
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  uint64_t fwd = 0, rev = 0;
+  int l = 0;
+  // ring buffer of window candidates
+  struct Cand { uint64_t key; uint32_t pos; uint8_t strand; };
+  std::vector<Cand> win;
+  win.reserve(len);
+  size_t last_emitted = SIZE_MAX;
+  for (size_t i = 0; i < len; i++) {
+    int c = nt4(seq[i]);
+    if (c >= 4) { l = 0; fwd = rev = 0; continue; }
+    fwd = ((fwd << 2) | uint64_t(c)) & mask;
+    rev = (rev >> 2) | (uint64_t(3 - c) << (2 * (k - 1)));
+    if (++l < k) continue;
+    uint64_t key; uint8_t strand;
+    if (fwd < rev) { key = fwd; strand = 0; }
+    else if (rev < fwd) { key = rev; strand = 1; }
+    else continue;  // palindromic k-mer: skip (strand ambiguous)
+    win.push_back({hash64(key, mask), uint32_t(i + 1 - k), strand});
+  }
+  // sliding-window minima over win with window w
+  if (win.empty()) return;
+  std::vector<size_t> deque;
+  deque.reserve(64);
+  size_t head = 0;
+  for (size_t i = 0; i < win.size(); i++) {
+    // the logical deque is deque[head..end): never pop below head
+    while (deque.size() > head && win[deque.back()].key >= win[i].key)
+      deque.pop_back();
+    deque.push_back(i);
+    if (i + 1 >= size_t(w)) {
+      // window is [i+1-w, i]
+      while (deque[head] + size_t(w) <= i) head++;
+      size_t m = deque[head];
+      if (m != last_emitted) {
+        out.push_back({win[m].key, rid, win[m].pos, win[m].strand});
+        last_emitted = m;
+      }
+    }
+  }
+  if (win.size() < size_t(w)) {
+    // short sequence: emit the global minimum
+    size_t m = 0;
+    for (size_t i = 1; i < win.size(); i++)
+      if (win[i].key < win[m].key) m = i;
+    out.push_back({win[m].key, rid, win[m].pos, win[m].strand});
+  }
+}
+
+struct Index {
+  int k, w;
+  uint32_t n_targets;
+  std::vector<std::string> names;
+  std::vector<uint32_t> lengths;
+  std::vector<uint8_t> seqs;        // concatenated 1-byte bases (ACGTN)
+  std::vector<uint64_t> seq_off;    // n_targets + 1
+  // postings sorted by key
+  std::vector<uint64_t> keys;       // unique keys
+  std::vector<uint64_t> key_off;    // n_keys + 1 into postings
+  std::vector<uint64_t> postings;   // packed: rid(31) | pos(32) | strand(1)
+  uint32_t max_occ;                 // frequent-seed cutoff
+};
+
+inline uint64_t pack_post(uint32_t rid, uint32_t pos, uint8_t strand) {
+  return (uint64_t(rid) << 33) | (uint64_t(pos) << 1) | strand;
+}
+
+struct Hit {
+  uint32_t target;
+  uint32_t tstart, tend;   // 0-based [tstart, tend)
+  uint32_t qstart, qend;
+  int32_t score;
+  uint8_t is_rc;
+  int32_t n_anchors;
+};
+
+struct Anchor {
+  uint32_t target;
+  uint8_t strand;
+  uint32_t tpos, qpos;
+};
+
+void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
+             std::vector<Hit>& hits, std::vector<Minimizer>& mbuf,
+             std::vector<Anchor>& abuf) {
+  hits.clear();
+  mbuf.clear();
+  abuf.clear();
+  extract_minimizers(seq, len, idx.k, idx.w, 0, mbuf);
+  if (mbuf.empty()) return;
+  // collect anchors
+  for (const auto& m : mbuf) {
+    // binary search key
+    auto it = std::lower_bound(idx.keys.begin(), idx.keys.end(), m.key);
+    if (it == idx.keys.end() || *it != m.key) continue;
+    size_t ki = size_t(it - idx.keys.begin());
+    uint64_t lo = idx.key_off[ki], hi = idx.key_off[ki + 1];
+    if (hi - lo > idx.max_occ) continue;  // repetitive seed
+    for (uint64_t p = lo; p < hi; p++) {
+      uint64_t v = idx.postings[p];
+      uint32_t rid = uint32_t(v >> 33);
+      uint32_t tpos = uint32_t((v >> 1) & 0xFFFFFFFFULL);
+      uint8_t tstrand = uint8_t(v & 1);
+      uint8_t rel = tstrand ^ m.strand;  // 0 = same orientation
+      uint32_t q = rel ? uint32_t(len - (m.pos + idx.k)) : m.pos;
+      abuf.push_back({rid, rel, tpos, q});
+    }
+  }
+  if (abuf.empty()) return;
+  std::sort(abuf.begin(), abuf.end(), [](const Anchor& a, const Anchor& b) {
+    if (a.target != b.target) return a.target < b.target;
+    if (a.strand != b.strand) return a.strand < b.strand;
+    if (a.tpos != b.tpos) return a.tpos < b.tpos;
+    return a.qpos < b.qpos;
+  });
+
+  // chain per (target, strand) run
+  const int LOOKBACK = 48;
+  const int32_t MAX_GAP = 5000;
+  size_t n = abuf.size();
+  std::vector<int32_t> dp(n), pre(n);
+  size_t run_start = 0;
+  const int k = idx.k;
+  for (size_t s = 0; s <= n; s++) {
+    bool flush = (s == n) || (s > run_start &&
+                 (abuf[s].target != abuf[run_start].target ||
+                  abuf[s].strand != abuf[run_start].strand));
+    if (!flush) continue;
+    // chain DP over [run_start, s)
+    int32_t best_sc = 0;
+    size_t best_i = run_start;
+    for (size_t i = run_start; i < s; i++) {
+      dp[i] = k;
+      pre[i] = -1;
+      size_t lb = (i >= run_start + LOOKBACK) ? i - LOOKBACK : run_start;
+      for (size_t j = lb; j < i; j++) {
+        int64_t dt = int64_t(abuf[i].tpos) - int64_t(abuf[j].tpos);
+        int64_t dq = int64_t(abuf[i].qpos) - int64_t(abuf[j].qpos);
+        if (dt <= 0 || dq <= 0 || dt > MAX_GAP || dq > MAX_GAP) continue;
+        int64_t gap = dt > dq ? dt - dq : dq - dt;
+        int32_t match = int32_t(std::min<int64_t>(std::min(dt, dq), k));
+        int32_t sc = dp[j] + match - int32_t(gap > 0 ? (gap / 50 + 1) : 0);
+        if (sc > dp[i]) { dp[i] = sc; pre[i] = int32_t(j); }
+      }
+      if (dp[i] > best_sc) { best_sc = dp[i]; best_i = i; }
+    }
+    if (best_sc >= k) {
+      // trace back for extent
+      size_t i = best_i;
+      uint32_t tend = abuf[best_i].tpos + k, qend = abuf[best_i].qpos + k;
+      uint32_t tstart = abuf[i].tpos, qstart = abuf[i].qpos;
+      int32_t cnt = 0;
+      while (true) {
+        tstart = abuf[i].tpos;
+        qstart = abuf[i].qpos;
+        cnt++;
+        if (pre[i] < 0) break;
+        i = size_t(pre[i]);
+      }
+      Hit h;
+      h.target = abuf[run_start].target;
+      h.tstart = tstart;
+      h.tend = tend;
+      h.qstart = qstart;
+      h.qend = qend;
+      // AS-like score: ~2 points per chained base, bounded by the spans
+      int64_t covered = std::min<int64_t>(
+          int64_t(h.tend) - h.tstart, int64_t(h.qend) - h.qstart);
+      int64_t chained = std::min<int64_t>(best_sc, covered);
+      h.score = int32_t(2 * chained);
+      h.is_rc = abuf[run_start].strand;
+      h.n_anchors = cnt;
+      hits.push_back(h);
+    }
+    run_start = s;
+  }
+  // keep top best_n by score
+  std::sort(hits.begin(), hits.end(),
+            [](const Hit& a, const Hit& b) { return a.score > b.score; });
+  if (int(hits.size()) > best_n) hits.resize(best_n);
+}
+
+}  // namespace
+
+extern "C" {
+
+struct OarfishIndex;  // opaque
+
+struct OarfishMapResult {
+  int64_t n_hits;            // total hits across reads
+  int64_t* read_off;         // n_reads + 1
+  int32_t* target;           // per hit
+  int64_t* tstart;           // 0-based
+  int64_t* tend;             // exclusive
+  int64_t* qstart;
+  int64_t* qend;
+  int32_t* score;
+  uint8_t* is_rc;
+};
+
+struct IndexHandle {
+  Index idx;
+};
+
+// Build an index over concatenated target sequences.
+// seqs: all bases concatenated; offsets: n_targets+1; names: \0-separated.
+void* oarfish_index_build(const char* seqs, const int64_t* offsets,
+                          int64_t n_targets, const char* names, int k, int w,
+                          int threads, double freq_cutoff_frac) {
+  auto* h = new IndexHandle();
+  Index& idx = h->idx;
+  idx.k = k;
+  idx.w = w;
+  idx.n_targets = uint32_t(n_targets);
+  idx.seq_off.assign(offsets, offsets + n_targets + 1);
+  idx.seqs.assign(reinterpret_cast<const uint8_t*>(seqs),
+                  reinterpret_cast<const uint8_t*>(seqs) + offsets[n_targets]);
+  const char* np = names;
+  for (int64_t i = 0; i < n_targets; i++) {
+    idx.names.emplace_back(np);
+    np += idx.names.back().size() + 1;
+    idx.lengths.push_back(uint32_t(offsets[i + 1] - offsets[i]));
+  }
+  // extract minimizers (parallel over targets)
+  int nt = threads > 0 ? threads : 1;
+  std::vector<std::vector<Minimizer>> parts(nt);
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      int64_t i;
+      while ((i = next.fetch_add(1)) < n_targets) {
+        extract_minimizers(idx.seqs.data() + idx.seq_off[i],
+                           size_t(idx.seq_off[i + 1] - idx.seq_off[i]), k, w,
+                           uint32_t(i), parts[t]);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  size_t total = 0;
+  for (auto& pvec : parts) total += pvec.size();
+  std::vector<Minimizer> all;
+  all.reserve(total);
+  for (auto& pvec : parts) {
+    all.insert(all.end(), pvec.begin(), pvec.end());
+    pvec.clear();
+  }
+  std::sort(all.begin(), all.end(), [](const Minimizer& a, const Minimizer& b) {
+    return a.key < b.key;
+  });
+  // unique keys + postings
+  for (size_t i = 0; i < all.size();) {
+    size_t j = i;
+    while (j < all.size() && all[j].key == all[i].key) j++;
+    idx.keys.push_back(all[i].key);
+    idx.key_off.push_back(idx.postings.size());
+    for (size_t m = i; m < j; m++)
+      idx.postings.push_back(
+          pack_post(all[m].rid, all[m].pos, all[m].strand));
+    i = j;
+  }
+  idx.key_off.push_back(idx.postings.size());
+  // frequency cutoff: drop the top freq_cutoff_frac most frequent keys
+  std::vector<uint64_t> occ(idx.keys.size());
+  for (size_t i = 0; i < idx.keys.size(); i++)
+    occ[i] = idx.key_off[i + 1] - idx.key_off[i];
+  std::vector<uint64_t> sorted_occ = occ;
+  std::sort(sorted_occ.begin(), sorted_occ.end());
+  size_t cut_idx = size_t(double(sorted_occ.size()) * (1.0 - freq_cutoff_frac));
+  idx.max_occ = sorted_occ.empty()
+                    ? UINT32_MAX
+                    : uint32_t(std::max<uint64_t>(
+                          sorted_occ[std::min(cut_idx, sorted_occ.size() - 1)],
+                          10));
+  return h;
+}
+
+void oarfish_index_free(void* h) { delete static_cast<IndexHandle*>(h); }
+
+int64_t oarfish_index_num_targets(void* h) {
+  return static_cast<IndexHandle*>(h)->idx.n_targets;
+}
+
+// Map a batch of reads (concatenated bases + offsets). Caller frees with
+// oarfish_map_result_free.
+OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
+                                    const int64_t* offsets, int64_t n_reads,
+                                    int best_n, int threads) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  int nt = threads > 0 ? threads : 1;
+  std::vector<std::vector<Hit>> per_read(n_reads);
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&] {
+      std::vector<Hit> hits;
+      std::vector<Minimizer> mbuf;
+      std::vector<Anchor> abuf;
+      int64_t i;
+      while ((i = next.fetch_add(1)) < n_reads) {
+        map_one(idx, reinterpret_cast<const uint8_t*>(seqs) + offsets[i],
+                size_t(offsets[i + 1] - offsets[i]), best_n, hits, mbuf,
+                abuf);
+        per_read[i] = hits;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+
+  auto* res = static_cast<OarfishMapResult*>(calloc(1, sizeof(OarfishMapResult)));
+  int64_t total = 0;
+  res->read_off = static_cast<int64_t*>(malloc((n_reads + 1) * sizeof(int64_t)));
+  for (int64_t i = 0; i < n_reads; i++) {
+    res->read_off[i] = total;
+    total += int64_t(per_read[i].size());
+  }
+  res->read_off[n_reads] = total;
+  res->n_hits = total;
+  res->target = static_cast<int32_t*>(malloc(total * 4));
+  res->tstart = static_cast<int64_t*>(malloc(total * 8));
+  res->tend = static_cast<int64_t*>(malloc(total * 8));
+  res->qstart = static_cast<int64_t*>(malloc(total * 8));
+  res->qend = static_cast<int64_t*>(malloc(total * 8));
+  res->score = static_cast<int32_t*>(malloc(total * 4));
+  res->is_rc = static_cast<uint8_t*>(malloc(total));
+  int64_t o = 0;
+  for (int64_t i = 0; i < n_reads; i++) {
+    for (auto& h : per_read[i]) {
+      res->target[o] = int32_t(h.target);
+      res->tstart[o] = h.tstart;
+      res->tend[o] = h.tend;
+      res->qstart[o] = h.qstart;
+      res->qend[o] = h.qend;
+      res->score[o] = h.score;
+      res->is_rc[o] = h.is_rc;
+      o++;
+    }
+  }
+  return res;
+}
+
+void oarfish_map_result_free(OarfishMapResult* r) {
+  if (!r) return;
+  free(r->read_off);
+  free(r->target);
+  free(r->tstart);
+  free(r->tend);
+  free(r->qstart);
+  free(r->qend);
+  free(r->score);
+  free(r->is_rc);
+  free(r);
+}
+
+// ---- index persistence (own binary format, "OTMI"); the OARFISHSIG
+// digest footer is appended by the Python layer (digest_utils parity).
+int oarfish_index_save(void* hptr, const char* path) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  auto W = [&](const void* p, size_t nbytes) { fwrite(p, 1, nbytes, f); };
+  const char magic[8] = {'O', 'T', 'M', 'I', '\x01', 0, 0, 0};
+  W(magic, 8);
+  int32_t kw[2] = {idx.k, idx.w};
+  W(kw, 8);
+  uint64_t nt = idx.n_targets;
+  W(&nt, 8);
+  for (auto& s : idx.names) {
+    uint32_t l = uint32_t(s.size());
+    W(&l, 4);
+    W(s.data(), l);
+  }
+  W(idx.lengths.data(), idx.lengths.size() * 4);
+  uint64_t so = idx.seq_off.size();
+  W(&so, 8);
+  W(idx.seq_off.data(), so * 8);
+  uint64_t sl = idx.seqs.size();
+  W(&sl, 8);
+  W(idx.seqs.data(), sl);
+  uint64_t nk = idx.keys.size();
+  W(&nk, 8);
+  W(idx.keys.data(), nk * 8);
+  W(idx.key_off.data(), (nk + 1) * 8);
+  uint64_t np = idx.postings.size();
+  W(&np, 8);
+  W(idx.postings.data(), np * 8);
+  W(&idx.max_occ, 4);
+  fclose(f);
+  return 0;
+}
+
+void* oarfish_index_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* h = new IndexHandle();
+  Index& idx = h->idx;
+  auto R = [&](void* p, size_t nbytes) -> bool {
+    return fread(p, 1, nbytes, f) == nbytes;
+  };
+  char magic[8];
+  if (!R(magic, 8) || memcmp(magic, "OTMI\x01", 5) != 0) {
+    fclose(f);
+    delete h;
+    return nullptr;
+  }
+  int32_t kw[2];
+  R(kw, 8);
+  idx.k = kw[0];
+  idx.w = kw[1];
+  uint64_t nt;
+  R(&nt, 8);
+  idx.n_targets = uint32_t(nt);
+  for (uint64_t i = 0; i < nt; i++) {
+    uint32_t l;
+    R(&l, 4);
+    std::string s(l, 0);
+    R(s.data(), l);
+    idx.names.push_back(std::move(s));
+  }
+  idx.lengths.resize(nt);
+  R(idx.lengths.data(), nt * 4);
+  uint64_t so;
+  R(&so, 8);
+  idx.seq_off.resize(so);
+  R(idx.seq_off.data(), so * 8);
+  uint64_t sl;
+  R(&sl, 8);
+  idx.seqs.resize(sl);
+  R(idx.seqs.data(), sl);
+  uint64_t nk;
+  R(&nk, 8);
+  idx.keys.resize(nk);
+  R(idx.keys.data(), nk * 8);
+  idx.key_off.resize(nk + 1);
+  R(idx.key_off.data(), (nk + 1) * 8);
+  uint64_t np;
+  R(&np, 8);
+  idx.postings.resize(np);
+  R(idx.postings.data(), np * 8);
+  R(&idx.max_occ, 4);
+  fclose(f);
+  return h;
+}
+
+// target metadata accessors for the Python layer
+int64_t oarfish_index_names_len(void* hptr) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  int64_t total = 0;
+  for (auto& s : idx.names) total += int64_t(s.size()) + 1;
+  return total;
+}
+
+void oarfish_index_get_meta(void* hptr, char* names_out, int64_t* lengths_out,
+                            int32_t* kw_out) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  char* np = names_out;
+  for (size_t i = 0; i < idx.names.size(); i++) {
+    memcpy(np, idx.names[i].data(), idx.names[i].size());
+    np += idx.names[i].size();
+    *np++ = '\0';
+    lengths_out[i] = idx.lengths[i];
+  }
+  kw_out[0] = idx.k;
+  kw_out[1] = idx.w;
+}
+
+}  // extern "C"

@@ -260,8 +260,9 @@ def main(argv=None) -> int:
         parser.error(str(e))
 
     if args.only_index:
-        log.error("raw-read indexing is not yet available in this build")
-        return 2
+        from .quant.raw_reads import only_index
+
+        return only_index(args)
     if args.genome_alignments is not None:
         from .quant.genome import quantify_genome_alignments_from_bam
 
@@ -272,8 +273,11 @@ def main(argv=None) -> int:
         log.error("genome raw-read mode is not yet available in this build")
         return 2
     if args.reads is not None:
-        log.error("raw-read mapping mode is not yet available in this build")
-        return 2
+        from .quant.raw_reads import quantify_bulk_alignments_raw_reads
+
+        quantify_bulk_alignments_raw_reads(args, opts)
+        log.info("oarfish-tpu completed successfully.")
+        return 0
 
     if args.single_cell:
         from .quant.single_cell import quantify_single_cell_from_collated_bam

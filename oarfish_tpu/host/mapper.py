@@ -1,0 +1,235 @@
+"""ctypes bindings for the C++ minimizer mapper (csrc/mapper.cpp) plus
+index persistence with the OARFISHSIG digest footer.
+
+TPU-era equivalent of the reference's rammap wrapper
+(`src/util/mapper.rs`) and aligner/index construction
+(`src/util/aligner.rs`): presets per sequencing tech
+(`aligner.rs:34-41`), FASTA build, `--index-out` persist with the digest
+footer (`aligner.rs:133-216`), prebuilt-index load (`aligner.rs:78-131`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import SequencingTech
+from ..utils.digest import append_digest_footer, read_digest_footer
+
+log = logging.getLogger("oarfish_tpu")
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+_LIB_PATH = _CSRC / "liboarfish_mapper.so"
+_lib = None
+_lib_tried = False
+
+
+class _MapResult(ctypes.Structure):
+    _fields_ = [
+        ("n_hits", ctypes.c_int64),
+        ("read_off", ctypes.POINTER(ctypes.c_int64)),
+        ("target", ctypes.POINTER(ctypes.c_int32)),
+        ("tstart", ctypes.POINTER(ctypes.c_int64)),
+        ("tend", ctypes.POINTER(ctypes.c_int64)),
+        ("qstart", ctypes.POINTER(ctypes.c_int64)),
+        ("qend", ctypes.POINTER(ctypes.c_int64)),
+        ("score", ctypes.POINTER(ctypes.c_int32)),
+        ("is_rc", ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
+
+def get_lib():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    src = _CSRC / "mapper.cpp"
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                 "-fPIC", str(src), "-o", str(_LIB_PATH), "-pthread"],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception as e:  # noqa: BLE001
+            log.warning("could not build native mapper: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError as e:
+        log.warning("could not load native mapper: %s", e)
+        return None
+    lib.oarfish_index_build.restype = ctypes.c_void_p
+    lib.oarfish_index_build.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double,
+    ]
+    lib.oarfish_index_free.argtypes = [ctypes.c_void_p]
+    lib.oarfish_index_num_targets.restype = ctypes.c_int64
+    lib.oarfish_index_num_targets.argtypes = [ctypes.c_void_p]
+    lib.oarfish_map_batch.restype = ctypes.POINTER(_MapResult)
+    lib.oarfish_map_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.oarfish_map_result_free.argtypes = [ctypes.POINTER(_MapResult)]
+    lib.oarfish_index_save.restype = ctypes.c_int
+    lib.oarfish_index_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.oarfish_index_load.restype = ctypes.c_void_p
+    lib.oarfish_index_load.argtypes = [ctypes.c_char_p]
+    lib.oarfish_index_names_len.restype = ctypes.c_int64
+    lib.oarfish_index_names_len.argtypes = [ctypes.c_void_p]
+    lib.oarfish_index_get_meta.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def preset_for_tech(tech: Optional[SequencingTech]) -> Tuple[int, int]:
+    """(k, w) minimizer preset per sequencing tech (the analogue of
+    rammap's map-ont / map-pb / map-hifi presets, `aligner.rs:34-41`)."""
+    if tech in (SequencingTech.ONT_CDNA, SequencingTech.ONT_DRNA, None):
+        return 15, 10
+    if tech == SequencingTech.PACBIO:
+        return 19, 10
+    return 19, 19  # PacBioHifi
+
+
+class MapHits:
+    """Columnar mapping results for a read batch."""
+
+    def __init__(self, read_off, target, tstart, tend, qstart, qend, score,
+                 is_rc):
+        self.read_off = read_off
+        self.target = target
+        self.tstart = tstart
+        self.tend = tend
+        self.qstart = qstart
+        self.qend = qend
+        self.score = score
+        self.is_rc = is_rc
+
+
+class Mapper:
+    def __init__(self, handle, names: List[str], lengths: List[int],
+                 k: int, w: int):
+        self._h = handle
+        self.names = names
+        self.lengths = lengths
+        self.k = k
+        self.w = w
+
+    @classmethod
+    def from_sequences(
+        cls,
+        names: Sequence[str],
+        seqs: Sequence[bytes],
+        tech: Optional[SequencingTech] = None,
+        threads: int = 4,
+        freq_cutoff_frac: float = 2e-4,
+    ) -> "Mapper":
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native mapper unavailable")
+        k, w = preset_for_tech(tech)
+        blob = b"".join(seqs)
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        names_blob = b"".join(n.encode() + b"\x00" for n in names)
+        h = lib.oarfish_index_build(
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs),
+            names_blob,
+            k,
+            w,
+            threads,
+            freq_cutoff_frac,
+        )
+        return cls(h, list(names), [len(s) for s in seqs], k, w)
+
+    @classmethod
+    def load(cls, path) -> "Mapper":
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native mapper unavailable")
+        h = lib.oarfish_index_load(str(path).encode())
+        if not h:
+            raise ValueError(f"could not load index {path}")
+        n = lib.oarfish_index_num_targets(h)
+        nlen = lib.oarfish_index_names_len(h)
+        names_buf = ctypes.create_string_buffer(int(nlen))
+        lengths = np.zeros(n, dtype=np.int64)
+        kw = (ctypes.c_int32 * 2)()
+        lib.oarfish_index_get_meta(
+            h, names_buf,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), kw,
+        )
+        names = names_buf.raw.decode(errors="replace").split("\x00")[: int(n)]
+        return cls(h, names, [int(x) for x in lengths], int(kw[0]), int(kw[1]))
+
+    def save(self, path, digest_map: Optional[dict] = None) -> None:
+        lib = get_lib()
+        rc = lib.oarfish_index_save(self._h, str(path).encode())
+        if rc != 0:
+            raise IOError(f"could not write index to {path}")
+        if digest_map is not None:
+            append_digest_footer(str(path), digest_map)
+
+    def map_batch(self, seqs: Sequence[bytes], best_n: int = 100,
+                  threads: int = 4) -> MapHits:
+        lib = get_lib()
+        blob = b"".join(seqs)
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in seqs], out=offsets[1:])
+        rptr = lib.oarfish_map_batch(
+            self._h,
+            blob,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs),
+            int(best_n),
+            int(threads),
+        )
+        r = rptr.contents
+        n = int(r.n_hits)
+
+        def arr(p, count, dt):
+            if count == 0:
+                return np.empty(0, dtype=dt)
+            return np.ctypeslib.as_array(p, shape=(count,)).copy()
+
+        out = MapHits(
+            read_off=arr(r.read_off, len(seqs) + 1, np.int64),
+            target=arr(r.target, n, np.int32),
+            tstart=arr(r.tstart, n, np.int64),
+            tend=arr(r.tend, n, np.int64),
+            qstart=arr(r.qstart, n, np.int64),
+            qend=arr(r.qend, n, np.int64),
+            score=arr(r.score, n, np.int32),
+            is_rc=arr(r.is_rc, n, np.uint8).astype(bool),
+        )
+        lib.oarfish_map_result_free(rptr)
+        return out
+
+    def __del__(self):
+        lib = _lib
+        if lib is not None and getattr(self, "_h", None):
+            lib.oarfish_index_free(self._h)
+            self._h = None
+
+
+def index_digest_footer(path) -> dict:
+    """Read back the OARFISHSIG footer of a saved index."""
+    return read_digest_footer(str(path))
