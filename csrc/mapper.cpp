@@ -139,6 +139,9 @@ struct Hit {
   int32_t score;
   uint8_t is_rc;
   int32_t n_anchors;
+  // spliced mode: contiguous aligned blocks on the target, [s, e) 0-based.
+  // Gaps between consecutive blocks are candidate introns.
+  std::vector<std::pair<uint32_t, uint32_t>> blocks;
 };
 
 struct Anchor {
@@ -149,7 +152,7 @@ struct Anchor {
 
 void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
              std::vector<Hit>& hits, std::vector<Minimizer>& mbuf,
-             std::vector<Anchor>& abuf) {
+             std::vector<Anchor>& abuf, bool spliced = false) {
   hits.clear();
   mbuf.clear();
   abuf.clear();
@@ -183,7 +186,11 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
 
   // chain per (target, strand) run
   const int LOOKBACK = 48;
-  const int32_t MAX_GAP = 5000;
+  // spliced (genome) chaining tolerates intron-sized target gaps with a
+  // logarithmic cost; transcript-space chaining stays tight
+  const int32_t MAX_GAP = spliced ? 200000 : 5000;
+  const int32_t MAX_QGAP = 5000;
+  const int32_t MIN_INTRON = 30;
   size_t n = abuf.size();
   std::vector<int32_t> dp(n), pre(n);
   size_t run_start = 0;
@@ -203,33 +210,59 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
       for (size_t j = lb; j < i; j++) {
         int64_t dt = int64_t(abuf[i].tpos) - int64_t(abuf[j].tpos);
         int64_t dq = int64_t(abuf[i].qpos) - int64_t(abuf[j].qpos);
-        if (dt <= 0 || dq <= 0 || dt > MAX_GAP || dq > MAX_GAP) continue;
+        if (dt <= 0 || dq <= 0 || dt > MAX_GAP || dq > MAX_QGAP) continue;
         int64_t gap = dt > dq ? dt - dq : dq - dt;
         int32_t match = int32_t(std::min<int64_t>(std::min(dt, dq), k));
-        int32_t sc = dp[j] + match - int32_t(gap > 0 ? (gap / 50 + 1) : 0);
+        int32_t cost;
+        if (spliced && gap > MIN_INTRON && dt > dq) {
+          // candidate intron: cheap logarithmic cost instead of linear
+          int32_t lg = 0;
+          for (int64_t g = gap; g > 0; g >>= 1) lg++;
+          cost = lg;
+        } else {
+          cost = int32_t(gap > 0 ? (gap / 50 + 1) : 0);
+        }
+        int32_t sc = dp[j] + match - cost;
         if (sc > dp[i]) { dp[i] = sc; pre[i] = int32_t(j); }
       }
       if (dp[i] > best_sc) { best_sc = dp[i]; best_i = i; }
     }
     if (best_sc >= k) {
-      // trace back for extent
-      size_t i = best_i;
-      uint32_t tend = abuf[best_i].tpos + k, qend = abuf[best_i].qpos + k;
-      uint32_t tstart = abuf[i].tpos, qstart = abuf[i].qpos;
-      int32_t cnt = 0;
-      while (true) {
-        tstart = abuf[i].tpos;
-        qstart = abuf[i].qpos;
-        cnt++;
+      // trace back: collect the chain's anchors (reverse order)
+      std::vector<size_t> chain;
+      for (size_t i = best_i;; i = size_t(pre[i])) {
+        chain.push_back(i);
         if (pre[i] < 0) break;
-        i = size_t(pre[i]);
       }
+      std::reverse(chain.begin(), chain.end());
+      int32_t cnt = int32_t(chain.size());
+      uint32_t tstart = abuf[chain.front()].tpos;
+      uint32_t qstart = abuf[chain.front()].qpos;
+      uint32_t tend = abuf[chain.back()].tpos + k;
+      uint32_t qend = abuf[chain.back()].qpos + k;
       Hit h;
       h.target = abuf[run_start].target;
       h.tstart = tstart;
       h.tend = tend;
       h.qstart = qstart;
       h.qend = qend;
+      if (spliced) {
+        // split into contiguous target blocks at intron-sized gaps
+        uint32_t bs = abuf[chain[0]].tpos;
+        uint32_t be = abuf[chain[0]].tpos + k;
+        for (size_t ci = 1; ci < chain.size(); ci++) {
+          int64_t dt = int64_t(abuf[chain[ci]].tpos) -
+                       int64_t(abuf[chain[ci - 1]].tpos);
+          int64_t dq = int64_t(abuf[chain[ci]].qpos) -
+                       int64_t(abuf[chain[ci - 1]].qpos);
+          if (dt - dq > MIN_INTRON) {
+            h.blocks.emplace_back(bs, be);
+            bs = abuf[chain[ci]].tpos;
+          }
+          be = abuf[chain[ci]].tpos + k;
+        }
+        h.blocks.emplace_back(bs, be);
+      }
       // AS-like score: ~2 points per chained base, bounded by the spans
       int64_t covered = std::min<int64_t>(
           int64_t(h.tend) - h.tstart, int64_t(h.qend) - h.qstart);
@@ -263,6 +296,11 @@ struct OarfishMapResult {
   int64_t* qend;
   int32_t* score;
   uint8_t* is_rc;
+  // spliced mode: aligned target blocks per hit ([s, e) 0-based)
+  int64_t n_blocks;
+  int64_t* block_off;        // n_hits + 1 (null when not spliced)
+  int64_t* block_s;
+  int64_t* block_e;
 };
 
 struct IndexHandle {
@@ -352,7 +390,7 @@ int64_t oarfish_index_num_targets(void* h) {
 // oarfish_map_result_free.
 OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
                                     const int64_t* offsets, int64_t n_reads,
-                                    int best_n, int threads) {
+                                    int best_n, int threads, int spliced) {
   auto& idx = static_cast<IndexHandle*>(hptr)->idx;
   int nt = threads > 0 ? threads : 1;
   std::vector<std::vector<Hit>> per_read(n_reads);
@@ -367,7 +405,7 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
       while ((i = next.fetch_add(1)) < n_reads) {
         map_one(idx, reinterpret_cast<const uint8_t*>(seqs) + offsets[i],
                 size_t(offsets[i + 1] - offsets[i]), best_n, hits, mbuf,
-                abuf);
+                abuf, spliced != 0);
         per_read[i] = hits;
       }
     });
@@ -390,7 +428,17 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
   res->qend = static_cast<int64_t*>(malloc(total * 8));
   res->score = static_cast<int32_t*>(malloc(total * 4));
   res->is_rc = static_cast<uint8_t*>(malloc(total));
-  int64_t o = 0;
+  int64_t total_blocks = 0;
+  if (spliced) {
+    for (int64_t i = 0; i < n_reads; i++)
+      for (auto& h : per_read[i]) total_blocks += int64_t(h.blocks.size());
+    res->n_blocks = total_blocks;
+    res->block_off =
+        static_cast<int64_t*>(malloc((total + 1) * sizeof(int64_t)));
+    res->block_s = static_cast<int64_t*>(malloc(total_blocks * 8));
+    res->block_e = static_cast<int64_t*>(malloc(total_blocks * 8));
+  }
+  int64_t o = 0, bo = 0;
   for (int64_t i = 0; i < n_reads; i++) {
     for (auto& h : per_read[i]) {
       res->target[o] = int32_t(h.target);
@@ -400,9 +448,18 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
       res->qend[o] = h.qend;
       res->score[o] = h.score;
       res->is_rc[o] = h.is_rc;
+      if (spliced) {
+        res->block_off[o] = bo;
+        for (auto& b : h.blocks) {
+          res->block_s[bo] = b.first;
+          res->block_e[bo] = b.second;
+          bo++;
+        }
+      }
       o++;
     }
   }
+  if (spliced) res->block_off[total] = bo;
   return res;
 }
 
@@ -416,6 +473,9 @@ void oarfish_map_result_free(OarfishMapResult* r) {
   free(r->qend);
   free(r->score);
   free(r->is_rc);
+  free(r->block_off);
+  free(r->block_s);
+  free(r->block_e);
   free(r);
 }
 

@@ -270,8 +270,11 @@ def main(argv=None) -> int:
         log.info("oarfish-tpu completed successfully.")
         return 0
     if args.genome is not None:
-        log.error("genome raw-read mode is not yet available in this build")
-        return 2
+        from .quant.genome_reads import quantify_genome_raw_reads
+
+        quantify_genome_raw_reads(args, opts)
+        log.info("oarfish-tpu completed successfully.")
+        return 0
     if args.reads is not None:
         from .quant.raw_reads import quantify_bulk_alignments_raw_reads
 

@@ -93,12 +93,34 @@ def project_alignment(
 ) -> List[ProjectedAlnRecord]:
     """Project one genomic alignment onto all candidate transcripts."""
     blocks, introns, q_aligned = _walk_cigar(aln)
+    return project_blocks(
+        aln.ref_id, blocks, introns, q_aligned, aln.is_reverse, aln.score,
+        g2t, junc_miss_discount,
+    )
+
+
+def project_blocks(
+    ref_id: int,
+    blocks: List[Tuple[int, int]],
+    introns: List[Tuple[int, int]],
+    q_aligned: int,
+    is_reverse: bool,
+    score: int,
+    g2t: G2TIndex,
+    junc_miss_discount: float = 1.0,
+    junction_tolerance: int = 0,
+) -> List[ProjectedAlnRecord]:
+    """Project aligned genomic blocks (1-based inclusive) + introns onto
+    all candidate transcripts. This is the shared core for both the
+    CIGAR path (genome BAM, base-accurate, tolerance 0) and the
+    spliced-mapper path (genome reads, anchor-resolution block edges, so
+    junction matching allows `junction_tolerance` bases of slack)."""
     if not blocks or q_aligned == 0:
         return []
     gstart = blocks[0][0]
     gend = blocks[-1][1]
     out: List[ProjectedAlnRecord] = []
-    for tid in g2t.candidates(aln.ref_id, gstart, gend):
+    for tid in g2t.candidates(ref_id, gstart, gend):
         m = g2t.models[tid]
         es, ee = m.exon_starts, m.exon_ends
         # exonic overlap of the match blocks
@@ -126,15 +148,19 @@ def project_alignment(
         # next exon_start == ge+1)
         n_mismatch = 0
         span_s, span_e = m.span()
+        tol = junction_tolerance
         for gs, ge in introns:
             if ge < span_s or gs > span_e:
                 continue
-            i = int(np.searchsorted(ee, gs - 1, side="left"))
-            ok = (
-                i < len(ee) - 1
-                and int(ee[i]) == gs - 1
-                and int(es[i + 1]) == ge + 1
-            )
+            i = int(np.searchsorted(ee, gs - 1 - tol, side="left"))
+            ok = False
+            for j in (i, i + 1):
+                if 0 <= j < len(ee) - 1 and (
+                    abs(int(ee[j]) - (gs - 1)) <= tol
+                    and abs(int(es[j + 1]) - (ge + 1)) <= tol
+                ):
+                    ok = True
+                    break
             if not ok:
                 n_mismatch += 1
 
@@ -154,9 +180,9 @@ def project_alignment(
                 end=int(end),
                 aligned_len=int(end - start + 1),
                 query_aligned_len=int(matched),
-                is_reverse=bool(aln.is_reverse ^ (m.strand == "-")),
+                is_reverse=bool(is_reverse ^ (m.strand == "-")),
                 similarity=float(similarity),
-                aln_score=int(aln.score),
+                aln_score=int(score),
             )
         )
     return out

@@ -40,6 +40,10 @@ class _MapResult(ctypes.Structure):
         ("qend", ctypes.POINTER(ctypes.c_int64)),
         ("score", ctypes.POINTER(ctypes.c_int32)),
         ("is_rc", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_blocks", ctypes.c_int64),
+        ("block_off", ctypes.POINTER(ctypes.c_int64)),
+        ("block_s", ctypes.POINTER(ctypes.c_int64)),
+        ("block_e", ctypes.POINTER(ctypes.c_int64)),
     ]
 
 
@@ -76,7 +80,7 @@ def get_lib():
     lib.oarfish_map_batch.restype = ctypes.POINTER(_MapResult)
     lib.oarfish_map_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.oarfish_map_result_free.argtypes = [ctypes.POINTER(_MapResult)]
     lib.oarfish_index_save.restype = ctypes.c_int
@@ -111,7 +115,7 @@ class MapHits:
     """Columnar mapping results for a read batch."""
 
     def __init__(self, read_off, target, tstart, tend, qstart, qend, score,
-                 is_rc):
+                 is_rc, block_off=None, block_s=None, block_e=None):
         self.read_off = read_off
         self.target = target
         self.tstart = tstart
@@ -120,6 +124,9 @@ class MapHits:
         self.qend = qend
         self.score = score
         self.is_rc = is_rc
+        self.block_off = block_off
+        self.block_s = block_s
+        self.block_e = block_e
 
 
 class Mapper:
@@ -189,7 +196,7 @@ class Mapper:
             append_digest_footer(str(path), digest_map)
 
     def map_batch(self, seqs: Sequence[bytes], best_n: int = 100,
-                  threads: int = 4) -> MapHits:
+                  threads: int = 4, spliced: bool = False) -> MapHits:
         lib = get_lib()
         blob = b"".join(seqs)
         offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
@@ -201,12 +208,13 @@ class Mapper:
             len(seqs),
             int(best_n),
             int(threads),
+            1 if spliced else 0,
         )
         r = rptr.contents
         n = int(r.n_hits)
 
         def arr(p, count, dt):
-            if count == 0:
+            if count == 0 or not p:
                 return np.empty(0, dtype=dt)
             return np.ctypeslib.as_array(p, shape=(count,)).copy()
 
@@ -220,6 +228,11 @@ class Mapper:
             score=arr(r.score, n, np.int32),
             is_rc=arr(r.is_rc, n, np.uint8).astype(bool),
         )
+        if spliced:
+            nb = int(r.n_blocks)
+            out.block_off = arr(r.block_off, n + 1, np.int64)
+            out.block_s = arr(r.block_s, nb, np.int64)
+            out.block_e = arr(r.block_e, nb, np.int64)
         lib.oarfish_map_result_free(rptr)
         return out
 

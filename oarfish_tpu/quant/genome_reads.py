@@ -1,0 +1,162 @@
+"""Genome read-projection mode (`--reads --genome --annotation`).
+
+TPU-era equivalent of `run_genome_reads` (`main.rs:239-317`) +
+`quantify_genome_raw_reads` (`bulk.rs:337-694`): raw reads are
+spliced-aligned to the genome with the native mapper, the chained anchor
+blocks are projected onto the annotation's transcripts, filtered
+(`filter_projected`), and quantified on device.
+
+Differences from the reference's pipeline (documented descoping):
+soft-clip rescue against neighboring exon sequence is not yet performed,
+and the spliced mapper reports chained anchor blocks rather than
+base-level CIGARs (block edges are anchor-resolution, so junction
+matching uses a tolerance).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List
+
+import numpy as np
+
+from ..config import Args, FilterOpts
+from ..constants import EMPTY_READ_NAME
+from ..genome.annotation import load_transcripts, write_annotation_junction_bed
+from ..genome.g2t import G2TIndex
+from ..genome.project import ProjectedAlnRecord, filter_projected, project_blocks
+from ..host.mapper import Mapper
+from ..host.store import StoreBuilder, TranscriptCoverage
+from ..io.fasta import iter_fastx, read_fasta_concat
+from ..utils.digest import digest_result_json
+from .bulk import perform_inference_and_write_output
+
+log = logging.getLogger("oarfish_tpu")
+
+CHUNK_READS = 20_000
+
+
+def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
+    annotation = args.annotation
+    log.info("operating in genome read-projection mode")
+
+    log.info("loading annotation from %s", annotation)
+    transcripts = load_transcripts(annotation)
+    log.info("loaded %d transcripts from annotation", len(transcripts))
+
+    # junction BED derivation (used as alignment hints in the reference;
+    # recorded for parity even though the anchor chainer does not consume
+    # it yet, `main.rs:260-278`)
+    if args.junctions is None and not args.ignore_annotation_junctions:
+        bed = args.output.parent / f"{args.output.name}.annot_junctions.bed"
+        try:
+            bed.parent.mkdir(parents=True, exist_ok=True)
+            n = write_annotation_junction_bed(transcripts, bed)
+            log.info(
+                "derived %d spliced transcript models from the annotation "
+                "for the splice-junction BED", n,
+            )
+        except OSError:
+            pass
+
+    # genome aligner over the genome FASTA (spliced preset)
+    g_names, g_seqs = read_fasta_concat([args.genome])
+    if not g_names:
+        raise ValueError(f"no sequences found in genome {args.genome}")
+    mapper = Mapper.from_sequences(
+        g_names, g_seqs, tech=args.seq_tech, threads=max(args.threads, 1)
+    )
+    refnames = mapper.names
+
+    g2t = G2TIndex(transcripts, refnames)
+    txps_name = list(g2t.names)
+    txps_len = g2t.transcript_lengths()
+    log.info("built g2t index over %d transcripts", g2t.num_transcripts)
+    digest = {
+        "transcriptome_digest": digest_from_names_lengths(txps_name, txps_len)
+    }
+
+    coverage = TranscriptCoverage(
+        txps_len, args.bin_width if opts.model_coverage else 0
+    )
+    builder = StoreBuilder(coverage, keep_names=opts.write_assignment_probs)
+    n_reads_total = 0
+    n_mapped = 0
+
+    t0 = time.time()
+
+    def process_chunk(names: List[str], seqs: List[bytes]):
+        nonlocal n_reads_total, n_mapped
+        n_reads_total += len(seqs)
+        hits = mapper.map_batch(
+            seqs, best_n=args.best_n, threads=max(args.threads, 1),
+            spliced=True,
+        )
+        for i, name in enumerate(names):
+            s, e = int(hits.read_off[i]), int(hits.read_off[i + 1])
+            if e == s:
+                builder.discard.no_mapping += 1
+                continue
+            n_mapped += 1
+            best: dict = {}
+            for h in range(s, e):
+                bo_s, bo_e = int(hits.block_off[h]), int(hits.block_off[h + 1])
+                blocks = [
+                    (int(hits.block_s[b]) + 1, int(hits.block_e[b]))
+                    for b in range(bo_s, bo_e)
+                ]
+                introns = [
+                    (blocks[j][1] + 1, blocks[j + 1][0] - 1)
+                    for j in range(len(blocks) - 1)
+                ]
+                q_aligned = int(hits.qend[h] - hits.qstart[h])
+                for rec in project_blocks(
+                    int(hits.target[h]), blocks, introns, q_aligned,
+                    bool(hits.is_rc[h]), int(hits.score[h]), g2t,
+                    args.junc_miss_discount,
+                    junction_tolerance=mapper.k + mapper.w,
+                ):
+                    prev = best.get(rec.ref_id)
+                    if prev is None or rec.similarity > prev.similarity:
+                        best[rec.ref_id] = rec
+            projected = list(best.values())
+            if not projected:
+                builder.discard.no_valid_aln += 1
+                continue
+            fg = filter_projected(
+                opts, builder.discard, txps_len, projected, len(seqs[i]),
+                args.projected_prob_beta, args.projected_prob_source,
+            )
+            if fg is not None and builder.add_filtered_group(
+                fg, name or EMPTY_READ_NAME
+            ):
+                if e - s == 1:
+                    builder.num_unique_alignments += 1
+
+    names_buf: List[str] = []
+    seqs_buf: List[bytes] = []
+    for path in args.reads:
+        for name, seq in iter_fastx(path):
+            names_buf.append(name)
+            seqs_buf.append(seq)
+            if len(seqs_buf) >= CHUNK_READS:
+                process_chunk(names_buf, seqs_buf)
+                names_buf, seqs_buf = [], []
+    if seqs_buf:
+        process_chunk(names_buf, seqs_buf)
+
+    store = builder.finalize()
+    aln_time_s = time.time() - t0
+    log.info(
+        "mapped %d/%d reads; %d quantified groups in %.3fs",
+        n_mapped, n_reads_total, store.num_reads, aln_time_s,
+    )
+
+    return perform_inference_and_write_output(
+        store, coverage, txps_name, txps_len, opts, args, digest, aln_time_s
+    )
+
+
+def digest_from_names_lengths(names, lengths):
+    return digest_result_json(names, [int(x) for x in lengths])

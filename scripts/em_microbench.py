@@ -14,10 +14,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-R = 2_000_000
+R = 1_000_000
 T = 200_000
 MEAN_K = 3
-N1, N2 = 20, 40
+N1, N2 = 5, 15
 
 
 def make(seed=0):

@@ -1,0 +1,76 @@
+"""Genome read-projection mode end-to-end: synthetic genome + annotation,
+spliced reads -> native spliced mapper -> projection -> quant."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from oarfish_tpu.cli import main
+from oarfish_tpu.host import mapper as mp
+
+pytestmark = pytest.mark.skipif(
+    not mp.available(), reason="native mapper not built"
+)
+
+
+def make_genome(rng, n=30000):
+    return bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n))
+
+
+@pytest.fixture(scope="module")
+def genome_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("greads")
+    rng = np.random.default_rng(9)
+    genome = make_genome(rng)
+
+    # TxA: exons [2001,4000], [6001,8000], [10001,12000] (+)
+    # TxB: exons [2001,4000], [10001,12000] (+)  (skips the middle exon)
+    gtf = d / "anno.gtf"
+    gtf.write_text(
+        'chr1\tt\texon\t2001\t4000\t.\t+\t.\ttranscript_id "TxA";\n'
+        'chr1\tt\texon\t6001\t8000\t.\t+\t.\ttranscript_id "TxA";\n'
+        'chr1\tt\texon\t10001\t12000\t.\t+\t.\ttranscript_id "TxA";\n'
+        'chr1\tt\texon\t2001\t4000\t.\t+\t.\ttranscript_id "TxB";\n'
+        'chr1\tt\texon\t10001\t12000\t.\t+\t.\ttranscript_id "TxB";\n'
+    )
+    gfa = d / "genome.fa"
+    gfa.write_text(f">chr1\n{genome.decode()}\n")
+
+    def tx_seq(exons):
+        return b"".join(genome[s - 1 : e] for s, e in exons)
+
+    seq_a = tx_seq([(2001, 4000), (6001, 8000), (10001, 12000)])
+    seq_b = tx_seq([(2001, 4000), (10001, 12000)])
+
+    reads = d / "reads.fa"
+    with open(reads, "w") as fh:
+        for i in range(30):  # TxA reads (full length)
+            fh.write(f">ra{i}\n{seq_a.decode()}\n")
+        for i in range(15):  # TxB reads
+            fh.write(f">rb{i}\n{seq_b.decode()}\n")
+    return d, gfa, gtf, reads
+
+
+def test_genome_reads_cli(genome_fixture):
+    d, gfa, gtf, reads = genome_fixture
+    out = d / "o" / "q"
+    rc = main([
+        "--reads", str(reads), "--genome", str(gfa),
+        "--annotation", str(gtf), "--seq-tech", "ont-cdna",
+        "-o", str(out), "--junc-miss-discount", "0.3",
+        "--em-dtype", "float64", "--quiet",
+    ])
+    assert rc == 0
+    lines = Path(str(out) + ".quant").read_text().splitlines()
+    got = {l.split("\t")[0]: float(l.split("\t")[2]) for l in lines[1:]}
+    lens = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines[1:]}
+    assert lens == {"TxA": 6000, "TxB": 4000}
+    total = got["TxA"] + got["TxB"]
+    assert total >= 40  # nearly all 45 reads quantified
+    # TxA reads include the middle exon TxB lacks -> mostly assigned to TxA;
+    # TxB reads carry the skip junction, discounted on TxA
+    assert got["TxA"] == pytest.approx(30, abs=3)
+    assert got["TxB"] == pytest.approx(15, abs=3)
+    # junction BED side artifact
+    assert (d / "o" / "q.annot_junctions.bed").exists()
