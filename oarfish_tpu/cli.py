@@ -225,6 +225,10 @@ def validate_modes(args: Args, parser: argparse.ArgumentParser) -> None:
         parser.error("--genome-alignments requires --annotation")
     if args.genome is not None and args.annotation is None:
         parser.error("--genome requires --annotation")
+    if args.genome is not None and any(
+        x is not None for x in (args.annotated, args.novel, args.index)
+    ):
+        parser.error("--genome conflicts with --annotated/--novel/--index")
     if args.single_cell:
         if args.alignments is None:
             parser.error("--single-cell requires --alignments")

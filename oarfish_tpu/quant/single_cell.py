@@ -163,7 +163,153 @@ class CellBatch:
         return out
 
 
+def _iter_cells_native(args: Args, opts: FilterOpts):
+    """Fast path: C++ columnar decode + whole-file vectorized filtering,
+    then per-cell CSR slices. Yields (header, iterator of
+    (barcode, txp_id, start, end, prob, boundaries)). Only used when the
+    coverage model is off (the binomial model is per-cell state)."""
+    from ..host import native
+    from ..host.vector_filter import filter_records
+
+    dec = native.decode_bam(
+        args.alignments,
+        threads=max(args.threads - 1, 1),
+        sort_check_num=args.sort_check_num,
+        want_barcodes=True,
+    )
+    if dec is None:
+        return None
+    if dec.cb_id is None or (len(dec.cb_id) and (dec.cb_id < 0).any()):
+        raise ValueError("could not get CB tag value")
+    header = dec.header
+    cols = dec.columns
+    txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
+
+    # reorder records within each name group: primary before secondary
+    # (`sort_and_parse_barcode_records`, `alignment_parser.rs:180-191`)
+    secondary = ((cols.flag & 0x100) != 0).astype(np.int8)
+    order = np.lexsort((secondary, cols.group_id))
+    for f in ("group_id", "flag", "ref_id", "pos", "ref_span", "seq_len",
+              "score", "has_score"):
+        setattr(cols, f, getattr(cols, f)[order])
+    cb_sorted = dec.cb_id[order]
+
+    packed = filter_records(opts, txps_len, cols)
+
+    # cell = contiguous run of one barcode (a re-appearing barcode starts a
+    # new row, like the reference's peel loop, `single_cell.rs:200-227`)
+    G = cols.num_groups
+    cb_of_group = np.full(G, -1, dtype=np.int64)
+    cb_of_group[cols.group_id[::-1]] = cb_sorted[::-1]
+    # run ids over groups in original order
+    group_order = np.arange(G)
+    cbs = cb_of_group[group_order]
+    present = cbs >= 0
+    run_of_group = np.zeros(G, dtype=np.int64)
+    if G:
+        changes = np.ones(G, dtype=bool)
+        changes[1:] = cbs[1:] != cbs[:-1]
+        run_of_group = np.cumsum(changes) - 1
+    run_barcode = {}
+    for g in range(G):
+        r = run_of_group[g]
+        if r not in run_barcode and cbs[g] >= 0:
+            run_barcode[r] = dec.barcodes[cbs[g]]
+
+    def cells():
+        rows_run = run_of_group[packed.group_of_read]
+        n_runs = int(run_of_group.max()) + 1 if G else 0
+        for r in range(n_runs):
+            rows = np.nonzero(rows_run == r)[0]
+            bc = run_barcode.get(r, "")
+            if len(rows) == 0:
+                yield bc, None
+                continue
+            sizes = (
+                packed.boundaries[rows + 1] - packed.boundaries[rows]
+            )
+            idx = np.concatenate(
+                [
+                    np.arange(packed.boundaries[x], packed.boundaries[x + 1])
+                    for x in rows
+                ]
+            )
+            b = np.zeros(len(rows) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=b[1:])
+            yield bc, (
+                packed.txp_id[idx],
+                packed.start[idx],
+                packed.end[idx],
+                packed.prob[idx],
+                b,
+            )
+
+    return header, cells()
+
+
 def quantify_single_cell_from_collated_bam(args: Args, opts: FilterOpts):
+    from ..host import native
+
+    if not opts.model_coverage and native.available():
+        return _quantify_single_cell_native(args, opts)
+    return _quantify_single_cell_streaming(args, opts)
+
+
+def _quantify_single_cell_native(args: Args, opts: FilterOpts):
+    from .bulk import resolve_em_dtype
+
+    header, cell_iter = _iter_cells_native(args, opts)
+    from ..io.bam import verify_header as _verify
+
+    _verify(header, args.alignments)
+    txps_name = header.ref_names
+    txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
+    T = len(txps_name)
+    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+    dtype = resolve_em_dtype(args.em_dtype)
+
+    t_start = time.time()
+    barcodes: List[str] = []
+    buckets: Dict[Tuple[int, int, int], CellBatch] = {}
+    num_cells = 0
+    skipped_empty = 0
+    for bc, cell in cell_iter:
+        barcodes.append(bc)
+        idx_cell = num_cells
+        num_cells += 1
+        if cell is None:
+            skipped_empty += 1
+            continue
+        txp, start, end, prob, b = cell
+        w = prob.astype(np.float64)
+        global_ids, local = np.unique(txp, return_inverse=True)
+        key = (
+            _ceil_pow2(len(txp)),
+            _ceil_pow2(len(b) - 1),
+            _ceil_pow2(len(global_ids)),
+        )
+        batch = buckets.get(key)
+        if batch is None:
+            batch = buckets[key] = CellBatch(*key, T)
+        sizes = np.diff(b)
+        rid = np.repeat(np.arange(len(b) - 1, dtype=np.int32), sizes)
+        batch.add(idx_cell, local.astype(np.int32), w, rid, len(b) - 1,
+                  global_ids)
+        if num_cells % 100 == 0:
+            log.info("Processed %d cells.", num_cells)
+
+    log.info(
+        "parsed %d cells (%d with no surviving alignments) in %s; "
+        "%d size buckets",
+        num_cells, skipped_empty, humantime(time.time() - t_start),
+        len(buckets),
+    )
+    return _finish_single_cell(
+        args, buckets, barcodes, num_cells, txps_name, digest, dtype
+    )
+
+
+def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
     reader = BamReader(args.alignments, threads=max(args.threads - 1, 1))
     verify_header(reader.header, args.alignments)
     txps_name = reader.header.ref_names
@@ -228,7 +374,13 @@ def quantify_single_cell_from_collated_bam(args: Args, opts: FilterOpts):
         humantime(time.time() - t_start),
         len(buckets),
     )
+    return _finish_single_cell(
+        args, buckets, barcodes, num_cells, txps_name, digest, dtype
+    )
 
+
+def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
+                        digest, dtype):
     rows: List[int] = []
     cols: List[int] = []
     vals: List[float] = []
