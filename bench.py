@@ -51,14 +51,18 @@ def bench_tpu(txp_id, w, read_id):
     """
     import jax.numpy as jnp
 
-    from oarfish_tpu.ops.em import EmData, run_em, uniform_init
+    from oarfish_tpu.ops.em_fast import FastEmData, run_em_fast
 
-    data = EmData.build(txp_id, w, read_id, R, T, dtype=jnp.float32)
-    init = uniform_init(data, jnp.float32)
+    boundaries = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(np.bincount(read_id, minlength=R), out=boundaries[1:])
+    data, _order = FastEmData.build(
+        txp_id, w, boundaries, T, dtype=jnp.float32
+    )
+    init = jnp.full(T, float(R) / T, dtype=jnp.float32)
 
     def timed(n_iters):
         # convergence_thresh < 0 can never trigger (rel_diff >= 0)
-        counts, niter = run_em(data, init, n_iters, -1.0)
+        counts, niter = run_em_fast(data, init, n_iters, -1.0)
         t0 = time.perf_counter()
         out = np.asarray(counts)
         dt = time.perf_counter() - t0

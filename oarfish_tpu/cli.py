@@ -126,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="auto",
         help="EM compute precision (auto: f64 on CPU, f32 on TPU)",
     )
+    p.add_argument(
+        "--em-impl",
+        choices=["auto", "segsum", "fast"],
+        default="auto",
+        help="EM kernel: segment-sum or the scatter-free formulation "
+        "(auto: fast on TPU, segsum elsewhere)",
+    )
     p.add_argument("--num-shards", type=int, default=0,
                    help="data-parallel device shards (0 = all local devices)")
     p.add_argument("--seed", type=int, default=0)
@@ -186,6 +193,7 @@ def to_args(ns: argparse.Namespace) -> Args:
         sort_check_num=ns.sort_check_num,
         use_kde=ns.use_kde,
         em_dtype=ns.em_dtype,
+        em_impl=ns.em_impl,
         num_shards=ns.num_shards,
         seed=ns.seed,
     )

@@ -254,8 +254,9 @@ class Args:
     use_kde: bool = False
 
     # TPU-native extensions (no reference equivalent): compute precision of
-    # the device EM and the number of data-parallel shards.
+    # the device EM, EM kernel implementation, data-parallel shard count.
     em_dtype: str = "float64"
+    em_impl: str = "auto"  # auto | segsum | fast
     num_shards: int = 0  # 0 => use all local devices
     seed: int = 0
 

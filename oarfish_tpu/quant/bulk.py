@@ -119,34 +119,88 @@ def perform_inference_and_write_output(
         init = read_short_quant_vec(args.short_quant, txps_name)
 
     dtype = resolve_em_dtype(args.em_dtype)
-    data = build_em_inputs(
-        store, len(txps_name), opts.model_coverage, dens_prob, dtype
-    )
-    t0 = time.time()
-    counts, niter = em(
-        data,
-        max_iter=args.max_em_iter,
-        convergence_thresh=args.convergence_thresh,
-        init_abundances=init,
-        dtype=dtype,
-    )
+    import jax
+
+    impl = args.em_impl
+    if impl == "auto":
+        impl = "fast" if jax.default_backend() != "cpu" else "segsum"
+
+    T = len(txps_name)
+    if impl == "fast":
+        import jax.numpy as jnp
+
+        from ..ops.em_fast import FastEmData, run_em_fast
+
+        w = store.as_prob.astype(np.float64)
+        if opts.model_coverage:
+            w = w * store.cov_prob
+        if dens_prob is not None:
+            w = w * dens_prob
+        fdata, _read_order = FastEmData.build(
+            store.txp_id, w, store.boundaries, T, dtype=dtype
+        )
+        init_j = (
+            jnp.asarray(init, dtype=dtype)
+            if init is not None
+            else jnp.full(T, store.num_reads / T, dtype=dtype)
+        )
+        t0 = time.time()
+        counts_j, niter = run_em_fast(
+            fdata, init_j, args.max_em_iter, args.convergence_thresh
+        )
+        counts = np.asarray(counts_j, dtype=np.float64)
+        niter = int(niter)
+    else:
+        data = build_em_inputs(
+            store, T, opts.model_coverage, dens_prob, dtype
+        )
+        t0 = time.time()
+        counts, niter = em(
+            data,
+            max_iter=args.max_em_iter,
+            convergence_thresh=args.convergence_thresh,
+            init_abundances=init,
+            dtype=dtype,
+        )
     log.info("EM converged after %d iterations in %.3fs", niter, time.time() - t0)
 
-    unique, total = get_aux_counts(store, len(txps_name))
+    unique, total = get_aux_counts(store, T)
     info = get_json_info(args, opts, store.discard, digest, aln_time_s)
     write_output(args.output, info, txps_name, txps_len, counts, unique, total)
 
     if args.num_bootstraps > 0:
         t0 = time.time()
-        breps = bootstrap_ops.bootstrap(
-            data,
-            args.num_bootstraps,
-            max_iter=args.max_em_iter,
-            convergence_thresh=args.convergence_thresh,
-            init_abundances=init,
-            dtype=dtype,
-            seed=args.seed,
-        )
+        if impl == "fast":
+            import jax.numpy as jnp
+
+            rng = np.random.default_rng(args.seed)
+            mult = bootstrap_ops.sample_multiplicities(
+                rng, args.num_bootstraps, store.num_reads
+            )
+            # read multiplicities are exchangeable: sample directly in the
+            # fast layout's relabeled read order
+            run = jax.vmap(
+                lambda m: run_em_fast(
+                    fdata,
+                    init_j,
+                    args.max_em_iter,
+                    args.convergence_thresh,
+                    multiplicity=m,
+                )[0]
+            )
+            breps = np.asarray(
+                run(jnp.asarray(mult, dtype=dtype)), dtype=np.float64
+            )
+        else:
+            breps = bootstrap_ops.bootstrap(
+                data,
+                args.num_bootstraps,
+                max_iter=args.max_em_iter,
+                convergence_thresh=args.convergence_thresh,
+                init_abundances=init,
+                dtype=dtype,
+                seed=args.seed,
+            )
         log.info(
             "%d bootstrap replicates in %.3fs",
             args.num_bootstraps,
