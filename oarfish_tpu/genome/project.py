@@ -89,13 +89,29 @@ def _walk_cigar(aln: GenomicAlignment):
 
 
 def project_alignment(
-    aln: GenomicAlignment, g2t: G2TIndex, junc_miss_discount: float = 1.0
+    aln: GenomicAlignment,
+    g2t: G2TIndex,
+    junc_miss_discount: float = 1.0,
+    rescue_db=None,
 ) -> List[ProjectedAlnRecord]:
     """Project one genomic alignment onto all candidate transcripts."""
     blocks, introns, q_aligned = _walk_cigar(aln)
+    clips = None
+    if rescue_db is not None and aln.sequence:
+        # leading/trailing soft-clip lengths from the CIGAR (BAM SEQ is
+        # already reference-forward, so no strand handling needed)
+        c5 = aln.cigar[0][0] if aln.cigar and aln.cigar[0][1] == 4 else 0
+        c3 = aln.cigar[-1][0] if aln.cigar and aln.cigar[-1][1] == 4 else 0
+        if c5 or c3:
+            seq = aln.sequence.upper()
+            clips = (
+                seq[:c5] if c5 else b"",
+                seq[len(seq) - c3 :] if c3 else b"",
+            )
     return project_blocks(
         aln.ref_id, blocks, introns, q_aligned, aln.is_reverse, aln.score,
         g2t, junc_miss_discount,
+        rescue=(rescue_db, *clips) if clips else None,
     )
 
 
@@ -109,14 +125,27 @@ def project_blocks(
     g2t: G2TIndex,
     junc_miss_discount: float = 1.0,
     junction_tolerance: int = 0,
+    rescue=None,
 ) -> List[ProjectedAlnRecord]:
     """Project aligned genomic blocks (1-based inclusive) + introns onto
     all candidate transcripts. This is the shared core for both the
     CIGAR path (genome BAM, base-accurate, tolerance 0) and the
     spliced-mapper path (genome reads, anchor-resolution block edges, so
-    junction matching allows `junction_tolerance` bases of slack)."""
+    junction matching allows `junction_tolerance` bases of slack).
+
+    `rescue` is an optional `(RescueDb, clip_left, clip_right)` triple
+    (sequences in genome-forward orientation): clipped read ends are
+    x-drop-extended against each candidate's neighboring exon sequence,
+    adding recovered bases to the exonic match (and the capped clip
+    lengths to the denominator, so isoforms that explain the clip win)."""
     if not blocks or q_aligned == 0:
         return []
+    q_den = q_aligned
+    if rescue is not None:
+        from .rescue import CLIP_CAP
+
+        _db, _cl, _cr = rescue
+        q_den += min(len(_cl), CLIP_CAP) + min(len(_cr), CLIP_CAP)
     gstart = blocks[0][0]
     gend = blocks[-1][1]
     out: List[ProjectedAlnRecord] = []
@@ -164,7 +193,15 @@ def project_blocks(
             if not ok:
                 n_mismatch += 1
 
-        similarity = matched / q_aligned
+        rl = rr = 0
+        if rescue is not None:
+            from .rescue import rescue_clips
+
+            db, clip_l, clip_r = rescue
+            rl, rr = rescue_clips(db, m, first_g, last_g, clip_l, clip_r)
+            matched += rl + rr
+
+        similarity = matched / q_den
         if junc_miss_discount < 1.0 and n_mismatch:
             similarity *= junc_miss_discount**n_mismatch
 
@@ -173,6 +210,18 @@ def project_blocks(
         if t1 is None or t2 is None:
             continue
         start, end = (t1, t2) if t1 <= t2 else (t2, t1)
+        if rl or rr:
+            # extend transcript coordinates by the rescued bases; the
+            # genome-left clip extends the transcript start on '+' strand
+            # and the end on '-' strand
+            if m.strand == "-":
+                start -= rr
+                end += rl
+            else:
+                start -= rl
+                end += rr
+            start = max(start, 1)
+            end = min(end, m.length)
         out.append(
             ProjectedAlnRecord(
                 ref_id=tid,
@@ -192,12 +241,13 @@ def project_group(
     alns: Sequence[GenomicAlignment],
     g2t: G2TIndex,
     junc_miss_discount: float = 1.0,
+    rescue_db=None,
 ) -> List[ProjectedAlnRecord]:
     """Project a read's alignment group; when several source alignments hit
     the same transcript, the highest-similarity projection wins."""
     best: dict = {}
     for a in alns:
-        for rec in project_alignment(a, g2t, junc_miss_discount):
+        for rec in project_alignment(a, g2t, junc_miss_discount, rescue_db):
             prev = best.get(rec.ref_id)
             if prev is None or rec.similarity > prev.similarity:
                 best[rec.ref_id] = rec

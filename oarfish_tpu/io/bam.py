@@ -87,6 +87,7 @@ class BamRecord:
     score: Optional[int]  # AS tag
     barcode: Optional[bytes]  # CB tag
     cigar: Optional[List[Tuple[int, int]]] = None  # (len, op) when retained
+    seq: Optional[bytes] = None  # reference-forward SEQ when retained
 
     @property
     def is_unmapped(self) -> bool:
@@ -182,7 +183,17 @@ def _parse_tags(buf: bytes, off: int, end: int):
     return score, barcode
 
 
-def decode_record(buf: bytes, keep_cigar: bool = False) -> BamRecord:
+_NIBBLE_STR = "=ACMGRSVTWYHKDBN"
+_NIBBLE_TABLE = [
+    (_NIBBLE_STR[hi] + _NIBBLE_STR[lo]).encode()
+    for hi in range(16)
+    for lo in range(16)
+]
+
+
+def decode_record(
+    buf: bytes, keep_cigar: bool = False, keep_seq: bool = False
+) -> BamRecord:
     """Decode one BAM record body (after the leading block_size)."""
     (
         ref_id,
@@ -206,11 +217,15 @@ def decode_record(buf: bytes, keep_cigar: bool = False) -> BamRecord:
         if keep_cigar:
             cigar.append((c >> 4, c & 0xF))
     off += 4 * n_cigar
+    seq = None
+    if keep_seq and l_seq:
+        packed = buf[off : off + (l_seq + 1) // 2]
+        seq = b"".join(_NIBBLE_TABLE[b] for b in packed)[:l_seq]
     off += (l_seq + 1) // 2  # packed sequence
     off += l_seq  # quality
     score, barcode = _parse_tags(buf, off, len(buf))
     return BamRecord(
-        name, flag, ref_id, pos, ref_span, l_seq, score, barcode, cigar
+        name, flag, ref_id, pos, ref_span, l_seq, score, barcode, cigar, seq
     )
 
 
@@ -244,7 +259,9 @@ class BamReader:
             del self._buf[: self._off]
             self._off = 0
 
-    def records(self, keep_cigar: bool = False) -> Iterator[BamRecord]:
+    def records(
+        self, keep_cigar: bool = False, keep_seq: bool = False
+    ) -> Iterator[BamRecord]:
         while True:
             while len(self._buf) - self._off < 4:
                 try:
@@ -261,7 +278,9 @@ class BamReader:
                     raise BamFormatError("truncated BAM record") from None
             start = self._off + 4
             rec = decode_record(
-                bytes(self._buf[start : start + block_size]), keep_cigar
+                bytes(self._buf[start : start + block_size]),
+                keep_cigar,
+                keep_seq,
             )
             self._off = start + block_size
             self._compact()

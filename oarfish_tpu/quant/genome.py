@@ -53,6 +53,7 @@ def _record_to_genomic_alignment(rec) -> GenomicAlignment:
         cigar=rec.cigar or [],
         read_len=read_len,
         score=rec.score if rec.score is not None else 0,
+        sequence=rec.seq,
     )
 
 
@@ -70,6 +71,18 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
     transcripts = load_transcripts(annotation)
     log.info("loaded %d transcripts from annotation", len(transcripts))
     g2t = G2TIndex(transcripts, refnames)
+
+    # soft-clip rescue (on by default when a genome FASTA is available;
+    # genome-BAM mode sources it from --genome-fasta only, `main.rs:211-215`)
+    rescue_db = None
+    if not args.no_rescue and args.genome_fasta is not None:
+        from ..genome.rescue import RescueDb
+
+        log.info(
+            "loading genome FASTA for soft-clip rescue from %s",
+            args.genome_fasta,
+        )
+        rescue_db = RescueDb.from_fasta(args.genome_fasta, refnames)
     txps_name = list(g2t.names)
     txps_len = g2t.transcript_lengths()
     log.info("built g2t index over %d transcripts", g2t.num_transcripts)
@@ -95,7 +108,9 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
             return
         alns = [_record_to_genomic_alignment(r) for r in group]
         read_len = next((a.read_len for a in alns if a.read_len > 0), 0)
-        projected = project_group(alns, g2t, args.junc_miss_discount)
+        projected = project_group(
+            alns, g2t, args.junc_miss_discount, rescue_db
+        )
         if not projected:
             return
         fg = filter_projected(
@@ -115,7 +130,7 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
             if len(group) == 1:
                 builder.num_unique_alignments += 1
 
-    for rec in reader.records(keep_cigar=True):
+    for rec in reader.records(keep_cigar=True, keep_seq=rescue_db is not None):
         if rec.is_unmapped:
             num_unmapped += 1
             continue

@@ -70,6 +70,17 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     refnames = mapper.names
 
     g2t = G2TIndex(transcripts, refnames)
+
+    # soft-clip rescue: on by default (genome sequences are in hand from
+    # the FASTA we just indexed), disabled by --no-rescue
+    rescue_db = None
+    if not args.no_rescue:
+        from ..genome.rescue import RescueDb
+
+        rescue_db = RescueDb(
+            {n: s.upper() for n, s in zip(g_names, g_seqs)}, refnames
+        )
+
     txps_name = list(g2t.names)
     txps_len = g2t.transcript_lengths()
     log.info("built g2t index over %d transcripts", g2t.num_transcripts)
@@ -111,11 +122,29 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
                     for j in range(len(blocks) - 1)
                 ]
                 q_aligned = int(hits.qend[h] - hits.qstart[h])
+                rescue = None
+                if rescue_db is not None:
+                    from ..genome.rescue import revcomp
+
+                    rd = seqs[i]
+                    is_rc = bool(hits.is_rc[h])
+                    # reference-forward orientation (projection.rs:295-307)
+                    fwd = revcomp(rd) if is_rc else rd
+                    qs, qe = int(hits.qstart[h]), int(hits.qend[h])
+                    c5 = len(rd) - qe if is_rc else qs
+                    c3 = qs if is_rc else len(rd) - qe
+                    if c5 >= 3 or c3 >= 3:
+                        rescue = (
+                            rescue_db,
+                            fwd[:c5].upper() if c5 else b"",
+                            fwd[len(fwd) - c3 :].upper() if c3 else b"",
+                        )
                 for rec in project_blocks(
                     int(hits.target[h]), blocks, introns, q_aligned,
                     bool(hits.is_rc[h]), int(hits.score[h]), g2t,
                     args.junc_miss_discount,
                     junction_tolerance=mapper.k + mapper.w,
+                    rescue=rescue,
                 ):
                     prev = best.get(rec.ref_id)
                     if prev is None or rec.similarity > prev.similarity:
