@@ -21,7 +21,7 @@ import numpy as np
 R = 2_000_000
 T = 200_000
 MEAN_K = 3
-ITERS = 100
+ITERS = 50
 CPU_ITERS = 2
 
 
@@ -69,14 +69,14 @@ def bench_tpu(txp_id, w, read_id):
         assert int(np.asarray(niter)) == n_iters
         return dt, out
 
-    timed(ITERS)  # compile both variants + warm the tunnel
-    timed(2 * ITERS)
+    timed(ITERS)  # compile + warm the tunnel
+    timed(3 * ITERS)
     t_small, counts = timed(ITERS)
-    t_big, _ = timed(2 * ITERS)
-    dt = t_big - t_small
+    t_big, _ = timed(3 * ITERS)
+    dt = (t_big - t_small) / 2
     sys.stderr.write(
         f"tpu raw: {ITERS} iters in {t_small:.3f}s, "
-        f"{2 * ITERS} iters in {t_big:.3f}s (delta {dt:.3f}s)\n"
+        f"{3 * ITERS} iters in {t_big:.3f}s (per-{ITERS} delta {dt:.3f}s)\n"
     )
     if dt <= 0:
         dt = max(t_big / 2.0, 1e-9)
@@ -129,7 +129,7 @@ def main():
             {
                 "metric": "em_reads_per_sec",
                 "value": round(reads_per_s, 1),
-                "unit": "reads*iters/s (R=2M,T=200k,A~6M,f32,100 iters, 1 chip)",
+                "unit": "reads*iters/s (R=2M,T=200k,A~6M,f32, 1 chip, scatter-free EM)",
                 "vs_baseline": round(cpu_dt / tpu_dt, 2),
             }
         )

@@ -124,8 +124,58 @@ def perform_inference_and_write_output(
     impl = args.em_impl
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
+    # explicit multi-shard request: read-sharded data-parallel EM (the
+    # bootstrap batch stays on the single-device path)
+    if args.num_shards > 1 and args.num_bootstraps == 0:
+        impl = "sharded"
 
     T = len(txps_name)
+    if impl == "sharded":
+        import jax.numpy as jnp
+
+        from ..parallel.sharded_em import sharded_em
+
+        w = store.as_prob.astype(np.float64)
+        if opts.model_coverage:
+            w = w * store.cov_prob
+        if dens_prob is not None:
+            w = w * dens_prob
+        init_arr = (
+            np.asarray(init, dtype=np.float64)
+            if init is not None
+            else np.full(T, store.num_reads / T)
+        )
+        t0 = time.time()
+        counts, niter = sharded_em(
+            store.txp_id,
+            w,
+            store.boundaries,
+            T,
+            init_arr,
+            max_iter=args.max_em_iter,
+            convergence_thresh=args.convergence_thresh,
+            dtype=dtype,
+            num_shards=args.num_shards,
+        )
+        log.info(
+            "sharded EM (%d shards) converged after %d iterations in %.3fs",
+            args.num_shards or len(jax.devices()),
+            niter,
+            time.time() - t0,
+        )
+        unique, total = get_aux_counts(store, T)
+        info = get_json_info(args, opts, store.discard, digest, aln_time_s)
+        write_output(
+            args.output, info, txps_name, txps_len, counts, unique, total
+        )
+        if args.write_assignment_probs is not None:
+            write_out_prob(
+                args.output, store, counts, txps_name,
+                args.display_thresh, opts.model_coverage,
+                compressed=args.write_assignment_probs
+                == ReadAssignmentProbOut.COMPRESSED,
+            )
+        return counts
     if impl == "fast":
         import jax.numpy as jnp
 

@@ -52,3 +52,23 @@ def test_sharded_em_various_shard_counts():
         )
         np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9,
                                    err_msg=f"shards={D}")
+
+
+def test_global_assembly_path_matches_oracle():
+    """Multi-host-style global array assembly (one shard per device via
+    make_array_from_single_device_arrays) produces identical results."""
+    from oarfish_tpu.parallel.multihost import (
+        global_data_mesh,
+        sharded_em_global,
+    )
+
+    rng = np.random.default_rng(5)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=400, T=50)
+    init = np.full(T, R / T, dtype=np.float64)
+    counts, niter = sharded_em_global(
+        txp_id, w, boundaries, T, init, max_iter=150,
+        convergence_thresh=1e-3, dtype=jnp.float64,
+        mesh=global_data_mesh(),
+    )
+    want = do_em_oracle(txp_id, w, boundaries, T, max_iter=150)
+    np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9)
