@@ -136,6 +136,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-shards", type=int, default=0,
                    help="data-parallel device shards (0 = all local devices)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile-dir", type=Path, default=None,
+                   help="write a jax.profiler trace of the run here")
     return p
 
 
@@ -253,6 +255,22 @@ def main(argv=None) -> int:
     ns = parser.parse_args(argv)
     args = to_args(ns)
     validate_modes(args, parser)
+
+    if ns.profile_dir is not None:
+        # trace the whole run (the TPU-era analogue of the reference's
+        # tracing spans, SURVEY §5); view with tensorboard/xprof
+        import contextlib
+
+        import jax
+
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.profiler.trace(str(ns.profile_dir)))
+            ns.profile_dir = None
+            return main_inner(args, parser)
+    return main_inner(args, parser)
+
+
+def main_inner(args: Args, parser) -> int:
 
     level = logging.INFO
     if args.quiet:
