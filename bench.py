@@ -1,18 +1,24 @@
 """Benchmark: sparse EM inner-loop throughput on the TPU chip.
 
 Workload: human-transcriptome-scale synthetic CSR (200k transcripts, 2M
-reads, ~3 alignments/read), 100 fixed EM iterations in f32 on device —
-the BASELINE.json config 3 shape ("Human GENCODE ~5M-read ONT cDNA",
-scaled to bench time). Prints ONE JSON line.
+reads, ~3 alignments/read), fixed EM iterations in f32 on device — the
+BASELINE.json config-3 shape, scaled to bench time. Prints ONE JSON line.
 
-`vs_baseline` is measured against a vectorized NumPy implementation of the
+`vs_baseline` compares against a vectorized NumPy implementation of the
 same m-step on this host's CPU (the stand-in for the reference's CPU EM;
-the Rust toolchain is unavailable in this image, and the reference's own
-m-step is the same O(A) gather/scatter pattern).
+Rust is unavailable in this image and the reference's m-step is the same
+O(A) gather/scatter pattern).
+
+Robustness: the axon TPU tunnel's latency varies wildly (it has been
+observed to degrade from seconds to >30 min per request). The TPU phase
+runs in a watchdogged subprocess: full workload first, a scaled-down
+retry on timeout, and a last-resort CPU-device measurement so the driver
+always receives a JSON line.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -23,6 +29,9 @@ T = 200_000
 MEAN_K = 3
 ITERS = 50
 CPU_ITERS = 2
+
+FULL_TIMEOUT_S = 400
+QUICK_TIMEOUT_S = 150
 
 
 def make_csr(seed=0):
@@ -39,29 +48,23 @@ def make_csr(seed=0):
     return txp_id, w, boundaries, read_id, A
 
 
-def bench_tpu(txp_id, w, read_id):
-    """Time the fused EM while-loop on device.
+def tpu_phase():
+    """Runs in the subprocess: time the fused EM while-loop on device.
 
-    The axon tunnel defers execution: `block_until_ready` returns without
-    waiting and only a host transfer (`np.asarray`) synchronizes, with a
-    large fixed per-request latency. So we time two runs with different
-    iteration counts (each synchronized by transferring the T-sized result)
-    and take the delta — the fixed tunnel overhead cancels, leaving pure
-    device iteration time.
+    The tunnel defers execution (`block_until_ready` returns without
+    waiting; only a host transfer synchronizes), so we time two loop
+    lengths and take the delta — fixed tunnel overhead cancels.
     """
     import jax.numpy as jnp
 
     from oarfish_tpu.ops.em_fast import FastEmData, run_em_fast
 
-    boundaries = np.zeros(R + 1, dtype=np.int64)
-    np.cumsum(np.bincount(read_id, minlength=R), out=boundaries[1:])
-    data, _order = FastEmData.build(
-        txp_id, w, boundaries, T, dtype=jnp.float32
-    )
+    txp_id, w, boundaries, read_id, A = make_csr()
+    sys.stderr.write(f"bench: R={R} T={T} A={A} iters={ITERS}\n")
+    data, _order = FastEmData.build(txp_id, w, boundaries, T, dtype=jnp.float32)
     init = jnp.full(T, float(R) / T, dtype=jnp.float32)
 
     def timed(n_iters):
-        # convergence_thresh < 0 can never trigger (rel_diff >= 0)
         counts, niter = run_em_fast(data, init, n_iters, -1.0)
         t0 = time.perf_counter()
         out = np.asarray(counts)
@@ -75,15 +78,16 @@ def bench_tpu(txp_id, w, read_id):
     t_big, _ = timed(3 * ITERS)
     dt = (t_big - t_small) / 2
     sys.stderr.write(
-        f"tpu raw: {ITERS} iters in {t_small:.3f}s, "
-        f"{3 * ITERS} iters in {t_big:.3f}s (per-{ITERS} delta {dt:.3f}s)\n"
+        f"tpu raw: {ITERS} iters {t_small:.3f}s, {3 * ITERS} iters "
+        f"{t_big:.3f}s (per-{ITERS} delta {dt:.3f}s)\n"
     )
     if dt <= 0:
-        dt = max(t_big / 2.0, 1e-9)
-    return dt, counts
+        dt = max(t_big / 3.0, 1e-9)
+    print(json.dumps({"dt_per_iters": dt, "iters": ITERS, "R": R,
+                      "mass": float(counts.sum())}))
 
 
-def bench_cpu(txp_id, w, boundaries, read_id):
+def bench_cpu(txp_id, w, boundaries, read_id, iters):
     """Vectorized NumPy m-step (f64, like the reference accumulators)."""
     w64 = w.astype(np.float64)
     prev = np.full(T, float(R) / T)
@@ -98,42 +102,77 @@ def bench_cpu(txp_id, w, boundaries, read_id):
         curr = np.zeros(T)
         np.add.at(curr, t_sorted, inc[order])
         prev = curr
-    dt = (time.perf_counter() - t0) / CPU_ITERS * ITERS
-    return dt, prev
+    return (time.perf_counter() - t0) / CPU_ITERS * iters
+
+
+def run_sub(env_extra, timeout):
+    env = dict(os.environ, **env_extra)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-phase"],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(r.stderr[-2000:])
+        if r.returncode == 0 and r.stdout.strip():
+            return json.loads(r.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        sys.stderr.write("tpu phase timed out; falling back\n")
+    except Exception as e:  # noqa: BLE001
+        sys.stderr.write(f"tpu phase failed: {e}\n")
+    return None
 
 
 def main():
-    quick = "--quick" in sys.argv
     global R, T, ITERS
-    if quick:
-        R, T, ITERS = 100_000, 20_000, 20
-    txp_id, w, boundaries, read_id, A = make_csr()
-    sys.stderr.write(f"bench: R={R} T={T} A={A} iters={ITERS}\n")
+    if "--tpu-phase" in sys.argv:
+        if os.environ.get("OARFISH_BENCH_SCALE") == "quick":
+            R, T, ITERS = 200_000, 50_000, 20
+        if os.environ.get("OARFISH_BENCH_CPU") == "1":
+            import jax
 
-    tpu_dt, tpu_counts = bench_tpu(txp_id, w, read_id)
-    reads_per_s = R * ITERS / tpu_dt
-    sys.stderr.write(
-        f"tpu: {tpu_dt:.3f}s for {ITERS} iters "
-        f"({ITERS / tpu_dt:.1f} iters/s, {reads_per_s:.3g} reads*iter/s)\n"
-    )
+            jax.config.update("jax_platforms", "cpu")
+        tpu_phase()
+        return
+    if "--quick" in sys.argv:
+        R, T, ITERS = 200_000, 50_000, 20
 
-    cpu_dt, cpu_counts = bench_cpu(txp_id, w, boundaries, read_id)
-    sys.stderr.write(f"cpu (numpy, extrapolated): {cpu_dt:.3f}s for {ITERS} iters\n")
-
-    # sanity: the two paths agree on the mass balance
-    mass_err = abs(float(tpu_counts.sum()) - float(cpu_counts.sum())) / R
-    sys.stderr.write(f"mass agreement: {mass_err:.2e}\n")
-
-    print(
-        json.dumps(
-            {
-                "metric": "em_reads_per_sec",
-                "value": round(reads_per_s, 1),
-                "unit": "reads*iters/s (R=2M,T=200k,A~6M,f32, 1 chip, scatter-free EM)",
-                "vs_baseline": round(cpu_dt / tpu_dt, 2),
-            }
+    scale = "full"
+    res = run_sub({}, FULL_TIMEOUT_S)
+    if res is None:
+        scale = "quick"
+        res = run_sub({"OARFISH_BENCH_SCALE": "quick"}, QUICK_TIMEOUT_S)
+    if res is None:
+        scale = "cpu-device-fallback"
+        res = run_sub(
+            {"OARFISH_BENCH_SCALE": "quick", "OARFISH_BENCH_CPU": "1"},
+            QUICK_TIMEOUT_S,
         )
+    if res is None:
+        print(json.dumps({
+            "metric": "em_reads_per_sec", "value": 0,
+            "unit": "UNAVAILABLE (device unreachable)", "vs_baseline": 0,
+        }))
+        return
+
+    if scale != "full":
+        R, T, ITERS = 200_000, 50_000, 20
+    reads_per_s = res["R"] * res["iters"] / res["dt_per_iters"]
+    txp_id, w, boundaries, read_id, A = make_csr()
+    cpu_dt = bench_cpu(txp_id, w, boundaries, read_id, res["iters"])
+    sys.stderr.write(
+        f"tpu: {res['dt_per_iters']:.3f}s/{res['iters']} iters; "
+        f"cpu extrapolated {cpu_dt:.3f}s; scale={scale}\n"
     )
+    print(json.dumps({
+        "metric": "em_reads_per_sec",
+        "value": round(reads_per_s, 1),
+        "unit": (
+            f"reads*iters/s (R={res['R']}, T={T}, f32 scatter-free EM, "
+            f"1 chip, scale={scale})"
+        ),
+        "vs_baseline": round(cpu_dt / res["dt_per_iters"], 2),
+    }))
 
 
 if __name__ == "__main__":
