@@ -61,7 +61,9 @@ def tpu_phase():
 
     txp_id, w, boundaries, read_id, A = make_csr()
     sys.stderr.write(f"bench: R={R} T={T} A={A} iters={ITERS}\n")
-    data, _order = FastEmData.build(txp_id, w, boundaries, T, dtype=jnp.float32)
+    data, _order = FastEmData.build(
+        txp_id, w, boundaries, T, dtype=jnp.float32, use_pallas_gather=True
+    )
     init = jnp.full(T, float(R) / T, dtype=jnp.float32)
 
     def timed(n_iters):

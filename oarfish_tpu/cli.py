@@ -128,10 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--em-impl",
-        choices=["auto", "segsum", "fast"],
+        choices=["auto", "segsum", "fast", "pallas"],
         default="auto",
         help="EM kernel: segment-sum or the scatter-free formulation "
-        "(auto: fast on TPU, segsum elsewhere)",
+        "(auto: fast on TPU, segsum elsewhere; pallas uses the "
+        "MXU sorted-gather kernel)",
     )
     p.add_argument("--num-shards", type=int, default=0,
                    help="data-parallel device shards (0 = all local devices)")

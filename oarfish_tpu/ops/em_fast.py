@@ -81,8 +81,20 @@ def exclusive_tile_prefix(tile_sums: jax.Array) -> Tuple[jax.Array, jax.Array]:
         "w_csc",
         "read_csc",
         "txp_offsets",
+        "g_p0",
+        "g_p1",
+        "g_lane",
+        "g_hi",
     ],
-    meta_fields=["bucket_rows", "num_reads", "num_txps", "num_tiles"],
+    meta_fields=[
+        "bucket_rows",
+        "num_reads",
+        "num_txps",
+        "num_tiles",
+        "g_rows",
+        "g_table_rows",
+        "use_pallas_gather",
+    ],
 )
 @dataclass(frozen=True)
 class FastEmData:
@@ -94,10 +106,18 @@ class FastEmData:
     w_csc: jax.Array  # [A_pad]
     read_csc: jax.Array  # [A_pad] i32 relabeled read ids (R = pad)
     txp_offsets: jax.Array  # [T+1] i64 offsets into the CSC array
+    # optional Pallas sorted-gather plan arrays (ops/gather_pallas.py)
+    g_p0: Optional[jax.Array]
+    g_p1: Optional[jax.Array]
+    g_lane: Optional[jax.Array]
+    g_hi: Optional[jax.Array]
     bucket_rows: Tuple[int, ...]
     num_reads: int
     num_txps: int
     num_tiles: int
+    g_rows: int
+    g_table_rows: int
+    use_pallas_gather: bool
 
     @staticmethod
     def build(
@@ -106,6 +126,7 @@ class FastEmData:
         boundaries: np.ndarray,
         num_txps: int,
         dtype=jnp.float32,
+        use_pallas_gather: bool = False,
     ) -> Tuple["FastEmData", np.ndarray]:
         """Returns (data, read_order) where `read_order[i]` is the original
         read index of relabeled read i (multiplicity vectors must be
@@ -166,18 +187,53 @@ class FastEmData:
 
         # --- CSC layout, padded to TILE
         order = np.argsort(txp_id, kind="stable")
-        A_pad = ((A + TILE - 1) // TILE) * TILE if A else TILE
-        txp_csc = np.full(A_pad, T, dtype=np.int32)
-        w_csc = np.zeros(A_pad, dtype=np.float64)
-        read_csc = np.full(A_pad, R, dtype=np.int32)
-        txp_csc[:A] = txp_id[order]
-        w_csc[:A] = weights[order]
         read_of_aln = np.repeat(np.arange(R, dtype=np.int64), sizes)
-        read_csc[:A] = new_id[read_of_aln[order]]
+        txp_sorted = txp_id[order]
+        w_sorted = weights[order]
+        read_sorted = new_id[read_of_aln[order]]
 
         counts = np.bincount(txp_id, minlength=T)
         offsets = np.zeros(T + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+
+        g_p0 = g_p1 = g_lane = g_hi = None
+        g_rows = g_table_rows = 0
+        if use_pallas_gather and A:
+            from .gather_pallas import SortedGatherPlan
+
+            plan = SortedGatherPlan.build(txp_sorted, T + 1)
+            L = plan.out_len
+            if L > 4 * A + TILE:
+                # ultra-sparse index sets blow up the row-split padding;
+                # the jnp gather path is cheaper there
+                plan = None
+                use_pallas_gather = False
+        else:
+            plan = None
+        if plan is not None:
+            mask = plan.src_pos >= 0
+            w_csc = np.zeros(L, dtype=np.float64)
+            read_csc = np.full(L, R, dtype=np.int32)
+            w_csc[mask] = w_sorted[plan.src_pos[mask]]
+            read_csc[mask] = read_sorted[plan.src_pos[mask]]
+            txp_csc = np.full(L, T, dtype=np.int32)  # unused on device
+            # transcript offsets in plan (padded) coordinates
+            inv = np.zeros(A + 1, dtype=np.int64)
+            inv[plan.src_pos[mask]] = np.nonzero(mask)[0]
+            inv[A] = L
+            offsets = inv[offsets]
+            g_p0, g_p1 = plan.p0, plan.p1
+            g_lane, g_hi = plan.lane, plan.use_hi
+            g_rows, g_table_rows = plan.n_rows, plan.table_rows
+            A_pad = L
+        else:
+            A_pad = ((A + TILE - 1) // TILE) * TILE if A else TILE
+            txp_csc = np.full(A_pad, T, dtype=np.int32)
+            w_csc = np.zeros(A_pad, dtype=np.float64)
+            read_csc = np.full(A_pad, R, dtype=np.int32)
+            txp_csc[:A] = txp_sorted
+            w_csc[:A] = w_sorted
+            read_csc[:A] = read_sorted
 
         data = FastEmData(
             bucket_txp=tuple(bucket_txp),
@@ -186,10 +242,17 @@ class FastEmData:
             w_csc=jnp.asarray(w_csc, dtype=dtype),
             read_csc=jnp.asarray(read_csc),
             txp_offsets=jnp.asarray(offsets),
+            g_p0=g_p0,
+            g_p1=g_p1,
+            g_lane=g_lane,
+            g_hi=g_hi,
             bucket_rows=tuple(bucket_rows),
             num_reads=R,
             num_txps=T,
             num_tiles=A_pad // TILE,
+            g_rows=g_rows,
+            g_table_rows=g_table_rows,
+            use_pallas_gather=bool(use_pallas_gather and A),
         )
         return data, read_order
 
@@ -212,7 +275,22 @@ def _m_step_fast(
     scale_ext = jnp.concatenate([scale, jnp.zeros(1, prev.dtype)])
 
     # m-step: inc in CSC order, segmented sum via hierarchical cumsum-diff
-    contrib_csc = jnp.take(prev_ext, data.txp_csc) * data.w_csc
+    if data.use_pallas_gather:
+        # sorted gather of prev at MXU/shuffle speed (ops/gather_pallas.py)
+        from .gather_pallas import LANES, _run
+
+        S = data.g_table_rows
+        pad = S * LANES - prev_ext.shape[0]
+        table2d = jnp.concatenate(
+            [prev_ext, jnp.zeros(pad, prev_ext.dtype)]
+        ).reshape(S, LANES)
+        gathered = _run(
+            table2d, data.g_p0, data.g_p1, data.g_lane, data.g_hi,
+            data.g_rows, S,
+        ).reshape(-1)
+        contrib_csc = gathered * data.w_csc
+    else:
+        contrib_csc = jnp.take(prev_ext, data.txp_csc) * data.w_csc
     inc = contrib_csc * jnp.take(scale_ext, data.read_csc)
     x2 = inc.reshape(data.num_tiles, TILE)
     local = jnp.cumsum(x2, axis=1)

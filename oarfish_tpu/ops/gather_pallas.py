@@ -56,35 +56,30 @@ class SortedGatherPlan:
         # round S up so the MXU contraction dim is a multiple of 8
         S = ((S + 7) // 8) * 8
 
-        # row-split: new 128-element row whenever the span would reach 128
-        rows_idx: list = []
-        rows_pos: list = []
-        cur_i: list = []
-        cur_p: list = []
-        first = None
-        for pos in range(A):
-            t = int(idx_sorted[pos])
-            if first is None:
-                first = t
-            if t - first >= LANES or len(cur_i) == LANES:
-                pad = LANES - len(cur_i)
-                rows_idx.append(cur_i + [first] * pad)
-                rows_pos.append(cur_p + [-1] * pad)
-                cur_i, cur_p = [], []
-                first = t
-            cur_i.append(t)
-            cur_p.append(pos)
-        if cur_i:
-            pad = LANES - len(cur_i)
-            rows_idx.append(cur_i + [cur_i[0]] * pad)
-            rows_pos.append(cur_p + [-1] * pad)
+        # row-split: new 128-element row whenever the span would reach 128.
+        # Row-at-a-time greedy (O(n_rows) python iterations, not O(A)).
+        starts = []
+        pos = 0
+        while pos < A:
+            first = idx_sorted[pos]
+            # furthest element still within [first, first+128)
+            hi = int(
+                np.searchsorted(idx_sorted, first + LANES, side="left")
+            )
+            end = min(pos + LANES, hi, A)
+            starts.append((pos, end))
+            pos = end
 
-        n_rows = ((len(rows_idx) + CHUNK_ROWS - 1) // CHUNK_ROWS) * CHUNK_ROWS
-        while len(rows_idx) < n_rows:
-            rows_idx.append([0] * LANES)
-            rows_pos.append([-1] * LANES)
-
-        ridx = np.asarray(rows_idx, dtype=np.int64)  # [n_rows, 128]
+        n_real = len(starts)
+        n_rows = ((n_real + CHUNK_ROWS - 1) // CHUNK_ROWS) * CHUNK_ROWS
+        ridx = np.zeros((n_rows, LANES), dtype=np.int64)
+        rpos = np.full((n_rows, LANES), -1, dtype=np.int64)
+        for i, (s, e) in enumerate(starts):
+            k = e - s
+            ridx[i, :k] = idx_sorted[s:e]
+            ridx[i, k:] = idx_sorted[s]  # pad with the row's base index
+            rpos[i, :k] = np.arange(s, e)
+        rows_pos = rpos
         r = ridx // LANES
         c = (ridx % LANES).astype(np.int32)
         base = r.min(axis=1)
@@ -110,13 +105,21 @@ class SortedGatherPlan:
 
 
 def _kernel(tab_ref, p0_ref, p1_ref, lane_ref, hi_ref, out_ref):
-    # f32 matmul: the one-hot rows must pass table values through
-    # exactly (bf16 inputs round the gathered values by ~0.4%)
+    # the one-hot rows must pass table values through EXACTLY: on the MXU
+    # a default-precision f32 dot runs as one bf16 pass (observed ~0.4%
+    # rounding); HIGHEST decomposes each f32 into bf16 chunks whose
+    # one-hot products reconstruct the value bit-exactly
     rows_a = jnp.dot(
-        p0_ref[:, :], tab_ref[:, :], preferred_element_type=jnp.float32
+        p0_ref[:, :],
+        tab_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     rows_b = jnp.dot(
-        p1_ref[:, :], tab_ref[:, :], preferred_element_type=jnp.float32
+        p1_ref[:, :],
+        tab_ref[:, :],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     va = jnp.take_along_axis(rows_a, lane_ref[:, :], axis=1)
     vb = jnp.take_along_axis(rows_b, lane_ref[:, :], axis=1)

@@ -176,7 +176,7 @@ def perform_inference_and_write_output(
                 == ReadAssignmentProbOut.COMPRESSED,
             )
         return counts
-    if impl == "fast":
+    if impl in ("fast", "pallas"):
         import jax.numpy as jnp
 
         from ..ops.em_fast import FastEmData, run_em_fast
@@ -187,7 +187,8 @@ def perform_inference_and_write_output(
         if dens_prob is not None:
             w = w * dens_prob
         fdata, _read_order = FastEmData.build(
-            store.txp_id, w, store.boundaries, T, dtype=dtype
+            store.txp_id, w, store.boundaries, T, dtype=dtype,
+            use_pallas_gather=(impl == "pallas"),
         )
         init_j = (
             jnp.asarray(init, dtype=dtype)
