@@ -124,6 +124,9 @@ def perform_inference_and_write_output(
     impl = args.em_impl
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
+    if impl == "pallas" and jax.default_backend() == "cpu":
+        log.warning("pallas EM kernels need a TPU backend; using 'fast'")
+        impl = "fast"
     # explicit multi-shard request: read-sharded data-parallel EM (the
     # bootstrap batch stays on the single-device path)
     if args.num_shards > 1 and args.num_bootstraps == 0:
@@ -221,7 +224,7 @@ def perform_inference_and_write_output(
 
     if args.num_bootstraps > 0:
         t0 = time.time()
-        if impl == "fast":
+        if impl in ("fast", "pallas"):
             import jax.numpy as jnp
 
             rng = np.random.default_rng(args.seed)
