@@ -1,22 +1,25 @@
-"""Device kernels applying STATIC permutations to `[R,128]` tiles.
+"""Device kernels applying STATIC permutations at hardware speed.
 
-Composes the three-stage decomposition from `permute_plan.py` out of the
-ops Mosaic actually supports (PERF_NOTES.md): the 128-lane row shuffle
-(`take_along_axis` axis 1), 128x128 transposes, and elementwise selects.
-The column stage (independent row-permutation per column) is realized in
-transposed space: for each (dst-block, src-block) pair of 128-row blocks,
-a static row-gather of the transposed source block delivers the needed
-elements, and static masks merge the contributions.
+`DeviceTilePlan` routes any fixed permutation of a `[R,128]` tile through
+the three-stage decomposition of `permute_plan.py`, built only from ops
+Mosaic supports (PERF_NOTES.md): 128-lane row shuffles
+(`take_along_axis` axis 1), 128x128 transposes, and masked merges. The
+column stage (independent row-permutation per column) runs in transposed
+space blockwise: each destination 128-row block stores, per element, the
+source block id and source lane (int8 — 2 bytes of routing per element).
 
-All routing arrays are static (built once at pack time); the kernel is a
-fixed sequence of VPU-speed ops.
+`GlobalPermute` lifts this to arbitrary-length arrays: chunk the input,
+permute each chunk into a destination-bucket/quota layout (batched tile
+permute), move buckets between chunks with one dense XLA 3D transpose,
+and run a second batched tile permute into final order. ~6 VPU passes +
+2 HBM passes regardless of the permutation.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,12 +30,12 @@ from .permute_plan import LANES, TilePermutePlan
 
 @dataclass(frozen=True)
 class DeviceTilePlan:
-    """Static arrays for the device kernel. H = R/128 row blocks."""
+    """Compact static routing for one [R,128] tile (2-3 B/element)."""
 
-    r1: np.ndarray  # [R,128] i32
-    r2: np.ndarray  # [R,128] i32
-    col_lane: np.ndarray  # [H, H, 128, 128] i32  (dst block, src block)
-    col_mask: np.ndarray  # [H, H, 128, 128] bool
+    r1: np.ndarray  # [R,128] i8: stage-1 lane gather
+    r2: np.ndarray  # [R,128] i8: stage-3 lane gather
+    col_src: np.ndarray  # [H,128,128] i8: source block per (dst blk, c, r')
+    col_lane: np.ndarray  # [H,128,128] i8: source lane within block
     rows: int
 
     @staticmethod
@@ -40,73 +43,66 @@ class DeviceTilePlan:
         base = TilePermutePlan.build(perm, rows)
         R = rows
         H = R // LANES
-        assert R % LANES == 0
-        col_lane = np.zeros((H, H, LANES, LANES), dtype=np.int32)
-        col_mask = np.zeros((H, H, LANES, LANES), dtype=bool)
-        # base.col_perm[r, c] = source row feeding (r, c) after the column
-        # stage. In transposed space: out block hd at (c, r'_d) pulls from
-        # T_src[c, r'_s] of block hs.
-        src_row = base.col_perm  # [R, 128]
+        assert R % LANES == 0 and H <= 127
+        src_row = base.col_perm  # [R,128]: source row feeding (r, c)
+        col_src = np.zeros((H, LANES, LANES), dtype=np.int8)
+        col_lane = np.zeros((H, LANES, LANES), dtype=np.int8)
         for hd in range(H):
-            rs = src_row[hd * LANES : (hd + 1) * LANES, :]  # [128(r'_d),128(c)]
-            hs_of = rs // LANES
-            ls_of = rs % LANES
-            for hs in range(H):
-                m = hs_of == hs  # [r'_d, c]
-                # transposed-space indices: [c, r'_d]
-                col_mask[hd, hs] = m.T
-                col_lane[hd, hs] = np.where(m, ls_of, 0).T
+            rs = src_row[hd * LANES : (hd + 1) * LANES, :]  # [r'_d, c]
+            col_src[hd] = (rs // LANES).astype(np.int8).T  # [c, r'_d]
+            col_lane[hd] = (rs % LANES).astype(np.int8).T
         return DeviceTilePlan(
-            r1=base.r1.astype(np.int32),
-            r2=base.r2.astype(np.int32),
+            r1=base.r1.astype(np.int8),
+            r2=base.r2.astype(np.int8),
+            col_src=col_src,
             col_lane=col_lane,
-            col_mask=col_mask,
             rows=R,
         )
 
     def apply_numpy(self, x: np.ndarray) -> np.ndarray:
-        """Reference application mirroring the device op sequence."""
         R, H = self.rows, self.rows // LANES
         t = x.reshape(R, LANES)
-        s1 = np.take_along_axis(t, self.r1, axis=1)
+        s1 = np.take_along_axis(t, self.r1.astype(np.int64), axis=1)
         blocks = [s1[h * LANES : (h + 1) * LANES].T for h in range(H)]
         out_blocks = []
         for hd in range(H):
             acc = np.zeros((LANES, LANES), dtype=t.dtype)
+            lane = self.col_lane[hd].astype(np.int64)
             for hs in range(H):
-                g = np.take_along_axis(blocks[hs], self.col_lane[hd, hs], 1)
-                acc = np.where(self.col_mask[hd, hs], g, acc)
+                g = np.take_along_axis(blocks[hs], lane, 1)
+                acc = np.where(self.col_src[hd] == hs, g, acc)
             out_blocks.append(acc.T)
         s2 = np.concatenate(out_blocks, axis=0)
-        s3 = np.take_along_axis(s2, self.r2, axis=1)
+        s3 = np.take_along_axis(s2, self.r2.astype(np.int64), axis=1)
         return s3.reshape(-1)
 
 
 def _make_kernel(H: int):
-    def kernel(x_ref, r1_ref, r2_ref, lane_ref, mask_ref, out_ref):
-        s1 = jnp.take_along_axis(x_ref[:, :], r1_ref[0], axis=1)
-        blocks = [
-            s1[h * LANES : (h + 1) * LANES, :].T for h in range(H)
-        ]
+    def kernel(x_ref, r1_ref, r2_ref, src_ref, lane_ref, out_ref):
+        s1 = jnp.take_along_axis(
+            x_ref[:, :], r1_ref[0].astype(jnp.int32), axis=1
+        )
+        blocks = [s1[h * LANES : (h + 1) * LANES, :].T for h in range(H)]
         outs = []
         for hd in range(H):
+            lane = lane_ref[0, hd].astype(jnp.int32)
+            # int8 vector compares are unsupported on this target
+            src = src_ref[0, hd].astype(jnp.int32)
             acc = jnp.zeros((LANES, LANES), s1.dtype)
             for hs in range(H):
-                g = jnp.take_along_axis(
-                    blocks[hs], lane_ref[0, hd, hs], axis=1
-                )
-                acc = jnp.where(mask_ref[0, hd, hs], g, acc)
+                g = jnp.take_along_axis(blocks[hs], lane, axis=1)
+                acc = jnp.where(src == hs, g, acc)
             outs.append(acc.T)
         s2 = jnp.concatenate(outs, axis=0)
-        out_ref[:, :] = jnp.take_along_axis(s2, r2_ref[0], axis=1)
+        out_ref[:, :] = jnp.take_along_axis(
+            s2, r2_ref[0].astype(jnp.int32), axis=1
+        )
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "n_tiles"))
-def _run_batch(x, r1, r2, lane, mask, rows, n_tiles):
-    """Apply per-tile static permutations to a batch of tiles.
-    x: [n_tiles*rows, 128]; routing arrays have a leading tile axis."""
+def _run_batch(x, r1, r2, src, lane, rows, n_tiles):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -123,37 +119,163 @@ def _run_batch(x, r1, r2, lane, mask, rows, n_tiles):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, H, LANES, LANES), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, H, LANES, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, H, LANES, LANES), lambda i: (i, 0, 0, 0, 0),
+            pl.BlockSpec((1, H, LANES, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(x, r1, r2, lane, mask)
-
-
-def _squeeze_kernel_wrap(kernel):
-    return kernel
+    )(x, r1, r2, src, lane)
 
 
 class BatchTilePermute:
-    """A batch of per-tile static permutations, applied in one pallas
-    call (grid over tiles)."""
+    """A batch of per-tile static permutations in one pallas call."""
 
-    def __init__(self, plans):
+    def __init__(self, plans: List[DeviceTilePlan]):
         self.rows = plans[0].rows
         self.n_tiles = len(plans)
         self.r1 = jnp.asarray(np.stack([p.r1 for p in plans]))
         self.r2 = jnp.asarray(np.stack([p.r2 for p in plans]))
+        self.src = jnp.asarray(np.stack([p.col_src for p in plans]))
         self.lane = jnp.asarray(np.stack([p.col_lane for p in plans]))
-        self.mask = jnp.asarray(np.stack([p.col_mask for p in plans]))
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """x: flat [n_tiles*rows*128] -> permuted flat array."""
         x2 = x.reshape(self.n_tiles * self.rows, LANES)
         out = _run_batch(
-            x2, self.r1, self.r2, self.lane, self.mask,
+            x2, self.r1, self.r2, self.src, self.lane,
             self.rows, self.n_tiles,
         )
         return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Global (arbitrary length) static permutation
+# ---------------------------------------------------------------------------
+
+CH = 256 * LANES  # elements per chunk (32768)
+
+
+def _roundup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GlobalPermute:
+    """out[p] = x[perm[p]] for a fixed permutation over large arrays.
+
+    Three stages, all static:
+      1. per source chunk, a tile permute groups its elements by
+         destination chunk into a [n_dst_pad, Q] quota layout;
+      2. one dense XLA transpose moves quota buckets between chunks;
+      3. per destination chunk, a tile permute produces final order.
+    """
+
+    def __init__(self, perm: np.ndarray, n_in: int):
+        perm = np.asarray(perm, dtype=np.int64)
+        N_out = len(perm)
+        assert len(np.unique(perm)) == N_out, "perm must be injective"
+        self.n_in = n_in
+        n_src = _roundup(n_in, CH) // CH
+        n_dst = _roundup(N_out, CH) // CH
+        # the tile plans need true bijections (the edge coloring requires
+        # a regular graph), so pad outputs are routed to the unused input
+        # slots; equalize the padded sizes
+        n_src = n_dst = max(n_src, n_dst)
+        N_out_pad = n_dst * CH
+        n_in_pad = n_src * CH
+        perm_pad = np.zeros(N_out_pad, dtype=np.int64)
+        perm_pad[:N_out] = perm
+        unused_in = np.setdiff1d(
+            np.arange(n_in_pad), perm, assume_unique=False
+        )
+        assert len(unused_in) == N_out_pad - N_out
+        # spread pad->pad routing across source chunks so it cannot
+        # dominate the per-(src,dst) quota
+        perm_pad[N_out:] = np.random.default_rng(0).permutation(unused_in)
+        self.n_out = N_out
+
+        d_of = np.arange(N_out_pad) // CH
+        s_of = perm_pad // CH
+        flows = np.zeros((n_src, n_dst), dtype=np.int64)
+        np.add.at(flows, (s_of, d_of), 1)
+        maxflow = int(flows.max())
+        n_src_pad = _roundup(n_src, 64)
+        n_dst_pad = _roundup(n_dst, 64)
+        Q = _roundup(maxflow, 256)
+        self.n_src, self.n_dst = n_src, n_dst
+        self.n_src_pad, self.n_dst_pad, self.Q = n_src_pad, n_dst_pad, Q
+        R1 = n_dst_pad * Q // LANES  # stage-1 grid rows per chunk
+        R3 = n_src_pad * Q // LANES
+        assert R1 % LANES == 0 and R3 % LANES == 0
+        if max(R1, R3) // LANES > 16:
+            # degenerate quota (too few chunks or extreme flow skew): the
+            # unrolled column stage would explode; callers should fall
+            # back to a jnp gather at such sizes
+            raise ValueError(
+                f"GlobalPermute degenerate: H={max(R1, R3) // LANES} "
+                f"(Q={Q}, n_chunks={n_src}); use a plain gather instead"
+            )
+
+        # rank of each output within its (s, d) flow, ordered by p
+        order = np.lexsort((np.arange(N_out_pad), d_of, s_of))
+        rank = np.zeros(N_out_pad, dtype=np.int64)
+        # within sorted order, rank = position within each (s,d) group
+        sd = s_of[order] * n_dst + d_of[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sd))[0] + 1])
+        group_id = np.zeros(N_out_pad, dtype=np.int64)
+        group_id[starts] = 1
+        group_id = np.cumsum(group_id) - 1
+        group_start = starts[group_id]
+        rank[order] = np.arange(N_out_pad) - group_start
+
+        # stage-1 plans: for src chunk s, grid [R1,128]: slot layout
+        # d*Q + rank <- source slot (perm_pad[p] % CH) in rows [0,256)
+        def complete_bijection(tgt_slot, src_slot, n_slots):
+            """tile_perm[tgt] = src, with dead slots paired bijectively."""
+            tile_perm = np.full(n_slots, -1, dtype=np.int64)
+            tile_perm[tgt_slot] = src_slot
+            free_out = np.nonzero(tile_perm < 0)[0]
+            used_in = np.zeros(n_slots, dtype=bool)
+            used_in[src_slot] = True
+            free_in = np.nonzero(~used_in)[0]
+            tile_perm[free_out] = free_in
+            return tile_perm
+
+        stage1_plans = []
+        for s in range(n_src):
+            sel = np.nonzero(s_of == s)[0]  # output positions sourced here
+            tgt_slot = d_of[sel] * Q + rank[sel]
+            src_slot = perm_pad[sel] % CH
+            tile_perm = complete_bijection(tgt_slot, src_slot, R1 * LANES)
+            stage1_plans.append(DeviceTilePlan.build(tile_perm, R1))
+        self.stage1 = BatchTilePermute(stage1_plans)
+        self.R1 = R1
+
+        # stage-3 plans: for dst chunk d, input layout [n_src_pad, Q]
+        # (after the transpose), output = final order in slots [0, CH)
+        stage3_plans = []
+        for d in range(n_dst):
+            sel = np.nonzero(d_of == d)[0]
+            in_slot = s_of[sel] * Q + rank[sel]
+            out_slot = sel % CH
+            tile_perm = complete_bijection(out_slot, in_slot, R3 * LANES)
+            stage3_plans.append(DeviceTilePlan.build(tile_perm, R3))
+        self.stage3 = BatchTilePermute(stage3_plans)
+        self.R3 = R3
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_src, n_dst = self.n_src, self.n_dst
+        Q = self.Q
+        # lay each source chunk into its [R1*128] grid (zeros beyond CH)
+        x_pad = jnp.zeros(n_src * CH, x.dtype).at[: self.n_in].set(x)
+        xg = jnp.zeros((n_src, self.R1 * LANES), x.dtype)
+        xg = xg.at[:, :CH].set(x_pad.reshape(n_src, CH))
+        y1 = self.stage1(xg.reshape(-1))  # [n_src, n_dst_pad*Q]
+        y1 = y1.reshape(n_src, self.n_dst_pad, Q)[:, :n_dst, :]
+        # move buckets: [n_src, n_dst, Q] -> [n_dst, n_src, Q]
+        y2 = jnp.transpose(y1, (1, 0, 2))
+        # stage-3 grid: [n_dst, n_src_pad*Q] with zeros in the padding
+        zg = jnp.zeros((n_dst, self.R3 * LANES), x.dtype)
+        zg = zg.at[:, : n_src * Q].set(y2.reshape(n_dst, n_src * Q))
+        y3 = self.stage3(zg.reshape(-1)).reshape(n_dst, self.R3 * LANES)
+        return y3[:, :CH].reshape(-1)[: self.n_out]
