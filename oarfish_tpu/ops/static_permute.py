@@ -129,16 +129,34 @@ def _run_batch(x, r1, r2, src, lane, rows, n_tiles):
     )(x, r1, r2, src, lane)
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["r1", "r2", "src", "lane"],
+    meta_fields=["rows", "n_tiles"],
+)
+@dataclass(frozen=True)
 class BatchTilePermute:
-    """A batch of per-tile static permutations in one pallas call."""
+    """A batch of per-tile static permutations in one pallas call.
+    A pytree: the routing arrays travel as jit ARGUMENTS (closure capture
+    would inline hundreds of MB of metadata into the HLO)."""
 
-    def __init__(self, plans: List[DeviceTilePlan]):
-        self.rows = plans[0].rows
-        self.n_tiles = len(plans)
-        self.r1 = jnp.asarray(np.stack([p.r1 for p in plans]))
-        self.r2 = jnp.asarray(np.stack([p.r2 for p in plans]))
-        self.src = jnp.asarray(np.stack([p.col_src for p in plans]))
-        self.lane = jnp.asarray(np.stack([p.col_lane for p in plans]))
+    r1: jax.Array
+    r2: jax.Array
+    src: jax.Array
+    lane: jax.Array
+    rows: int
+    n_tiles: int
+
+    @staticmethod
+    def build(plans: List[DeviceTilePlan]) -> "BatchTilePermute":
+        return BatchTilePermute(
+            r1=jnp.asarray(np.stack([p.r1 for p in plans])),
+            r2=jnp.asarray(np.stack([p.r2 for p in plans])),
+            src=jnp.asarray(np.stack([p.col_src for p in plans])),
+            lane=jnp.asarray(np.stack([p.col_lane for p in plans])),
+            rows=plans[0].rows,
+            n_tiles=len(plans),
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         x2 = x.reshape(self.n_tiles * self.rows, LANES)
@@ -153,11 +171,65 @@ class BatchTilePermute:
 # Global (arbitrary length) static permutation
 # ---------------------------------------------------------------------------
 
-CH = 256 * LANES  # elements per chunk (32768)
+CH = 128 * LANES  # elements per chunk (16384)
 
 
 def _roundup(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def spread_roundrobin(vals: np.ndarray, chunk: int = CH) -> np.ndarray:
+    """Reorder slot ids so consecutive picks rotate across chunks: pairing
+    concentrated destinations with this order keeps per-(src,dst)-chunk
+    flows near uniform instead of an outer product of concentrations."""
+    vals = np.asarray(vals)
+    if len(vals) == 0:
+        return vals
+    ch = vals // chunk
+    order = np.argsort(ch, kind="stable")
+    sorted_vals = vals[order]
+    ch_sorted = ch[order]
+    starts = np.concatenate([[0], np.nonzero(np.diff(ch_sorted))[0] + 1])
+    gid = np.zeros(len(vals), dtype=np.int64)
+    gid[starts] = 1
+    gid = np.cumsum(gid) - 1
+    rank = np.arange(len(vals)) - starts[gid]
+    rr = np.argsort(rank * (ch_sorted.max() + 1) + ch_sorted, kind="stable")
+    return sorted_vals[rr]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["stage1", "stage3"],
+    meta_fields=["n_in", "n_out", "n_src", "n_dst", "n_dst_pad", "Q",
+                 "R1", "R3"],
+)
+@dataclass(frozen=True)
+class GlobalPermutePlan:
+    stage1: BatchTilePermute
+    stage3: BatchTilePermute
+    n_in: int
+    n_out: int
+    n_src: int
+    n_dst: int
+    n_dst_pad: int
+    Q: int
+    R1: int
+    R3: int
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_src, n_dst = self.n_src, self.n_dst
+        Q = self.Q
+        x_pad = jnp.zeros(n_src * CH, x.dtype).at[: x.shape[0]].set(x)
+        xg = jnp.zeros((n_src, self.R1 * LANES), x.dtype)
+        xg = xg.at[:, :CH].set(x_pad.reshape(n_src, CH))
+        y1 = self.stage1(xg.reshape(-1))
+        y1 = y1.reshape(n_src, self.n_dst_pad, Q)[:, :n_dst, :]
+        y2 = jnp.transpose(y1, (1, 0, 2))
+        zg = jnp.zeros((n_dst, self.R3 * LANES), x.dtype)
+        zg = zg.at[:, : n_src * Q].set(y2.reshape(n_dst, n_src * Q))
+        y3 = self.stage3(zg.reshape(-1)).reshape(n_dst, self.R3 * LANES)
+        return y3[:, :CH].reshape(-1)[: self.n_out]
 
 
 class GlobalPermute:
@@ -168,6 +240,8 @@ class GlobalPermute:
          destination chunk into a [n_dst_pad, Q] quota layout;
       2. one dense XLA transpose moves quota buckets between chunks;
       3. per destination chunk, a tile permute produces final order.
+
+    Use `.plan` (a pytree) inside jitted code.
     """
 
     def __init__(self, perm: np.ndarray, n_in: int):
@@ -191,7 +265,7 @@ class GlobalPermute:
         assert len(unused_in) == N_out_pad - N_out
         # spread pad->pad routing across source chunks so it cannot
         # dominate the per-(src,dst) quota
-        perm_pad[N_out:] = np.random.default_rng(0).permutation(unused_in)
+        perm_pad[N_out:] = spread_roundrobin(unused_in)
         self.n_out = N_out
 
         d_of = np.arange(N_out_pad) // CH
@@ -248,7 +322,7 @@ class GlobalPermute:
             src_slot = perm_pad[sel] % CH
             tile_perm = complete_bijection(tgt_slot, src_slot, R1 * LANES)
             stage1_plans.append(DeviceTilePlan.build(tile_perm, R1))
-        self.stage1 = BatchTilePermute(stage1_plans)
+        self._stage1 = BatchTilePermute.build(stage1_plans)
         self.R1 = R1
 
         # stage-3 plans: for dst chunk d, input layout [n_src_pad, Q]
@@ -260,22 +334,20 @@ class GlobalPermute:
             out_slot = sel % CH
             tile_perm = complete_bijection(out_slot, in_slot, R3 * LANES)
             stage3_plans.append(DeviceTilePlan.build(tile_perm, R3))
-        self.stage3 = BatchTilePermute(stage3_plans)
+        self._stage3 = BatchTilePermute.build(stage3_plans)
         self.R3 = R3
+        self.plan = GlobalPermutePlan(
+            stage1=self._stage1,
+            stage3=self._stage3,
+            n_in=self.n_in,
+            n_out=self.n_out,
+            n_src=self.n_src,
+            n_dst=self.n_dst,
+            n_dst_pad=self.n_dst_pad,
+            Q=self.Q,
+            R1=self.R1,
+            R3=self.R3,
+        )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        n_src, n_dst = self.n_src, self.n_dst
-        Q = self.Q
-        # lay each source chunk into its [R1*128] grid (zeros beyond CH)
-        x_pad = jnp.zeros(n_src * CH, x.dtype).at[: self.n_in].set(x)
-        xg = jnp.zeros((n_src, self.R1 * LANES), x.dtype)
-        xg = xg.at[:, :CH].set(x_pad.reshape(n_src, CH))
-        y1 = self.stage1(xg.reshape(-1))  # [n_src, n_dst_pad*Q]
-        y1 = y1.reshape(n_src, self.n_dst_pad, Q)[:, :n_dst, :]
-        # move buckets: [n_src, n_dst, Q] -> [n_dst, n_src, Q]
-        y2 = jnp.transpose(y1, (1, 0, 2))
-        # stage-3 grid: [n_dst, n_src_pad*Q] with zeros in the padding
-        zg = jnp.zeros((n_dst, self.R3 * LANES), x.dtype)
-        zg = zg.at[:, : n_src * Q].set(y2.reshape(n_dst, n_src * Q))
-        y3 = self.stage3(zg.reshape(-1)).reshape(n_dst, self.R3 * LANES)
-        return y3[:, :CH].reshape(-1)[: self.n_out]
+        return self.plan(x)
