@@ -30,6 +30,7 @@ MEAN_K = 3
 ITERS = 50
 CPU_ITERS = 2
 
+V3_TIMEOUT_S = 560
 FULL_TIMEOUT_S = 400
 QUICK_TIMEOUT_S = 150
 
@@ -57,22 +58,39 @@ def tpu_phase():
     """
     import jax.numpy as jnp
 
-    from oarfish_tpu.ops.em_fast import FastEmData, run_em_fast
-
     txp_id, w, boundaries, read_id, A = make_csr()
     sys.stderr.write(f"bench: R={R} T={T} A={A} iters={ITERS}\n")
-    data, _order = FastEmData.build(
-        txp_id, w, boundaries, T, dtype=jnp.float32, use_pallas_gather=True
-    )
     init = jnp.full(T, float(R) / T, dtype=jnp.float32)
 
-    def timed(n_iters):
-        counts, niter = run_em_fast(data, init, n_iters, -1.0)
-        t0 = time.perf_counter()
-        out = np.asarray(counts)
-        dt = time.perf_counter() - t0
-        assert int(np.asarray(niter)) == n_iters
-        return dt, out
+    impl = os.environ.get("OARFISH_BENCH_IMPL", "v3")
+    if impl == "v3":
+        from oarfish_tpu.ops.em_v3 import EmV3Data, make_runner
+
+        data, _order = EmV3Data.build(txp_id, w, boundaries, T)
+        runner = make_runner(data)
+
+        def timed(n_iters):
+            counts, niter = runner(init, n_iters, -1.0)
+            t0 = time.perf_counter()
+            out = np.asarray(counts)
+            dt = time.perf_counter() - t0
+            assert int(np.asarray(niter)) == n_iters
+            return dt, out
+    else:
+        from oarfish_tpu.ops.em_fast import FastEmData, run_em_fast
+
+        data, _order = FastEmData.build(
+            txp_id, w, boundaries, T, dtype=jnp.float32,
+            use_pallas_gather=True,
+        )
+
+        def timed(n_iters):
+            counts, niter = run_em_fast(data, init, n_iters, -1.0)
+            t0 = time.perf_counter()
+            out = np.asarray(counts)
+            dt = time.perf_counter() - t0
+            assert int(np.asarray(niter)) == n_iters
+            return dt, out
 
     timed(ITERS)  # compile + warm the tunnel
     timed(3 * ITERS)
@@ -139,15 +157,20 @@ def main():
     if "--quick" in sys.argv:
         R, T, ITERS = 200_000, 50_000, 20
 
-    scale = "full"
-    res = run_sub({}, FULL_TIMEOUT_S)
+    scale = "full-v3"
+    res = run_sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
+    if res is None:
+        scale = "full"
+        res = run_sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)
     if res is None:
         scale = "quick"
-        res = run_sub({"OARFISH_BENCH_SCALE": "quick"}, QUICK_TIMEOUT_S)
+        res = run_sub({"OARFISH_BENCH_SCALE": "quick",
+                       "OARFISH_BENCH_IMPL": "fast"}, QUICK_TIMEOUT_S)
     if res is None:
         scale = "cpu-device-fallback"
         res = run_sub(
-            {"OARFISH_BENCH_SCALE": "quick", "OARFISH_BENCH_CPU": "1"},
+            {"OARFISH_BENCH_SCALE": "quick", "OARFISH_BENCH_CPU": "1",
+             "OARFISH_BENCH_IMPL": "fast"},
             QUICK_TIMEOUT_S,
         )
     if res is None:
@@ -157,7 +180,7 @@ def main():
         }))
         return
 
-    if scale != "full":
+    if scale.startswith("quick") or scale.startswith("cpu"):
         R, T, ITERS = 200_000, 50_000, 20
     reads_per_s = res["R"] * res["iters"] / res["dt_per_iters"]
     txp_id, w, boundaries, read_id, A = make_csr()

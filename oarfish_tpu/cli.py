@@ -128,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--em-impl",
-        choices=["auto", "segsum", "fast", "pallas"],
+        choices=["auto", "segsum", "fast", "pallas", "v3"],
         default="auto",
         help="EM kernel: segment-sum or the scatter-free formulation "
         "(auto: fast on TPU, segsum elsewhere; pallas uses the "

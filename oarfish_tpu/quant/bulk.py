@@ -124,7 +124,7 @@ def perform_inference_and_write_output(
     impl = args.em_impl
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
-    if impl == "pallas" and jax.default_backend() == "cpu":
+    if impl in ("pallas", "v3") and jax.default_backend() == "cpu":
         log.warning("pallas EM kernels need a TPU backend; using 'fast'")
         impl = "fast"
     # explicit multi-shard request: read-sharded data-parallel EM (the
@@ -133,6 +133,67 @@ def perform_inference_and_write_output(
         impl = "sharded"
 
     T = len(txps_name)
+    if impl == "v3":
+        import jax.numpy as jnp
+
+        from ..ops.em_v3 import EmV3Data, make_runner
+
+        w = store.as_prob.astype(np.float64)
+        if opts.model_coverage:
+            w = w * store.cov_prob
+        if dens_prob is not None:
+            w = w * dens_prob
+        try:
+            t0 = time.time()
+            v3data, _order = EmV3Data.build(
+                store.txp_id, w, store.boundaries, T
+            )
+            log.info("v3 routing built in %.1fs", time.time() - t0)
+            runner = make_runner(v3data)
+            init_j = (
+                jnp.asarray(init, dtype=jnp.float32)
+                if init is not None
+                else jnp.full(T, store.num_reads / T, dtype=jnp.float32)
+            )
+            t0 = time.time()
+            counts_j, niter = runner(
+                init_j, args.max_em_iter, args.convergence_thresh
+            )
+            counts = np.asarray(counts_j, dtype=np.float64)
+            niter = int(niter)
+            log.info(
+                "v3 EM converged after %d iterations in %.3fs",
+                niter, time.time() - t0,
+            )
+            unique, total = get_aux_counts(store, T)
+            info = get_json_info(args, opts, store.discard, digest, aln_time_s)
+            write_output(
+                args.output, info, txps_name, txps_len, counts, unique, total
+            )
+            if args.num_bootstraps > 0:
+                rng = np.random.default_rng(args.seed)
+                mult = bootstrap_ops.sample_multiplicities(
+                    rng, args.num_bootstraps, store.num_reads
+                )[:, _order]
+                breps = []
+                for b in range(args.num_bootstraps):
+                    cb, _ = runner(
+                        init_j, args.max_em_iter, args.convergence_thresh,
+                        multiplicity=jnp.asarray(mult[b], dtype=jnp.float32),
+                    )
+                    breps.append(np.asarray(cb, dtype=np.float64))
+                write_infrep_file(args.output, np.stack(breps))
+            if args.write_assignment_probs is not None:
+                write_out_prob(
+                    args.output, store, counts, txps_name,
+                    args.display_thresh, opts.model_coverage,
+                    compressed=args.write_assignment_probs
+                    == ReadAssignmentProbOut.COMPRESSED,
+                )
+            return counts
+        except ValueError as e:
+            log.warning("v3 routing unavailable (%s); using 'fast'", e)
+            impl = "fast"
     if impl == "sharded":
         import jax.numpy as jnp
 
