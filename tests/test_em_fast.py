@@ -53,3 +53,16 @@ def test_fast_em_multiplicity():
                      multiplicity=jnp.asarray(mult))
     np.testing.assert_allclose(np.asarray(counts), np.asarray(want),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_v3_build_falls_back_or_raises_small_scale():
+    """v3 routing is a large-scale design: at toy sizes the quota layout
+    degenerates and the driver must fall back cleanly."""
+    import pytest
+
+    from oarfish_tpu.ops.em_v3 import EmV3Data
+
+    rng = np.random.default_rng(0)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=300, T=40)
+    with pytest.raises(ValueError, match="degenerate"):
+        EmV3Data.build(txp_id, w, boundaries, T)
