@@ -62,11 +62,14 @@ def tpu_phase():
     sys.stderr.write(f"bench: R={R} T={T} A={A} iters={ITERS}\n")
     init = jnp.full(T, float(R) / T, dtype=jnp.float32)
 
-    impl = os.environ.get("OARFISH_BENCH_IMPL", "v3")
-    if impl == "v3":
-        from oarfish_tpu.ops.em_v3 import EmV3Data, make_runner
+    impl = os.environ.get("OARFISH_BENCH_IMPL", "v4")
+    if impl in ("v3", "v4"):
+        if impl == "v4":
+            from oarfish_tpu.ops.em_v4 import EmV4Data as _Data, make_runner
+        else:
+            from oarfish_tpu.ops.em_v3 import EmV3Data as _Data, make_runner
 
-        data, _order = EmV3Data.build(txp_id, w, boundaries, T)
+        data, _order = _Data.build(txp_id, w, boundaries, T)
         runner = make_runner(data)
 
         def timed(n_iters):
@@ -157,8 +160,11 @@ def main():
     if "--quick" in sys.argv:
         R, T, ITERS = 200_000, 50_000, 20
 
-    scale = "full-v3"
-    res = run_sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
+    scale = "full-v4"
+    res = run_sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
+    if res is None:
+        scale = "full-v3"
+        res = run_sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
     if res is None:
         scale = "full"
         res = run_sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)

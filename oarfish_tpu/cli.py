@@ -128,11 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--em-impl",
-        choices=["auto", "segsum", "fast", "pallas", "v3"],
+        choices=["auto", "segsum", "fast", "pallas", "v3", "v4"],
         default="auto",
         help="EM kernel: segment-sum or the scatter-free formulation "
         "(auto: fast on TPU, segsum elsewhere; pallas uses the "
-        "MXU sorted-gather kernel)",
+        "MXU sorted-gather kernel; v3/v4 are the fully static-routed "
+        "large-scale iterations)",
     )
     p.add_argument("--num-shards", type=int, default=0,
                    help="data-parallel device shards (0 = all local devices)")

@@ -34,7 +34,7 @@ from .static_permute import GlobalPermute
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["g_p0", "g_p1", "g_lane", "g_hi", "w_csc", "txp_offsets",
+    data_fields=["g_base", "g_lane", "g_hi", "w_csc", "txp_offsets",
                  "p1", "p2"],
     meta_fields=["g_rows", "g_table_rows", "num_tiles", "bucket_shapes",
                  "bucket_starts", "n_slots", "num_reads", "num_txps"],
@@ -46,8 +46,7 @@ class EmV3Data:
     constants — the remote compiler rejects oversized modules)."""
 
     # sorted prev-gather
-    g_p0: jax.Array
-    g_p1: jax.Array
+    g_base: jax.Array
     g_lane: jax.Array
     g_hi: jax.Array
     g_rows: int
@@ -71,6 +70,7 @@ class EmV3Data:
         weights: np.ndarray,
         boundaries: np.ndarray,
         num_txps: int,
+        debug: bool = False,
     ) -> Tuple["EmV3Data", np.ndarray]:
         txp_id = np.asarray(txp_id, dtype=np.int64)
         weights = np.asarray(weights, dtype=np.float64)
@@ -85,23 +85,6 @@ class EmV3Data:
         txp_sorted = txp_id[order]
         plan = SortedGatherPlan.build(txp_sorted, T + 1)
         L = plan.out_len
-        mask = plan.src_pos >= 0
-        w_csc = np.zeros(L, dtype=np.float64)
-        w_csc[mask] = weights[order][plan.src_pos[mask]]
-        # csc position of each sorted element
-        pos_of_sorted = np.zeros(A, dtype=np.int64)
-        pos_of_sorted[plan.src_pos[mask]] = np.nonzero(mask)[0]
-        # csc position of alignment a (original order)
-        csc_pos = np.zeros(A, dtype=np.int64)
-        csc_pos[order] = pos_of_sorted
-
-        counts = np.bincount(txp_id, minlength=T)
-        offsets = np.zeros(T + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        inv = np.zeros(A + 1, dtype=np.int64)
-        inv[plan.src_pos[mask]] = np.nonzero(mask)[0]
-        inv[A] = L
-        offsets = inv[offsets]
 
         # ---- read buckets (as em_fast): rows relabeled contiguous
         maxk = int(sizes.max()) if R else 1
@@ -148,50 +131,67 @@ class EmV3Data:
             np.concatenate(order_parts) if order_parts else np.empty(0, np.int64)
         )
 
-        # ---- permutes
-        # Full-length bijections: both perms cover the whole rounded slot
-        # space so GlobalPermute has no internal tail. Pad routing pairs
-        # concentrated regions (csc tail, heavily-padded buckets) against
-        # round-robin-ordered counterparts, keeping chunk flows uniform.
-        from .static_permute import CH as _CH, spread_roundrobin
+        # ---- rounded layout: interleave the csc padding
+        # Both permutes span the full rounded slot space [0, NPAD). A
+        # contiguous zero tail on the csc side concentrated whole pad
+        # chunks into single (src,dst) quota pairs and doubled
+        # GlobalPermute's Q; instead the sorted-gather plan's rows are
+        # SPREAD evenly over the rounded row count, with all-zero one-hot
+        # pad rows interleaved (they emit zeros; their w_csc is 0). This
+        # also dilutes the per-chunk data-flow density on the csc side.
+        from .static_permute import CH as _CH, balanced_pad_routing
 
-        NPAD = ((max(L, n_slots) + _CH - 1) // _CH) * _CH
+        NPAD = ((max(L, n_slots) + 2 * _CH - 1) // (2 * _CH)) * (2 * _CH)
+        S = plan.table_rows
+        NR = NPAD // LANES
+        n_old = plan.n_rows
+        new_of_old = (np.arange(n_old, dtype=np.int64) * NR) // n_old
+        g_base = np.full((NR, LANES), -2, dtype=np.int32)
+        g_base[new_of_old] = plan.base[:, None]
+        g_lane = np.zeros((NR, LANES), dtype=np.int32)
+        g_lane[new_of_old] = np.asarray(plan.lane)
+        g_hi = np.zeros((NR, LANES), dtype=bool)
+        g_hi[new_of_old] = np.asarray(plan.use_hi)
+        src_pos = np.full((NR, LANES), -1, dtype=np.int64)
+        src_pos[new_of_old] = plan.src_pos.reshape(n_old, LANES)
+        src_pos = src_pos.reshape(-1)
 
+        mask = src_pos >= 0
+        w_csc = np.zeros(NPAD, dtype=np.float64)
+        w_csc[mask] = weights[order][src_pos[mask]]
+        # csc position of each sorted element / of alignment a
+        pos_of_sorted = np.zeros(A, dtype=np.int64)
+        pos_of_sorted[src_pos[mask]] = np.nonzero(mask)[0]
+        csc_pos = np.zeros(A, dtype=np.int64)
+        csc_pos[order] = pos_of_sorted
+
+        counts = np.bincount(txp_id, minlength=T)
+        offsets = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        inv = np.zeros(A + 1, dtype=np.int64)
+        inv[src_pos[mask]] = np.nonzero(mask)[0]
+        inv[A] = NPAD
+        offsets = inv[offsets]
+
+        # ---- permutes (full-length bijections, flow-balanced pads)
         # P1: out[bucket_slot] = contrib_csc[csc_pos]; all other slots
-        # route zero-valued sources (csc pads have w=0; slots >= L are
-        # zero-extended by GlobalPermute)
-        perm1 = np.full(NPAD, -1, dtype=np.int64)
-        perm1[slot_of_aln] = csc_pos
-        free_out = spread_roundrobin(np.nonzero(perm1 < 0)[0])
-        used = np.zeros(NPAD, dtype=bool)
-        used[csc_pos] = True
-        # both sides round-robin, one reversed: the heavy residual chunk
-        # at each sequence end meets the other side's well-mixed head
-        free_in = spread_roundrobin(np.nonzero(~used)[0])[::-1]
-        perm1[free_out] = free_in
+        # route zero-valued sources (csc pads have w=0)
+        perm1 = balanced_pad_routing(slot_of_aln, csc_pos, NPAD)
         p1 = GlobalPermute(perm1, NPAD).plan
-
         # P2: out[csc_pos] = scale_slots[bucket_slot]; csc pads receive
         # arbitrary unused bucket slots (multiplied by w=0 downstream)
-        perm2 = np.full(NPAD, -1, dtype=np.int64)
-        perm2[csc_pos] = slot_of_aln
-        free_out2 = spread_roundrobin(np.nonzero(perm2 < 0)[0])
-        used2 = np.zeros(NPAD, dtype=bool)
-        used2[slot_of_aln] = True
-        free_in2 = spread_roundrobin(np.nonzero(~used2)[0])[::-1]
-        perm2[free_out2] = free_in2
+        perm2 = balanced_pad_routing(csc_pos, slot_of_aln, NPAD)
         p2 = GlobalPermute(perm2, NPAD).plan
 
         data = EmV3Data(
-            g_p0=plan.p0,
-            g_p1=plan.p1,
-            g_lane=plan.lane,
-            g_hi=plan.use_hi,
-            g_rows=plan.n_rows,
-            g_table_rows=plan.table_rows,
+            g_base=jnp.asarray(g_base),
+            g_lane=jnp.asarray(g_lane),
+            g_hi=jnp.asarray(g_hi),
+            g_rows=NR,
+            g_table_rows=S,
             w_csc=jnp.asarray(w_csc, dtype=jnp.float32),
             txp_offsets=jnp.asarray(offsets),
-            num_tiles=L // TILE,
+            num_tiles=NPAD // TILE,
             p1=p1,
             p2=p2,
             bucket_shapes=tuple(bucket_shapes),
@@ -200,6 +200,18 @@ class EmV3Data:
             num_reads=R,
             num_txps=T,
         )
+        if debug:
+            dbg = {
+                "perm1": perm1,
+                "perm2": perm2,
+                "src_pos": src_pos,
+                "txp_sorted": txp_sorted,
+                "w_csc": w_csc,
+                "offsets": np.asarray(offsets),
+                "slot_of_aln": slot_of_aln,
+                "NPAD": NPAD,
+            }
+            return data, read_order, dbg
         return data, read_order
 
 
@@ -212,7 +224,7 @@ def _m_step_v3(data: EmV3Data, prev, multiplicity):
         [prev_ext, jnp.zeros(pad, prev_ext.dtype)]
     ).reshape(S, LANES)
     gathered = _gather_run(
-        table2d, data.g_p0, data.g_p1, data.g_lane, data.g_hi,
+        table2d, data.g_base, data.g_lane, data.g_hi,
         data.g_rows, S,
     ).reshape(-1)
     contrib_csc = gathered * data.w_csc

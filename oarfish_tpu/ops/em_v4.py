@@ -1,0 +1,461 @@
+"""EM v4: the dual-bucketed, fully-static-routed iteration.
+
+Where v3 staged alignments in transcript-sorted (CSC) order and reduced
+per-transcript mass with a cumsum-difference (requiring a sorted MXU
+gather of `prev`, double-double tile prefixes, and T-sized dynamic
+boundary gathers at ~7 ns/element), v4 makes BOTH reductions dense row
+sums over bucketed layouts and connects them with two static
+permutations:
+
+  prev[T] --tiny tile permute--> per-transcript-row values
+          --row broadcast--> prev_slots ; contrib_t = prev_slots * w_txp
+  contrib_t --P_A--> read-bucket layout
+  read-row sums -> denom -> scale -> row broadcast
+  inc = contrib_read * scale_slots
+  inc --P_B--> transcript-bucket layout
+  txp-row sums (+ second level for chunked hot transcripts)
+          --tiny tile permute--> curr[T]
+
+No gathers, no scatters, no cumsums over the alignment space: the whole
+iteration is row reductions, broadcasts, elementwise products, and four
+static permutation networks (`static_permute`).
+
+Layout: buckets are stored COLUMN-MAJOR within groups of 128 rows — the
+slot of (row i, position j) is `start + (i//128)*K*128 + j*128 + i%128`
+— so every reduction and broadcast is over a `[groups, K, 128]` view
+whose minor dimension is exactly the 128-lane vector width. (The naive
+`[rows, K]` view forces XLA to lane-pad the minor dimension: a
+`[rows, 1]` intermediate materializes at 128x its logical size, which
+measured ~5 ms/iteration of pure padding traffic at A=6M.) Row counts
+are padded to multiples of 128 with all-zero rows.
+
+Transcripts with more than CAPK alignments are chunked over consecutive
+CAPK-wide rows and their row sums reduced in a tiny static second
+level, keeping the bucket padding ~10% instead of the up-to-2x of pure
+power-of-two rounding.
+
+Semantics match the reference serial EM (`em.rs:87-255`) exactly as
+`em_fast`/`em_v3` do; parity is tested against the NumPy oracle through
+the Pallas interpret path and a NumPy routing simulation
+(`tests/test_static_routing.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EM_DENOM_THRESH, MIN_READ_THRESH
+from .em_fast import _rel_diff
+from .gather_pallas import LANES
+from .static_permute import (
+    CH,
+    BatchTilePermute,
+    DeviceTilePlan,
+    GlobalPermute,
+    balanced_pad_routing,
+)
+
+CAPK = 2048  # max bucket row width; wider transcripts are row-chunked
+
+
+def _pad128(n: int) -> int:
+    return ((n + LANES - 1) // LANES) * LANES
+
+
+def _pow2_buckets(sizes: np.ndarray, shuffle_rng):
+    """Group rows (reads or transcripts) by power-of-two size buckets.
+    Returns (shapes, starts, row_parts, n_slots): shapes hold the
+    128-PADDED row count per bucket; row_parts the true member ids
+    (shuffled within buckets — flow decorrelation, see em_v3). Size-0
+    rows are excluded."""
+    maxk = int(sizes.max()) if len(sizes) else 1
+    ks: List[int] = []
+    K = 1
+    while K < maxk:
+        ks.append(K)
+        K *= 2
+    ks.append(max(K, 1))
+    shapes = []
+    starts = []
+    row_parts = []
+    n_slots = 0
+    lo = 0
+    for K in ks:
+        rows = np.nonzero((sizes > lo) & (sizes <= K))[0]
+        lo = K
+        if len(rows) == 0:
+            continue
+        rows = shuffle_rng.permutation(rows)
+        starts.append(n_slots)
+        rows_pad = _pad128(len(rows))
+        shapes.append((rows_pad, K))
+        row_parts.append(rows)
+        n_slots += rows_pad * K
+    return shapes, starts, row_parts, n_slots
+
+
+def _colmajor_slot(start: int, K: int, row, col):
+    """Flat slot of (bucket row, position) in the column-major layout."""
+    return start + (row >> 7) * (K << 7) + (col << 7) + (row & 127)
+
+
+def _tile_rows(n: int) -> int:
+    """Smallest row count (multiple of 128) whose [rows,128] tile holds n."""
+    rows = (n + LANES - 1) // LANES
+    return ((rows + LANES - 1) // LANES) * LANES
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["w_txp", "p_a", "p_b", "t_in", "t_out", "big_row_of_txp",
+                 "big_row_offsets"],
+    meta_fields=["read_shapes", "read_starts", "n_slots_r", "row_space_r",
+                 "small_shapes", "small_starts", "row_space_s",
+                 "big_rows_pad", "n_big", "n_slots_t", "t_space",
+                 "num_reads", "num_txps"],
+)
+@dataclass(frozen=True)
+class EmV4Data:
+    """Static device state for the dual-bucketed EM (a pytree; all large
+    routing arrays travel as jit arguments)."""
+
+    w_txp: jax.Array  # [n_slots_t] weights in txp-bucket layout (pads 0)
+    p_a: object  # GlobalPermutePlan: txp layout -> read layout
+    p_b: object  # GlobalPermutePlan: read layout -> txp layout
+    t_in: object  # BatchTilePermute: prev[T] -> per-row / per-big values
+    t_out: object  # BatchTilePermute: row sums -> curr[T]
+    big_row_of_txp: jax.Array  # [big_rows_pad] i32: big-txp idx per row
+    big_row_offsets: jax.Array  # [n_big+1] i32 row ranges per big txp
+    read_shapes: Tuple[Tuple[int, int], ...]  # (rows_pad, K)
+    read_starts: Tuple[int, ...]
+    n_slots_r: int
+    row_space_r: int
+    small_shapes: Tuple[Tuple[int, int], ...]
+    small_starts: Tuple[int, ...]
+    row_space_s: int
+    big_rows_pad: int
+    n_big: int
+    n_slots_t: int
+    t_space: int
+    num_reads: int
+    num_txps: int
+
+    @staticmethod
+    def build(
+        txp_id: np.ndarray,
+        weights: np.ndarray,
+        boundaries: np.ndarray,
+        num_txps: int,
+        debug: bool = False,
+    ):
+        txp_id = np.asarray(txp_id, dtype=np.int64)
+        weights = np.asarray(weights, dtype=np.float64)
+        boundaries = np.asarray(boundaries, dtype=np.int64)
+        R = len(boundaries) - 1
+        A = len(txp_id)
+        T = int(num_txps)
+        sizes = np.diff(boundaries)
+
+        # ---- read-side buckets
+        rng_r = np.random.default_rng(3)
+        read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
+            sizes, rng_r
+        )
+        row_space_r = sum(rp for rp, _ in read_shapes)
+        # read id per PADDED row position (pads get read 0: their slots
+        # are all-zero so any multiplicity routed there is inert)
+        read_order = np.zeros(row_space_r, dtype=np.int64)
+        slot_of_aln = np.zeros(A, dtype=np.int64)
+        row_base = 0
+        for (rows_pad, K), start, rows in zip(
+            read_shapes, read_starts, read_row_parts
+        ):
+            read_order[row_base : row_base + len(rows)] = rows
+            row_sizes = sizes[rows]
+            rep = np.repeat(np.arange(len(rows)), row_sizes)
+            col = np.arange(int(row_sizes.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(row_sizes)[:-1]]), row_sizes
+            )
+            src = np.repeat(boundaries[rows], row_sizes) + col
+            slot_of_aln[src] = _colmajor_slot(start, K, rep, col)
+            row_base += rows_pad
+
+        # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
+        counts = np.bincount(txp_id, minlength=T)
+        rng_t = np.random.default_rng(5)
+        small_mask = (counts > 0) & (counts <= CAPK)
+        small_sizes = np.where(small_mask, counts, 0)
+        small_shapes, small_starts, small_row_parts, n_small_slots = (
+            _pow2_buckets(small_sizes, rng_t)
+            if small_mask.any()
+            else ([], [], [], 0)
+        )
+        row_space_s = sum(rp for rp, _ in small_shapes)
+
+        big_txps = np.nonzero(counts > CAPK)[0]
+        big_txps = rng_t.permutation(big_txps)
+        n_big = len(big_txps)
+        big_chunks = (
+            np.ceil(counts[big_txps] / CAPK).astype(np.int64)
+            if n_big
+            else np.empty(0, np.int64)
+        )
+        n_big_rows = int(big_chunks.sum())
+        big_rows_pad = _pad128(n_big_rows)
+        big_row_offsets = np.zeros(n_big + 1, dtype=np.int64)
+        np.cumsum(big_chunks, out=big_row_offsets[1:])
+        big_row_of_txp = np.zeros(big_rows_pad, dtype=np.int64)
+        if n_big:
+            big_row_of_txp[:n_big_rows] = np.repeat(
+                np.arange(n_big), big_chunks
+            )
+        big_start = n_small_slots
+        n_slots_t = n_small_slots + big_rows_pad * CAPK
+
+        # per-alignment rank within its transcript
+        ord2 = np.argsort(txp_id, kind="stable")
+        run_start = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=run_start[1:])
+        rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
+        rank = np.zeros(A, dtype=np.int64)
+        rank[ord2] = rank_sorted
+
+        # slot of each alignment in the transcript layout
+        txp_slot_of_aln = np.zeros(A, dtype=np.int64)
+        small_aln = small_mask[txp_id]
+        row_of_small_txp = np.full(T, -1, dtype=np.int64)
+        bK_of_small_txp = np.zeros(T, dtype=np.int64)
+        bstart_of_small_txp = np.zeros(T, dtype=np.int64)
+        row_base = 0
+        small_txp_row_pos = np.full(T, -1, dtype=np.int64)  # flat row pos
+        for (rows_pad, K), start, rows in zip(
+            small_shapes, small_starts, small_row_parts
+        ):
+            row_of_small_txp[rows] = np.arange(len(rows))
+            bK_of_small_txp[rows] = K
+            bstart_of_small_txp[rows] = start
+            small_txp_row_pos[rows] = row_base + np.arange(len(rows))
+            row_base += rows_pad
+        if small_aln.any():
+            t = txp_id[small_aln]
+            txp_slot_of_aln[small_aln] = _colmajor_slot(
+                bstart_of_small_txp[t],
+                bK_of_small_txp[t],
+                row_of_small_txp[t],
+                rank[small_aln],
+            )
+        if n_big:
+            big_index = np.full(T, -1, dtype=np.int64)
+            big_index[big_txps] = np.arange(n_big)
+            big_aln = counts[txp_id] > CAPK
+            bi = big_index[txp_id[big_aln]]
+            row = big_row_offsets[bi] + rank[big_aln] // CAPK
+            txp_slot_of_aln[big_aln] = _colmajor_slot(
+                big_start, CAPK, row, rank[big_aln] % CAPK
+            )
+
+        # ---- permutes over the unified rounded space
+        NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
+        w_txp = np.zeros(n_slots_t, dtype=np.float64)
+        w_txp[txp_slot_of_aln] = weights
+        perm_a = balanced_pad_routing(slot_of_aln, txp_slot_of_aln, NPAD)
+        p_a = GlobalPermute(perm_a, NPAD).plan
+        perm_b = balanced_pad_routing(txp_slot_of_aln, slot_of_aln, NPAD)
+        p_b = GlobalPermute(perm_b, NPAD).plan
+
+        # ---- tiny T-space tile permutes
+        t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
+        t_space = t_rows * LANES
+        # t_in: out[row pos] = prev[small txp of that row], then the big
+        # txps as a dense block after the small row space
+        have_s = small_txp_row_pos >= 0
+        perm_in = np.full(t_space, -1, dtype=np.int64)
+        perm_in[small_txp_row_pos[have_s]] = np.nonzero(have_s)[0]
+        if n_big:
+            perm_in[row_space_s : row_space_s + n_big] = big_txps
+        used = np.zeros(t_space, dtype=bool)
+        used[perm_in[perm_in >= 0]] = True
+        free_out = np.nonzero(perm_in < 0)[0]
+        perm_in[free_out] = np.nonzero(~used)[0]
+        t_in = BatchTilePermute.build([DeviceTilePlan.build(perm_in, t_rows)])
+
+        # t_out: curr[t] = v[pos_of_t]; v = [small row sums (flat row
+        # positions), big txp sums, zeros]; empty transcripts route from
+        # the zero tail (padded rows sum to zero as well)
+        pos_of_txp = np.full(T, -1, dtype=np.int64)
+        pos_of_txp[have_s] = small_txp_row_pos[have_s]
+        if n_big:
+            pos_of_txp[big_txps] = row_space_s + np.arange(n_big)
+        perm_out = np.full(t_space, -1, dtype=np.int64)
+        have = pos_of_txp >= 0
+        perm_out[np.nonzero(have)[0]] = pos_of_txp[have]
+        free_out = np.nonzero(perm_out < 0)[0]
+        used = np.zeros(t_space, dtype=bool)
+        used[pos_of_txp[have]] = True
+        # route empty/pad outputs from slots past the live v prefix where
+        # possible (they hold zeros); any leftover free inputs also work
+        # because v's tail is zero-filled
+        perm_out[free_out] = np.nonzero(~used)[0]
+        t_out = BatchTilePermute.build(
+            [DeviceTilePlan.build(perm_out, t_rows)]
+        )
+
+        data = EmV4Data(
+            w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
+            p_a=p_a,
+            p_b=p_b,
+            t_in=t_in,
+            t_out=t_out,
+            big_row_of_txp=jnp.asarray(big_row_of_txp, dtype=jnp.int32),
+            big_row_offsets=jnp.asarray(big_row_offsets, dtype=jnp.int32),
+            read_shapes=tuple(read_shapes),
+            read_starts=tuple(read_starts),
+            n_slots_r=n_slots_r,
+            row_space_r=row_space_r,
+            small_shapes=tuple(small_shapes),
+            small_starts=tuple(small_starts),
+            row_space_s=row_space_s,
+            big_rows_pad=big_rows_pad,
+            n_big=n_big,
+            n_slots_t=n_slots_t,
+            t_space=t_space,
+            num_reads=R,
+            num_txps=T,
+        )
+        if debug:
+            dbg = {
+                "perm_a": perm_a,
+                "perm_b": perm_b,
+                "perm_in": perm_in,
+                "perm_out": perm_out,
+                "slot_of_aln": slot_of_aln,
+                "txp_slot_of_aln": txp_slot_of_aln,
+                "w_txp": w_txp,
+                "NPAD": NPAD,
+                "big_txps": big_txps,
+            }
+            return data, read_order, dbg
+        return data, read_order
+
+
+def _row_sums(slots, shapes, starts, xp=jnp):
+    """Per-row sums in the column-major layout: flat [sum rows_pad],
+    position = bucket row index (pads sum to zero)."""
+    parts = []
+    for (rows_pad, K), start in zip(shapes, starts):
+        g = rows_pad // LANES
+        blk = slots[start : start + rows_pad * K].reshape(g, K, LANES)
+        parts.append(blk.sum(axis=1).reshape(-1))
+    if not parts:
+        return xp.zeros(0, slots.dtype)
+    return xp.concatenate(parts)
+
+
+def _row_broadcast(values, shapes, xp=jnp):
+    """Inverse of `_row_sums`: expand one value per row across its K
+    column-major slots."""
+    parts = []
+    roff = 0
+    for rows_pad, K in shapes:
+        g = rows_pad // LANES
+        blk = values[roff : roff + rows_pad].reshape(g, 1, LANES)
+        parts.append(
+            xp.broadcast_to(blk, (g, K, LANES)).reshape(-1)
+        )
+        roff += rows_pad
+    if not parts:
+        return xp.zeros(0, values.dtype)
+    return xp.concatenate(parts)
+
+
+def _m_step_v4(data: EmV4Data, prev, multiplicity):
+    T = data.num_txps
+    dt = prev.dtype
+    # 1. deliver prev to transcript rows (tiny static tile permute)
+    ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
+    pr = data.t_in(ext)
+    pr_small = pr[: data.row_space_s]
+    pr_big = pr[data.row_space_s : data.row_space_s + data.n_big]
+
+    # 2. contrib in the transcript layout
+    parts = [_row_broadcast(pr_small, data.small_shapes)]
+    if data.big_rows_pad:
+        pr_rows = jnp.take(pr_big, data.big_row_of_txp)  # tiny static
+        g = data.big_rows_pad // LANES
+        parts.append(
+            jnp.broadcast_to(
+                pr_rows.reshape(g, 1, LANES), (g, CAPK, LANES)
+            ).reshape(-1)
+        )
+    prev_slots = jnp.concatenate(parts) if parts else jnp.zeros(0, dt)
+    contrib_t = prev_slots * data.w_txp
+
+    # 3. route to the read layout; exact denominators (pads carry zero)
+    contrib_r = data.p_a(contrib_t)[: data.n_slots_r]
+    denom = _row_sums(contrib_r, data.read_shapes, data.read_starts)
+    scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
+    if multiplicity is not None:
+        scale = scale * multiplicity.astype(dt)
+    scale_slots = _row_broadcast(scale, data.read_shapes)
+    inc_r = contrib_r * scale_slots
+
+    # 4. route back; per-transcript masses as dense row sums
+    inc_t = data.p_b(inc_r)[: data.n_slots_t]
+    small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
+    if data.big_rows_pad:
+        g = data.big_rows_pad // LANES
+        big_rows = inc_t[
+            data.n_slots_t - data.big_rows_pad * CAPK :
+        ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
+        cs = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(big_rows)])
+        o = data.big_row_offsets
+        big_sums = jnp.take(cs, o[1:]) - jnp.take(cs, o[:-1])
+        v = jnp.concatenate([small_sums, big_sums])
+    else:
+        v = small_sums
+    vv = jnp.zeros(data.t_space, dt).at[: v.shape[0]].set(v)
+    return data.t_out(vv)[:T]
+
+
+def make_runner(data: EmV4Data):
+    """Jitted EM runner; `data` is a pytree argument."""
+
+    def run_em_v4(init, max_iter, convergence_thresh, multiplicity=None,
+                  min_iters=50):
+        return _run_em_v4_jit(data, init, max_iter, convergence_thresh,
+                              multiplicity, min_iters)
+
+    return run_em_v4
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def _run_em_v4_jit(data, init, max_iter, convergence_thresh,
+                   multiplicity=None, min_iters=50):
+    """Same loop semantics as `run_em` (`em.rs:144-255`)."""
+    convergence_thresh = jnp.asarray(convergence_thresh, dtype=init.dtype)
+
+    def cond(state):
+        niter, _prev, converged = state
+        return jnp.any((niter < max_iter) & (~converged))
+
+    def body(state):
+        niter, prev, converged = state
+        curr = _m_step_v4(data, prev, multiplicity)
+        rd = _rel_diff(prev, curr)
+        newly = (rd < convergence_thresh) & (niter > min_iters)
+        curr = jnp.where(converged, prev, curr)
+        niter = jnp.where(converged, niter, niter + 1)
+        return (niter, curr, converged | newly)
+
+    niter, prev, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), init, jnp.asarray(False))
+    )
+    prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
+    counts = _m_step_v4(data, prev, multiplicity)
+    return counts, niter

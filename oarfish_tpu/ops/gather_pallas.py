@@ -37,10 +37,15 @@ CHUNK_ROWS = 256  # output rows per grid step
 
 @dataclass(frozen=True)
 class SortedGatherPlan:
-    """Static routing for gathering `table[idx]` (idx sorted)."""
+    """Static routing for gathering `table[idx]` (idx sorted).
 
-    p0: jax.Array  # [n_rows, S] f32 one-hot of each row's base table-row
-    p1: jax.Array  # [n_rows, S] f32 one-hot of base+1
+    The per-row one-hot delivery matrices are NOT materialized: each
+    output row stores only its base table-row index, and the kernel
+    reconstructs the [rows, S] one-hots with an iota compare (streaming
+    materialized one-hots cost S/1 x the HBM traffic — 722 MB/iteration
+    at transcriptome scale)."""
+
+    base: np.ndarray  # [n_rows] i32: each row's base table-row (<0 = pad)
     lane: jax.Array  # [n_rows, 128] i32 lane index
     use_hi: jax.Array  # [n_rows, 128] bool: element lives in base+1
     src_pos: np.ndarray  # [n_rows*128] i64: original position (or -1 pad)
@@ -86,15 +91,14 @@ class SortedGatherPlan:
         hi = r - base[:, None]
         assert hi.max() <= 1, "row splitting violated the 2-row invariant"
 
-        p0 = np.zeros((n_rows, S), dtype=np.float32)
-        p1 = np.zeros((n_rows, S), dtype=np.float32)
-        rows_arange = np.arange(n_rows)
-        p0[rows_arange, np.minimum(base, S - 1)] = 1.0
-        p1[rows_arange, np.minimum(base + 1, S - 1)] = 1.0
+        # rows beyond n_real are pure padding: base -2 matches neither
+        # iota compare, so they emit zeros (base+1 == S for a real last
+        # row is likewise a harmless no-match: use_hi is never set there)
+        base_i32 = np.full(n_rows, -2, dtype=np.int32)
+        base_i32[:n_real] = base[:n_real]
 
         return SortedGatherPlan(
-            p0=jnp.asarray(p0),
-            p1=jnp.asarray(p1),
+            base=base_i32,
             lane=jnp.asarray(c),
             use_hi=jnp.asarray(hi.astype(bool)),
             src_pos=np.asarray(rows_pos, dtype=np.int64).reshape(-1),
@@ -104,43 +108,59 @@ class SortedGatherPlan:
         )
 
 
-def _kernel(tab_ref, p0_ref, p1_ref, lane_ref, hi_ref, out_ref):
-    # the one-hot rows must pass table values through EXACTLY: on the MXU
-    # a default-precision f32 dot runs as one bf16 pass (observed ~0.4%
-    # rounding); HIGHEST decomposes each f32 into bf16 chunks whose
-    # one-hot products reconstruct the value bit-exactly
-    rows_a = jnp.dot(
-        p0_ref[:, :],
-        tab_ref[:, :],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    rows_b = jnp.dot(
-        p1_ref[:, :],
-        tab_ref[:, :],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    va = jnp.take_along_axis(rows_a, lane_ref[:, :], axis=1)
-    vb = jnp.take_along_axis(rows_b, lane_ref[:, :], axis=1)
-    out_ref[:, :] = jnp.where(hi_ref[:, :], vb, va)
+def _make_kernel(S: int):
+    def _kernel(tab_ref, base_ref, lane_ref, hi_ref, out_ref):
+        # one-hot delivery matrices built in-register from the base row
+        # index (iota compare) -- never streamed from HBM (materialized
+        # [rows, S] one-hots cost 722 MB/iteration at transcriptome
+        # scale). They must pass table values through EXACTLY: on the
+        # MXU a default-precision f32 dot runs as one bf16 pass
+        # (observed ~0.4% rounding); HIGHEST decomposes each f32 into
+        # bf16 chunks whose one-hot products reconstruct the value
+        # bit-exactly.
+        base = base_ref[:, 0:1]  # [rows, 1] i32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_ROWS, S), 1)
+        oh0 = jnp.where(iota == base, 1.0, 0.0).astype(jnp.float32)
+        oh1 = jnp.where(iota == base + 1, 1.0, 0.0).astype(jnp.float32)
+        rows_a = jnp.dot(
+            oh0,
+            tab_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows_b = jnp.dot(
+            oh1,
+            tab_ref[:, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        va = jnp.take_along_axis(rows_a, lane_ref[:, :], axis=1)
+        vb = jnp.take_along_axis(rows_b, lane_ref[:, :], axis=1)
+        out_ref[:, :] = jnp.where(hi_ref[:, :], vb, va)
+
+    return _kernel
+
+
+def _interpret() -> bool:
+    """Pallas interpret mode off-TPU: the kernels then lower to plain jax
+    ops, so the full v3 path is exercisable (and testable) on CPU."""
+    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "table_rows"))
-def _run(table2d, p0, p1, lane, use_hi, n_rows, table_rows):
+def _run(table2d, base2d, lane, use_hi, n_rows, table_rows):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     grid = (n_rows // CHUNK_ROWS,)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(table_rows),
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # table resident
-            pl.BlockSpec((CHUNK_ROWS, table_rows), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK_ROWS, table_rows), lambda i: (i, 0),
+            pl.BlockSpec((CHUNK_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((CHUNK_ROWS, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -149,7 +169,14 @@ def _run(table2d, p0, p1, lane, use_hi, n_rows, table_rows):
         ],
         out_specs=pl.BlockSpec((CHUNK_ROWS, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(table2d, p0, p1, lane, use_hi)
+    )(table2d, base2d, lane, use_hi)
+
+
+def base_lanes(base: np.ndarray) -> jax.Array:
+    """Broadcast the per-row base index across 128 lanes (the kernel
+    reads lane 0; a full-lane tile keeps the layout trivial)."""
+    return jnp.asarray(np.broadcast_to(np.asarray(base)[:, None],
+                                       (len(base), LANES)).copy())
 
 
 def sorted_gather(table: jax.Array, plan: SortedGatherPlan) -> jax.Array:
@@ -162,7 +189,7 @@ def sorted_gather(table: jax.Array, plan: SortedGatherPlan) -> jax.Array:
         [table, jnp.zeros(pad, table.dtype)]
     ).reshape(S, LANES)
     out = _run(
-        table2d, plan.p0, plan.p1, plan.lane, plan.use_hi,
+        table2d, base_lanes(plan.base), plan.lane, plan.use_hi,
         plan.n_rows, plan.table_rows,
     )
     return out.reshape(-1)

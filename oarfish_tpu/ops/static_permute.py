@@ -106,10 +106,13 @@ def _run_batch(x, r1, r2, src, lane, rows, n_tiles):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    from .gather_pallas import _interpret
+
     H = rows // LANES
     kernel = _make_kernel(H)
     return pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_tiles * rows, LANES), x.dtype),
         grid=(n_tiles,),
         in_specs=[
@@ -198,6 +201,104 @@ def spread_roundrobin(vals: np.ndarray, chunk: int = CH) -> np.ndarray:
     return sorted_vals[rr]
 
 
+def balanced_pad_routing(
+    out_idx: np.ndarray,
+    in_idx: np.ndarray,
+    n_pad: int,
+    chunk: int = CH,
+) -> np.ndarray:
+    """Complete `out[out_idx] = in_idx` to a bijection over [0, n_pad),
+    assigning the pad (out, in) pairs by a capacitated transportation
+    waterfill so the per-(src,dst)-chunk flow maximum stays as close to
+    the data flows' own maximum as supply/demand allow. (Naive pairings
+    of the free slots were observed to double the max flow, which
+    directly inflates GlobalPermute's quota Q.)"""
+    perm = np.full(n_pad, -1, dtype=np.int64)
+    perm[out_idx] = in_idx
+    free_out = np.nonzero(perm < 0)[0]
+    used = np.zeros(n_pad, dtype=bool)
+    used[in_idx] = True
+    free_in = np.nonzero(~used)[0]
+    if len(free_out) == 0:
+        return perm
+    n_ch = n_pad // chunk
+    F = np.zeros((n_ch, n_ch), dtype=np.int64)
+    np.add.at(F, (np.asarray(in_idx) // chunk, np.asarray(out_idx) // chunk), 1)
+    P = np.bincount(free_out // chunk, minlength=n_ch)
+    supply0 = np.bincount(free_in // chunk, minlength=n_ch)
+
+    total = int(P.sum())
+
+    def try_fill(C):
+        """Exact feasibility of per-pair cap C as a max-flow instance:
+        source -> src chunks (cap = free inputs there), src -> dst edges
+        (cap = C - data flow), dst chunks -> sink (cap = pads needed).
+        Returns the pad-assignment matrix, or None if infeasible."""
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import maximum_flow
+
+        cap = np.maximum(C - F, 0)
+        n = 2 * n_ch + 2
+        src_nodes = 1 + np.arange(n_ch)
+        dst_nodes = 1 + n_ch + np.arange(n_ch)
+        rows = np.concatenate([
+            np.zeros(n_ch, np.int64),
+            np.repeat(src_nodes, n_ch),
+            dst_nodes,
+        ])
+        cols = np.concatenate([
+            src_nodes,
+            np.tile(dst_nodes, n_ch),
+            np.full(n_ch, n - 1, np.int64),
+        ])
+        caps = np.concatenate([supply0, cap.reshape(-1), P])
+        keep = caps > 0
+        g = csr_matrix(
+            (caps[keep].astype(np.int32), (rows[keep], cols[keep])), (n, n)
+        )
+        res = maximum_flow(g, 0, n - 1)
+        if res.flow_value < total:
+            return None
+        fl = res.flow.tocsr()[src_nodes][:, dst_nodes].toarray()
+        return np.maximum(fl, 0).astype(np.int64)
+
+    lo_c, hi_c = int(F.max()), int(F.max() + P.max() + 1)
+    best = None
+    while lo_c < hi_c:
+        C = (lo_c + hi_c) // 2
+        x = try_fill(C)
+        if x is not None:
+            best = x
+            hi_c = C
+        else:
+            lo_c = C + 1
+    if best is None:
+        best = try_fill(hi_c)
+    x = best
+
+    # materialize the pairing: per dst chunk, pull the assigned counts
+    # from each src chunk's queue of free inputs
+    o_in = np.argsort(free_in // chunk, kind="stable")
+    fi_sorted = free_in[o_in]
+    ptr = np.searchsorted(fi_sorted // chunk, np.arange(n_ch)).astype(np.int64)
+    o_out = np.argsort(free_out // chunk, kind="stable")
+    fo_sorted = free_out[o_out]
+    db = np.searchsorted(fo_sorted // chunk, np.arange(n_ch + 1))
+    for d in range(n_ch):
+        outs = fo_sorted[db[d] : db[d + 1]]
+        if len(outs) == 0:
+            continue
+        ins = np.empty(len(outs), dtype=np.int64)
+        pos = 0
+        for s in np.nonzero(x[:, d])[0]:
+            cnt = int(x[s, d])
+            ins[pos : pos + cnt] = fi_sorted[ptr[s] : ptr[s] + cnt]
+            ptr[s] += cnt
+            pos += cnt
+        perm[outs] = ins
+    return perm
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["stage1", "stage3"],
@@ -273,9 +374,22 @@ class GlobalPermute:
         flows = np.zeros((n_src, n_dst), dtype=np.int64)
         np.add.at(flows, (s_of, d_of), 1)
         maxflow = int(flows.max())
-        n_src_pad = _roundup(n_src, 64)
-        n_dst_pad = _roundup(n_dst, 64)
-        Q = _roundup(maxflow, 256)
+        # quota-layout sizing: [n_dst_pad, Q] per chunk must tile into
+        # [R1, 128] with R1 % 128 == 0, i.e. n_pad * Q % 16384 == 0.
+        # Rounding the chunk-count padding UP can legalize a much finer
+        # Q granularity (e.g. n_pad=512 allows Q%32 instead of Q%256),
+        # shrinking the inflated grid — pick the (n_pad, Q) minimizing it.
+        import math as _math
+
+        best = None
+        for gran in (64, 128, 256, 512, 1024):
+            npd = _roundup(max(n_src, n_dst), gran)
+            q_step = (LANES * LANES) // _math.gcd(LANES * LANES, npd)
+            q = _roundup(maxflow, q_step)
+            if best is None or npd * q < best[0]:
+                best = (npd * q, npd, q)
+        _, npd, Q = best
+        n_src_pad = n_dst_pad = npd
         self.n_src, self.n_dst = n_src, n_dst
         self.n_src_pad, self.n_dst_pad, self.Q = n_src_pad, n_dst_pad, Q
         R1 = n_dst_pad * Q // LANES  # stage-1 grid rows per chunk

@@ -124,7 +124,7 @@ def perform_inference_and_write_output(
     impl = args.em_impl
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
-    if impl in ("pallas", "v3") and jax.default_backend() == "cpu":
+    if impl in ("pallas", "v3", "v4") and jax.default_backend() == "cpu":
         log.warning("pallas EM kernels need a TPU backend; using 'fast'")
         impl = "fast"
     # explicit multi-shard request: read-sharded data-parallel EM (the
@@ -133,10 +133,13 @@ def perform_inference_and_write_output(
         impl = "sharded"
 
     T = len(txps_name)
-    if impl == "v3":
+    if impl in ("v3", "v4"):
         import jax.numpy as jnp
 
-        from ..ops.em_v3 import EmV3Data, make_runner
+        if impl == "v4":
+            from ..ops.em_v4 import EmV4Data as _Data, make_runner
+        else:
+            from ..ops.em_v3 import EmV3Data as _Data, make_runner
 
         w = store.as_prob.astype(np.float64)
         if opts.model_coverage:
@@ -145,10 +148,10 @@ def perform_inference_and_write_output(
             w = w * dens_prob
         try:
             t0 = time.time()
-            v3data, _order = EmV3Data.build(
+            v3data, _order = _Data.build(
                 store.txp_id, w, store.boundaries, T
             )
-            log.info("v3 routing built in %.1fs", time.time() - t0)
+            log.info("%s routing built in %.1fs", impl, time.time() - t0)
             runner = make_runner(v3data)
             init_j = (
                 jnp.asarray(init, dtype=jnp.float32)
@@ -162,8 +165,8 @@ def perform_inference_and_write_output(
             counts = np.asarray(counts_j, dtype=np.float64)
             niter = int(niter)
             log.info(
-                "v3 EM converged after %d iterations in %.3fs",
-                niter, time.time() - t0,
+                "%s EM converged after %d iterations in %.3fs",
+                impl, niter, time.time() - t0,
             )
             unique, total = get_aux_counts(store, T)
             info = get_json_info(args, opts, store.discard, digest, aln_time_s)
@@ -192,7 +195,7 @@ def perform_inference_and_write_output(
                 )
             return counts
         except ValueError as e:
-            log.warning("v3 routing unavailable (%s); using 'fast'", e)
+            log.warning("%s routing unavailable (%s); using 'fast'", impl, e)
             impl = "fast"
     if impl == "sharded":
         import jax.numpy as jnp

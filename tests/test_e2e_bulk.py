@@ -170,3 +170,16 @@ def test_cli_mode_validation(sim, capsys):
         main(["--alignments", str(p)])  # no output
     with pytest.raises(SystemExit):
         main(["--reads", "r.fq", "-o", "x"])  # no reference/seq-tech
+
+
+def test_cli_em_impl_v4_cpu_fallback(sim):
+    """--em-impl v4 on the CPU test backend must downgrade cleanly to
+    'fast' and still produce oracle-exact output."""
+    d, p, names, lengths, truth = sim
+    out = d / "v4fb" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out), "--em-dtype",
+               "float64", "--em-impl", "v4", "--quiet"])
+    assert rc == 0
+    qn, ql, qc = read_quant(str(out) + ".quant")
+    want = oracle_counts(p, lengths)
+    np.testing.assert_allclose(qc, want, rtol=1e-9, atol=1e-9)

@@ -1,0 +1,230 @@
+"""Differential tests for the v3 static-routing building blocks.
+
+These run the REAL device code paths on CPU (Pallas interpret mode, see
+`gather_pallas._interpret`): the tile permute network, the global
+permute, the sorted MXU gather, and the fully-routed EM v3 m-step — each
+against either the plain permutation/gather it implements or the NumPy
+EM oracle.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oarfish_tpu.constants import EM_DENOM_THRESH
+from oarfish_tpu.ops.gather_pallas import LANES, SortedGatherPlan, sorted_gather
+from oarfish_tpu.ops.static_permute import (
+    CH,
+    BatchTilePermute,
+    DeviceTilePlan,
+    GlobalPermute,
+    balanced_pad_routing,
+)
+from test_em import random_csr
+
+
+@pytest.mark.parametrize("seed,rows", [(0, 128), (1, 256), (2, 512)])
+def test_tile_plan_numpy(seed, rows):
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(rows * LANES)
+    plan = DeviceTilePlan.build(perm, rows)
+    x = rng.normal(size=rows * LANES).astype(np.float32)
+    np.testing.assert_array_equal(plan.apply_numpy(x), x[perm])
+
+
+def test_batch_tile_permute_device():
+    rng = np.random.default_rng(3)
+    rows = 256
+    perms = [rng.permutation(rows * LANES) for _ in range(3)]
+    bat = BatchTilePermute.build([DeviceTilePlan.build(p, rows) for p in perms])
+    x = rng.normal(size=3 * rows * LANES).astype(np.float32)
+    got = np.asarray(bat(jnp.asarray(x)))
+    want = np.concatenate(
+        [x[i * rows * LANES : (i + 1) * rows * LANES][p]
+         for i, p in enumerate(perms)]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_global_permute_device():
+    rng = np.random.default_rng(4)
+    n = 48 * CH
+    perm = rng.permutation(n)
+    gp = GlobalPermute(perm, n)
+    x = rng.normal(size=n).astype(np.float32)
+    got = np.asarray(gp.plan(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, x[perm])
+
+
+def test_balanced_pad_routing_bijection_and_flow():
+    rng = np.random.default_rng(5)
+    n = 32 * CH
+    # data mapping over ~70% of slots, with a concentrated tail
+    n_data = int(n * 0.7)
+    out_idx = np.sort(rng.choice(n, size=n_data, replace=False))
+    in_idx = rng.permutation(n)[:n_data]
+    perm = balanced_pad_routing(out_idx, in_idx, n)
+    assert len(np.unique(perm)) == n
+    np.testing.assert_array_equal(perm[out_idx], in_idx)
+    n_ch = n // CH
+    fl = np.zeros((n_ch, n_ch), np.int64)
+    np.add.at(fl, (perm // CH, np.arange(n) // CH), 1)
+    dfl = np.zeros((n_ch, n_ch), np.int64)
+    np.add.at(dfl, (in_idx // CH, out_idx // CH), 1)
+    # the pad routing must not blow up the data flows' maximum
+    assert fl.max() <= dfl.max() + int(np.ceil((n - n_data) / n_ch)) + 8
+
+
+def test_sorted_gather_device():
+    rng = np.random.default_rng(6)
+    T = 3000
+    idx = np.sort(rng.integers(0, T, size=40_000))
+    plan = SortedGatherPlan.build(idx, T)
+    table = rng.normal(size=T).astype(np.float32)
+    out = np.asarray(sorted_gather(jnp.asarray(table), plan))
+    mask = plan.src_pos >= 0
+    np.testing.assert_array_equal(out[mask], table[idx][plan.src_pos[mask]])
+
+
+def _v3_numpy_m_step(dbg, bucket_shapes, bucket_starts, n_slots, prev, T):
+    """Simulate the routed m-step in NumPy from the build's debug dict."""
+    src_pos = dbg["src_pos"]
+    mask = src_pos >= 0
+    val = np.zeros(dbg["NPAD"])
+    val[mask] = prev[dbg["txp_sorted"][src_pos[mask]]]
+    contrib = val * dbg["w_csc"]
+    slots = contrib[dbg["perm1"]][:n_slots]
+    scale_slots = np.zeros(n_slots)
+    for (rows, K), start in zip(bucket_shapes, bucket_starts):
+        blk = slots[start : start + rows * K].reshape(rows, K)
+        denom = blk.sum(axis=1)
+        s = np.where(denom > EM_DENOM_THRESH, 1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+        scale_slots[start : start + rows * K] = np.repeat(s, K)
+    scale_ext = np.zeros(dbg["NPAD"])
+    scale_ext[:n_slots] = scale_slots
+    scale_csc = scale_ext[dbg["perm2"]]
+    inc = contrib * scale_csc
+    cs = np.concatenate([[0.0], np.cumsum(inc)])
+    o = dbg["offsets"]
+    return cs[o[1:]] - cs[o[:-1]]
+
+
+def test_v3_routing_simulation_vs_oracle():
+    """Full v3 layout/routing invariants at a non-degenerate scale,
+    simulated in NumPy f64: one m-step must equal the direct EM update."""
+    from oarfish_tpu.ops.em_v3 import EmV3Data
+
+    rng = np.random.default_rng(7)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=20_000, max_k=6
+    )
+    data, order, dbg = EmV3Data.build(txp_id, w, boundaries, T, debug=True)
+    prev = rng.uniform(0.5, 2.0, size=T)
+    got = _v3_numpy_m_step(
+        dbg, data.bucket_shapes, data.bucket_starts, data.n_slots, prev, T
+    )
+    # direct reference
+    denom = np.zeros(R)
+    pv = prev[txp_id] * w
+    np.add.at(denom, read_id, pv)
+    scale = np.where(denom > EM_DENOM_THRESH, 1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+    want = np.zeros(T)
+    np.add.at(want, txp_id, pv * scale[read_id])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def _v4_numpy_m_step(dbg, data, prev):
+    """Simulate the v4 routed m-step in NumPy from the build debug dict
+    (column-major bucket layout)."""
+    from oarfish_tpu.ops.em_v4 import CAPK, _row_broadcast, _row_sums
+
+    ext = np.zeros(data.t_space)
+    ext[: data.num_txps] = prev
+    pr = ext[dbg["perm_in"]]
+    pr_small = pr[: data.row_space_s]
+    pr_big = pr[data.row_space_s : data.row_space_s + data.n_big]
+    parts = [_row_broadcast(pr_small, data.small_shapes, xp=np)]
+    if data.big_rows_pad:
+        pr_rows = pr_big[np.asarray(data.big_row_of_txp)]
+        g = data.big_rows_pad // 128
+        parts.append(
+            np.broadcast_to(
+                pr_rows.reshape(g, 1, 128), (g, CAPK, 128)
+            ).reshape(-1)
+        )
+    prev_slots = np.concatenate(parts)
+    contrib_t = prev_slots * dbg["w_txp"]
+    ct_pad = np.zeros(dbg["NPAD"])
+    ct_pad[: len(contrib_t)] = contrib_t
+    contrib_r = ct_pad[dbg["perm_a"]][: data.n_slots_r]
+    denom = _row_sums(contrib_r, data.read_shapes, data.read_starts, xp=np)
+    scale = np.where(denom > EM_DENOM_THRESH,
+                     1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+    scale_slots = _row_broadcast(scale, data.read_shapes, xp=np)
+    inc_r = contrib_r * scale_slots
+    ir_pad = np.zeros(dbg["NPAD"])
+    ir_pad[: len(inc_r)] = inc_r
+    inc_t = ir_pad[dbg["perm_b"]][: data.n_slots_t]
+    small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts, xp=np)
+    if data.big_rows_pad:
+        g = data.big_rows_pad // 128
+        big_rows = inc_t[data.n_slots_t - data.big_rows_pad * CAPK :].reshape(
+            g, CAPK, 128
+        ).sum(axis=1).reshape(-1)
+        o = np.asarray(data.big_row_offsets)
+        cs = np.concatenate([[0.0], np.cumsum(big_rows)])
+        v = np.concatenate([small_sums, cs[o[1:]] - cs[o[:-1]]])
+    else:
+        v = small_sums
+    vv = np.zeros(data.t_space)
+    vv[: len(v)] = v
+    return vv[dbg["perm_out"]][: data.num_txps]
+
+
+def test_v4_routing_simulation_vs_oracle():
+    """Full v4 dual-bucket layout invariants at a non-degenerate scale,
+    simulated in NumPy f64: one m-step must equal the direct EM update."""
+    from oarfish_tpu.ops.em_v4 import EmV4Data
+
+    rng = np.random.default_rng(11)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=3_000, max_k=6
+    )
+    # zipf-skew the popularity so chunked hot transcripts are covered
+    txp_id = (rng.zipf(1.3, size=len(txp_id)) % T).astype(np.int32)
+    data, order, dbg = EmV4Data.build(txp_id, w, boundaries, T, debug=True)
+    assert data.n_big > 0, "want chunked hot transcripts covered"
+    prev = rng.uniform(0.5, 2.0, size=T)
+    got = _v4_numpy_m_step(dbg, data, prev)
+    denom = np.zeros(R)
+    pv = prev[txp_id] * w
+    np.add.at(denom, read_id, pv)
+    scale = np.where(denom > EM_DENOM_THRESH,
+                     1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+    want = np.zeros(T)
+    np.add.at(want, txp_id, pv * scale[read_id])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_v4_device_em_vs_oracle():
+    """The jitted v4 EM (Pallas interpret path on CPU) against the NumPy
+    oracle at a scale where the routing builds."""
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_oracle import do_em_oracle
+    from oarfish_tpu.ops.em_v4 import EmV4Data, make_runner
+
+    rng = np.random.default_rng(12)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=120_000, T=2_000, max_k=4
+    )
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    runner = make_runner(data)
+    init = jnp.full(T, R / T, dtype=jnp.float32)
+    counts, niter = runner(init, 60, 5e-3)
+    want = do_em_oracle(txp_id, w, boundaries, T, max_iter=60,
+                        convergence_thresh=5e-3)
+    got = np.asarray(counts, dtype=np.float64)
+    assert abs(got.sum() - R) / R < 1e-4
+    l1 = np.abs(got - want).sum() / R
+    assert l1 < 2e-3, f"L1/read {l1}"
