@@ -57,8 +57,7 @@ from .static_permute import (
     CH,
     BatchTilePermute,
     DeviceTilePlan,
-    GlobalPermute,
-    balanced_pad_routing,
+    GlobalRoute,
 )
 
 CAPK = 2048  # max bucket row width; wider transcripts are row-chunked
@@ -126,8 +125,8 @@ class EmV4Data:
     routing arrays travel as jit arguments)."""
 
     w_txp: jax.Array  # [n_slots_t] weights in txp-bucket layout (pads 0)
-    p_a: object  # GlobalPermutePlan: txp layout -> read layout
-    p_b: object  # GlobalPermutePlan: read layout -> txp layout
+    p_a: object  # GlobalRoutePlan: txp layout -> read layout
+    p_b: object  # GlobalRoutePlan: read layout -> txp layout
     t_in: object  # BatchTilePermute: prev[T] -> per-row / per-big values
     t_out: object  # BatchTilePermute: row sums -> curr[T]
     big_row_of_txp: jax.Array  # [big_rows_pad] i32: big-txp idx per row
@@ -260,14 +259,14 @@ class EmV4Data:
                 big_start, CAPK, row, rank[big_aln] % CAPK
             )
 
-        # ---- permutes over the unified rounded space
+        # ---- routes over the unified rounded space (partial injective
+        # maps: uncovered outputs — the bucket pads — come out ZERO,
+        # which is exactly the invariant both row-sum stages need)
         NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
         w_txp = np.zeros(n_slots_t, dtype=np.float64)
         w_txp[txp_slot_of_aln] = weights
-        perm_a = balanced_pad_routing(slot_of_aln, txp_slot_of_aln, NPAD)
-        p_a = GlobalPermute(perm_a, NPAD).plan
-        perm_b = balanced_pad_routing(txp_slot_of_aln, slot_of_aln, NPAD)
-        p_b = GlobalPermute(perm_b, NPAD).plan
+        p_a = GlobalRoute(slot_of_aln, txp_slot_of_aln, NPAD).plan
+        p_b = GlobalRoute(txp_slot_of_aln, slot_of_aln, NPAD).plan
 
         # ---- tiny T-space tile permutes
         t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
@@ -330,8 +329,6 @@ class EmV4Data:
         )
         if debug:
             dbg = {
-                "perm_a": perm_a,
-                "perm_b": perm_b,
                 "perm_in": perm_in,
                 "perm_out": perm_out,
                 "slot_of_aln": slot_of_aln,

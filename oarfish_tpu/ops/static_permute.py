@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .permute_plan import LANES, TilePermutePlan
+from .permute_plan import LANES, TilePermutePlan, edge_color_bipartite
 
 
 @dataclass(frozen=True)
@@ -461,6 +461,304 @@ class GlobalPermute:
             Q=self.Q,
             R1=self.R1,
             R3=self.R3,
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.plan(x)
+
+
+# ---------------------------------------------------------------------------
+# GlobalRoute: rectangular gather networks (v2 of GlobalPermute)
+# ---------------------------------------------------------------------------
+#
+# GlobalPermute works on full bijections: pad outputs must be routed to
+# zero-valued inputs (flow-balanced pad routing) and each chunk runs a
+# square [R1,128] three-stage permutation even though its real payload is
+# one 128-row block. GlobalRoute exploits gather semantics instead: the
+# map only covers the REAL elements (a partial injective map), quota-pad
+# garbage is never read back, and output pads are zeroed by a static
+# mask. Per chunk:
+#
+#   stage 1 (expand, [128,128] -> [R1,128]): lane shuffle into channel
+#     columns, a column-stage gather delivering each channel to its
+#     quota row (H_o block gathers from ONE source block), and a lane
+#     shuffle to the final quota lane;
+#   XLA dense transpose of the [n_src, n_dst, Q] quota tensor;
+#   stage 3 (reduce, [R3,128] -> [128,128]): mirrored, with an output
+#     zero-mask for the bijection pads that no longer need routing.
+#
+# Channel assignments are two independent bipartite edge colorings per
+# chunk ((input row, quota row) and (quota row, output row)), always
+# 128-colorable (Konig); irregular degrees are regularized with dummy
+# edges before coloring.
+
+
+def _color_channels(src_row, dst_row, n_left, n_right):
+    """Proper 128-edge-coloring of an irregular bipartite multigraph by
+    padding it to 128-regular with dummy edges."""
+    n = max(int(n_left), int(n_right))
+    degL = np.bincount(src_row, minlength=n)
+    degR = np.bincount(dst_row, minlength=n)
+    extraL = np.repeat(np.arange(n), LANES - degL)
+    extraR = np.repeat(np.arange(n), LANES - degR)
+    assert len(extraL) == len(extraR)
+    src_all = np.concatenate([src_row, extraL])
+    dst_all = np.concatenate([dst_row, extraR])
+    color = edge_color_bipartite(src_all, dst_all, LANES)
+    return color[: len(src_row)]
+
+
+def _make_rect_expand_kernel(H_o: int):
+    def kernel(x_ref, r1_ref, lane_ref, r2_ref, out_ref):
+        s1 = jnp.take_along_axis(
+            x_ref[:, :], r1_ref[0].astype(jnp.int32), axis=1
+        )
+        bT = s1.T  # [channel, src_row]
+        outs = []
+        for hd in range(H_o):
+            g = jnp.take_along_axis(
+                bT, lane_ref[0, hd].astype(jnp.int32), axis=1
+            )
+            outs.append(g.T)
+        q = jnp.concatenate(outs, axis=0)  # [R1, 128] element at channel
+        out_ref[:, :] = jnp.take_along_axis(
+            q, r2_ref[0].astype(jnp.int32), axis=1
+        )
+
+    return kernel
+
+
+def _make_rect_reduce_kernel(H_i: int):
+    def kernel(x_ref, r1_ref, src_ref, row_ref, r2_ref, mask_ref, out_ref):
+        s1 = jnp.take_along_axis(
+            x_ref[:, :], r1_ref[0].astype(jnp.int32), axis=1
+        )
+        blocks = [s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_i)]
+        src = src_ref[0].astype(jnp.int32)
+        row = row_ref[0].astype(jnp.int32)
+        acc = jnp.zeros((LANES, LANES), s1.dtype)
+        for hs in range(H_i):
+            g = jnp.take_along_axis(blocks[hs], row, axis=1)
+            acc = jnp.where(src == hs, g, acc)
+        accT = acc.T  # [out_row, channel]
+        out = jnp.take_along_axis(accT, r2_ref[0].astype(jnp.int32), axis=1)
+        out_ref[:, :] = jnp.where(mask_ref[0] != 0, out, 0.0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_src", "R1"))
+def _run_rect_expand(x, r1, lane, r2, n_src, R1):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .gather_pallas import _interpret
+
+    H_o = R1 // LANES
+    return pl.pallas_call(
+        _make_rect_expand_kernel(H_o),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((n_src * R1, LANES), x.dtype),
+        grid=(n_src,),
+        in_specs=[
+            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H_o, LANES, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R1, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R1, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, r1, lane, r2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_dst", "R3"))
+def _run_rect_reduce(x, r1, src, row, r2, mask, n_dst, R3):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .gather_pallas import _interpret
+
+    H_i = R3 // LANES
+    return pl.pallas_call(
+        _make_rect_reduce_kernel(H_i),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((n_dst * LANES, LANES), x.dtype),
+        grid=(n_dst,),
+        in_specs=[
+            pl.BlockSpec((R3, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R3, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, r1, src, row, r2, mask)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["s1_r1", "s1_lane", "s1_r2", "s3_r1", "s3_src", "s3_row",
+                 "s3_r2", "s3_mask"],
+    meta_fields=["n_in", "n_out", "n_src", "n_dst", "Q", "R1", "R3"],
+)
+@dataclass(frozen=True)
+class GlobalRoutePlan:
+    s1_r1: jax.Array  # [n_src, 128, 128] i8
+    s1_lane: jax.Array  # [n_src, H_o, 128, 128] i8
+    s1_r2: jax.Array  # [n_src, R1, 128] i8
+    s3_r1: jax.Array  # [n_dst, R3, 128] i8
+    s3_src: jax.Array  # [n_dst, 128, 128] i8
+    s3_row: jax.Array  # [n_dst, 128, 128] i8
+    s3_r2: jax.Array  # [n_dst, 128, 128] i8
+    s3_mask: jax.Array  # [n_dst, 128, 128] i8
+    n_in: int
+    n_out: int
+    n_src: int
+    n_dst: int
+    Q: int
+    R1: int
+    R3: int
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
+        x_pad = jnp.zeros(n_src * CH, x.dtype).at[: x.shape[0]].set(x)
+        y1 = _run_rect_expand(
+            x_pad.reshape(n_src * LANES, LANES),
+            self.s1_r1, self.s1_lane, self.s1_r2, n_src, self.R1,
+        )
+        y1 = y1.reshape(n_src, self.R1 * LANES)[:, : n_dst * Q]
+        y2 = jnp.transpose(
+            y1.reshape(n_src, n_dst, Q), (1, 0, 2)
+        ).reshape(n_dst, n_src * Q)
+        zg = jnp.zeros((n_dst, self.R3 * LANES), x.dtype)
+        zg = zg.at[:, : n_src * Q].set(y2)
+        y3 = _run_rect_reduce(
+            zg.reshape(n_dst * self.R3, LANES),
+            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2, self.s3_mask,
+            n_dst, self.R3,
+        )
+        return y3.reshape(-1)[: self.n_out]
+
+
+class GlobalRoute:
+    """out[out_idx[k]] = x[in_idx[k]] for a static partial injective map
+    over [0, n_pad); all other outputs are ZERO. No pad routing, no
+    bijection completion: quota slots not covered by data carry garbage
+    that is never read back, and output pads are zeroed by a static
+    mask. Use `.plan` (a pytree) inside jitted code."""
+
+    def __init__(self, out_idx: np.ndarray, in_idx: np.ndarray, n_pad: int,
+                 n_out: Optional[int] = None):
+        out_idx = np.asarray(out_idx, dtype=np.int64)
+        in_idx = np.asarray(in_idx, dtype=np.int64)
+        assert n_pad % CH == 0
+        n_ch = n_pad // CH
+        n_src = n_dst = n_ch
+        d_of = out_idx // CH
+        s_of = in_idx // CH
+        flows = np.zeros((n_src, n_dst), dtype=np.int64)
+        np.add.at(flows, (s_of, d_of), 1)
+        maxflow = max(int(flows.max()), 1)
+        Q = _roundup(maxflow, 8)
+        R1 = _roundup(_roundup(n_dst * Q, LANES) // LANES, LANES)
+        R3 = _roundup(_roundup(n_src * Q, LANES) // LANES, LANES)
+        if max(R1, R3) // LANES > 16:
+            raise ValueError(
+                f"GlobalRoute degenerate: H={max(R1, R3) // LANES} "
+                f"(Q={Q}, n_chunks={n_src}); use a plain gather instead"
+            )
+        self.n_in = n_pad
+        self.n_out = n_out if n_out is not None else n_pad
+        self.n_src, self.n_dst, self.Q = n_src, n_dst, Q
+        self.R1, self.R3 = R1, R3
+        H_o = R1 // LANES
+        H_i = R3 // LANES
+
+        # rank within each (s,d) flow
+        E = len(out_idx)
+        order = np.lexsort((np.arange(E), d_of, s_of))
+        sd = s_of[order] * n_dst + d_of[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(sd))[0] + 1])
+        gid = np.zeros(E, dtype=np.int64)
+        gid[starts] = 1
+        gid = np.cumsum(gid) - 1
+        rank = np.zeros(E, dtype=np.int64)
+        rank[order] = np.arange(E) - starts[gid]
+
+        q_slot = d_of * Q + rank  # within src chunk quota space
+        q3_slot = s_of * Q + rank  # within dst chunk (post-transpose)
+
+        s1_r1 = np.zeros((n_src, LANES, LANES), dtype=np.int8)
+        s1_lane = np.zeros((n_src, H_o, LANES, LANES), dtype=np.int8)
+        s1_r2 = np.zeros((n_src, R1, LANES), dtype=np.int8)
+        s3_r1 = np.zeros((n_dst, R3, LANES), dtype=np.int8)
+        s3_src = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
+        s3_row = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
+        s3_r2 = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
+        s3_mask = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
+
+        so = np.argsort(s_of, kind="stable")
+        sb = np.searchsorted(s_of[so], np.arange(n_src + 1))
+        for s in range(n_src):
+            sel = so[sb[s] : sb[s + 1]]
+            if len(sel) == 0:
+                continue
+            r_in = (in_idx[sel] % CH) // LANES
+            lane_in = in_idx[sel] % LANES
+            qs = q_slot[sel]
+            q_row = qs // LANES
+            q_lane = qs % LANES
+            c1 = _color_channels(r_in, q_row, LANES, R1)
+            s1_r1[s, r_in, c1] = lane_in
+            s1_lane[s, q_row // LANES, c1, q_row % LANES] = r_in
+            s1_r2[s, q_row, q_lane] = c1
+
+        do = np.argsort(d_of, kind="stable")
+        db = np.searchsorted(d_of[do], np.arange(n_dst + 1))
+        for d in range(n_dst):
+            sel = do[db[d] : db[d + 1]]
+            if len(sel) == 0:
+                continue
+            q3 = q3_slot[sel]
+            q_row = q3 // LANES
+            q_lane = q3 % LANES
+            r_out = (out_idx[sel] % CH) // LANES
+            lane_out = out_idx[sel] % LANES
+            c2 = _color_channels(q_row, r_out, R3, LANES)
+            s3_r1[d, q_row, c2] = q_lane
+            s3_src[d, c2, r_out] = q_row // LANES
+            s3_row[d, c2, r_out] = q_row % LANES
+            s3_r2[d, r_out, lane_out] = c2
+            s3_mask[d, r_out, lane_out] = 1
+
+        self.plan = GlobalRoutePlan(
+            s1_r1=jnp.asarray(s1_r1),
+            s1_lane=jnp.asarray(s1_lane),
+            s1_r2=jnp.asarray(s1_r2),
+            s3_r1=jnp.asarray(s3_r1),
+            s3_src=jnp.asarray(s3_src),
+            s3_row=jnp.asarray(s3_row),
+            s3_r2=jnp.asarray(s3_r2),
+            s3_mask=jnp.asarray(s3_mask),
+            n_in=self.n_in,
+            n_out=self.n_out,
+            n_src=n_src,
+            n_dst=n_dst,
+            Q=Q,
+            R1=R1,
+            R3=R3,
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:

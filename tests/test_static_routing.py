@@ -154,17 +154,17 @@ def _v4_numpy_m_step(dbg, data, prev):
         )
     prev_slots = np.concatenate(parts)
     contrib_t = prev_slots * dbg["w_txp"]
-    ct_pad = np.zeros(dbg["NPAD"])
-    ct_pad[: len(contrib_t)] = contrib_t
-    contrib_r = ct_pad[dbg["perm_a"]][: data.n_slots_r]
+    cr_full = np.zeros(dbg["NPAD"])
+    cr_full[dbg["slot_of_aln"]] = contrib_t[dbg["txp_slot_of_aln"]]
+    contrib_r = cr_full[: data.n_slots_r]
     denom = _row_sums(contrib_r, data.read_shapes, data.read_starts, xp=np)
     scale = np.where(denom > EM_DENOM_THRESH,
                      1.0 / np.where(denom > 0, denom, 1.0), 0.0)
     scale_slots = _row_broadcast(scale, data.read_shapes, xp=np)
     inc_r = contrib_r * scale_slots
-    ir_pad = np.zeros(dbg["NPAD"])
-    ir_pad[: len(inc_r)] = inc_r
-    inc_t = ir_pad[dbg["perm_b"]][: data.n_slots_t]
+    it_full = np.zeros(dbg["NPAD"])
+    it_full[dbg["txp_slot_of_aln"]] = inc_r[dbg["slot_of_aln"]]
+    inc_t = it_full[: data.n_slots_t]
     small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts, xp=np)
     if data.big_rows_pad:
         g = data.big_rows_pad // 128
@@ -228,3 +228,43 @@ def test_v4_device_em_vs_oracle():
     assert abs(got.sum() - R) / R < 1e-4
     l1 = np.abs(got - want).sum() / R
     assert l1 < 2e-3, f"L1/read {l1}"
+
+
+def test_global_route_device():
+    """GlobalRoute (rectangular gather network): out[out_idx] = x[in_idx]
+    with zeros at every uncovered output, on the real kernel path."""
+    from oarfish_tpu.ops.static_permute import GlobalRoute
+
+    rng = np.random.default_rng(13)
+    n = 48 * CH
+    n_data = int(n * 0.8)
+    out_idx = np.sort(rng.choice(n, size=n_data, replace=False))
+    in_idx = rng.permutation(n)[:n_data]
+    gr = GlobalRoute(out_idx, in_idx, n)
+    x = rng.normal(size=n).astype(np.float32)
+    got = np.asarray(gr.plan(jnp.asarray(x)))
+    want = np.zeros(n, np.float32)
+    want[out_idx] = x[in_idx]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_global_route_skewed():
+    """Concentrated flows (hot chunk pairs) still route exactly."""
+    from oarfish_tpu.ops.static_permute import GlobalRoute
+
+    rng = np.random.default_rng(14)
+    n = 32 * CH
+    # a hot pair: chunk 3 -> chunk 17 carries 8x the average flow
+    hot_out = 17 * CH + rng.permutation(CH)[: CH // 8]
+    hot_in = 3 * CH + rng.permutation(CH)[: CH // 8]
+    rest = int(n * 0.3)
+    pool_out = np.setdiff1d(np.arange(n), hot_out)
+    pool_in = np.setdiff1d(np.arange(n), hot_in)
+    out_idx = np.concatenate([hot_out, rng.permutation(pool_out)[:rest]])
+    in_idx = np.concatenate([hot_in, rng.permutation(pool_in)[:rest]])
+    gr = GlobalRoute(out_idx, in_idx, n)
+    x = rng.normal(size=n).astype(np.float32)
+    got = np.asarray(gr.plan(jnp.asarray(x)))
+    want = np.zeros(n, np.float32)
+    want[out_idx] = x[in_idx]
+    np.testing.assert_array_equal(got, want)
