@@ -126,7 +126,38 @@ struct Index {
   std::vector<uint64_t> key_off;    // n_keys + 1 into postings
   std::vector<uint64_t> postings;   // packed: rid(31) | pos(32) | strand(1)
   uint32_t max_occ;                 // frequent-seed cutoff
+  // annotated splice junctions per target, sorted by donor: bias the
+  // spliced chainer toward annotated introns and snap emitted block
+  // edges (the reference feeds a junction BED into its spliced aligner,
+  // main.rs:255-281)
+  std::vector<int64_t> junc_off;    // n_targets + 1 (empty = no hints)
+  std::vector<int32_t> junc_donor;  // intron start (0-based, exclusive exon end)
+  std::vector<int32_t> junc_acc;    // intron end (next exon start)
+  int32_t junc_tol = 12;
 };
+
+// Find an annotated junction whose donor is within tol of `istart` and
+// whose acceptor is within tol of `iend`.
+inline bool find_junction(const Index& idx, uint32_t target, int64_t istart,
+                          int64_t iend, int32_t* sd, int32_t* sa) {
+  if (idx.junc_off.empty()) return false;
+  const int32_t tol = idx.junc_tol;
+  int64_t lo = idx.junc_off[target], hi = idx.junc_off[target + 1];
+  const int32_t* db = idx.junc_donor.data();
+  int64_t l = lo, r = hi;
+  while (l < r) {
+    int64_t m = (l + r) / 2;
+    if (int64_t(db[m]) < istart - tol) l = m + 1; else r = m;
+  }
+  for (int64_t j = l; j < hi && int64_t(db[j]) <= istart + tol; j++) {
+    if (std::llabs(int64_t(idx.junc_acc[j]) - iend) <= tol) {
+      *sd = db[j];
+      *sa = idx.junc_acc[j];
+      return true;
+    }
+  }
+  return false;
+}
 
 inline uint64_t pack_post(uint32_t rid, uint32_t pos, uint8_t strand) {
   return (uint64_t(rid) << 33) | (uint64_t(pos) << 1) | strand;
@@ -215,10 +246,18 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
         int32_t match = int32_t(std::min<int64_t>(std::min(dt, dq), k));
         int32_t cost;
         if (spliced && gap > MIN_INTRON && dt > dq) {
-          // candidate intron: cheap logarithmic cost instead of linear
-          int32_t lg = 0;
-          for (int64_t g = gap; g > 0; g >>= 1) lg++;
-          cost = lg;
+          int32_t sd, sa;
+          int64_t istart = int64_t(abuf[j].tpos) + k;
+          if (find_junction(idx, abuf[i].target, istart, istart + gap,
+                            &sd, &sa)) {
+            // annotated junction: no gap penalty
+            cost = 0;
+          } else {
+            // candidate intron: cheap logarithmic cost instead of linear
+            int32_t lg = 0;
+            for (int64_t g = gap; g > 0; g >>= 1) lg++;
+            cost = lg;
+          }
         } else {
           cost = int32_t(gap > 0 ? (gap / 50 + 1) : 0);
         }
@@ -256,10 +295,19 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
           int64_t dq = int64_t(abuf[chain[ci]].qpos) -
                        int64_t(abuf[chain[ci - 1]].qpos);
           if (dt - dq > MIN_INTRON) {
+            uint32_t nbs = abuf[chain[ci]].tpos;
+            int32_t sd, sa;
+            if (find_junction(idx, h.target, int64_t(be),
+                              int64_t(be) + (dt - dq), &sd, &sa) &&
+                sd > int64_t(bs) && sa > sd && uint32_t(sa) <= nbs + idx.k) {
+              // snap the block edges to the annotated donor/acceptor
+              be = uint32_t(sd);
+              nbs = uint32_t(sa);
+            }
             h.blocks.emplace_back(bs, be);
-            bs = abuf[chain[ci]].tpos;
+            bs = nbs;
           }
-          be = abuf[chain[ci]].tpos + k;
+          be = std::max(be, abuf[chain[ci]].tpos + k);
         }
         h.blocks.emplace_back(bs, be);
       }
@@ -381,6 +429,18 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
 }
 
 void oarfish_index_free(void* h) { delete static_cast<IndexHandle*>(h); }
+
+// Load annotated splice junctions (per-target arrays sorted by donor).
+void oarfish_index_set_junctions(void* h, const int64_t* off,
+                                 const int32_t* donor, const int32_t* acc,
+                                 int32_t tol) {
+  auto& idx = static_cast<IndexHandle*>(h)->idx;
+  idx.junc_off.assign(off, off + idx.n_targets + 1);
+  int64_t n = off[idx.n_targets];
+  idx.junc_donor.assign(donor, donor + n);
+  idx.junc_acc.assign(acc, acc + n);
+  idx.junc_tol = tol;
+}
 
 int64_t oarfish_index_num_targets(void* h) {
   return static_cast<IndexHandle*>(h)->idx.n_targets;

@@ -123,3 +123,45 @@ def write_annotation_junction_bed(transcripts: List[Transcript], path) -> int:
             )
             n += 1
     return n
+
+
+def junctions_from_transcripts(transcripts: List[Transcript]) -> dict:
+    """Per-chromosome intron intervals (donor, acceptor), 0-based
+    half-open, from multi-exon transcript models — the junction set the
+    reference derives for spliced-alignment hinting (`main.rs:255-281`)."""
+    juncs: dict = {}
+    for tx in transcripts:
+        if len(tx.exons) < 2:
+            continue
+        exons = sorted((max(s - 1, 0), e) for s, e in tx.exons)
+        lst = juncs.setdefault(tx.seqname, set())
+        for (s0, e0), (s1, e1) in zip(exons, exons[1:]):
+            if s1 > e0:
+                lst.add((e0, s1))
+    return {c: sorted(v) for c, v in juncs.items()}
+
+
+def read_junction_bed(path) -> dict:
+    """Parse a BED12 of transcript models (as written by
+    `write_annotation_junction_bed` / accepted by `--junctions`,
+    `prog_opts.rs:366-371`) into per-chromosome intron intervals."""
+    juncs: dict = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith(("#", "track", "browser")):
+                continue
+            f = line.split("\t")
+            if len(f) < 12:
+                continue
+            chrom = f[0]
+            start = int(f[1])
+            sizes = [int(x) for x in f[10].rstrip(",").split(",") if x]
+            starts = [int(x) for x in f[11].rstrip(",").split(",") if x]
+            lst = juncs.setdefault(chrom, set())
+            for i in range(len(starts) - 1):
+                donor = start + starts[i] + sizes[i]
+                acceptor = start + starts[i + 1]
+                if acceptor > donor:
+                    lst.add((donor, acceptor))
+    return {c: sorted(v) for c, v in juncs.items()}

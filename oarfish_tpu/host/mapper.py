@@ -93,6 +93,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.oarfish_index_set_junctions.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
     _lib = lib
     return lib
 
@@ -194,6 +199,46 @@ class Mapper:
             raise IOError(f"could not write index to {path}")
         if digest_map is not None:
             append_digest_footer(str(path), digest_map)
+
+    def set_junctions(self, juncs_by_name, tol: Optional[int] = None):
+        """Load annotated splice junctions as spliced-chaining hints
+        (`main.rs:255-281` feeds the junction BED into the reference's
+        spliced aligner). `juncs_by_name`: dict target name -> iterable
+        of (donor, acceptor) 0-based intron intervals. Junctions for
+        unknown targets are ignored. Returns the number loaded."""
+        import numpy as np
+
+        lib = get_lib()
+        name_to_id = {n: i for i, n in enumerate(self.names)}
+        per_target = [[] for _ in self.names]
+        n_loaded = 0
+        for name, pairs in juncs_by_name.items():
+            tid = name_to_id.get(name)
+            if tid is None:
+                continue
+            for d, a in pairs:
+                per_target[tid].append((int(d), int(a)))
+                n_loaded += 1
+        off = np.zeros(len(self.names) + 1, dtype=np.int64)
+        donors = []
+        accs = []
+        for i, pairs in enumerate(per_target):
+            pairs = sorted(set(pairs))
+            donors.extend(p[0] for p in pairs)
+            accs.extend(p[1] for p in pairs)
+            off[i + 1] = len(donors)
+        donor_arr = np.asarray(donors, dtype=np.int32)
+        acc_arr = np.asarray(accs, dtype=np.int32)
+        if tol is None:
+            tol = self.k + self.w
+        lib.oarfish_index_set_junctions(
+            self._h,
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            donor_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            acc_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(tol),
+        )
+        return n_loaded
 
     def map_batch(self, seqs: Sequence[bytes], best_n: int = 100,
                   threads: int = 4, spliced: bool = False) -> MapHits:

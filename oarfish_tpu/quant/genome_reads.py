@@ -23,7 +23,12 @@ import numpy as np
 
 from ..config import Args, FilterOpts
 from ..constants import EMPTY_READ_NAME
-from ..genome.annotation import load_transcripts, write_annotation_junction_bed
+from ..genome.annotation import (
+    junctions_from_transcripts,
+    load_transcripts,
+    read_junction_bed,
+    write_annotation_junction_bed,
+)
 from ..genome.g2t import G2TIndex
 from ..genome.project import ProjectedAlnRecord, filter_projected, project_blocks
 from ..host.mapper import Mapper
@@ -45,10 +50,18 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     transcripts = load_transcripts(annotation)
     log.info("loaded %d transcripts from annotation", len(transcripts))
 
-    # junction BED derivation (used as alignment hints in the reference;
-    # recorded for parity even though the anchor chainer does not consume
-    # it yet, `main.rs:260-278`)
-    if args.junctions is None and not args.ignore_annotation_junctions:
+    # splice-junction hints for the spliced chainer (`main.rs:255-281`):
+    # --junctions BED12 wins; otherwise junctions are derived from the
+    # annotation (and the derived BED is also written for parity)
+    juncs = None
+    if args.junctions is not None:
+        juncs = read_junction_bed(args.junctions)
+        log.info(
+            "loaded splice junctions for %d sequences from %s",
+            len(juncs), args.junctions,
+        )
+    elif not args.ignore_annotation_junctions:
+        juncs = junctions_from_transcripts(transcripts)
         bed = args.output.parent / f"{args.output.name}.annot_junctions.bed"
         try:
             bed.parent.mkdir(parents=True, exist_ok=True)
@@ -68,6 +81,9 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         g_names, g_seqs, tech=args.seq_tech, threads=max(args.threads, 1)
     )
     refnames = mapper.names
+    if juncs:
+        n_j = mapper.set_junctions(juncs)
+        log.info("loaded %d annotated splice junctions into the chainer", n_j)
 
     g2t = G2TIndex(transcripts, refnames)
 

@@ -74,3 +74,68 @@ def test_genome_reads_cli(genome_fixture):
     assert got["TxB"] == pytest.approx(15, abs=3)
     # junction BED side artifact
     assert (d / "o" / "q.annot_junctions.bed").exists()
+
+
+def test_junction_hints_snap_block_edges(genome_fixture):
+    """With annotated junctions loaded, the spliced chainer snaps block
+    edges to the exact donor/acceptor instead of anchor resolution
+    (reference: junction BED fed into the spliced aligner,
+    main.rs:255-281)."""
+    d, gfa, gtf, reads = genome_fixture
+    from oarfish_tpu.genome.annotation import (
+        junctions_from_transcripts,
+        load_transcripts,
+    )
+    from oarfish_tpu.io.fasta import read_fasta_concat
+
+    g_names, g_seqs = read_fasta_concat([gfa])
+    genome = g_seqs[0]
+    tx_seq = genome[2000:4000] + genome[6000:8000] + genome[10000:12000]
+
+    def run(with_hints):
+        m = mp.Mapper.from_sequences(g_names, g_seqs)
+        if with_hints:
+            juncs = junctions_from_transcripts(load_transcripts(gtf))
+            assert m.set_junctions(juncs) == 3  # 2 from TxA + 1 from TxB
+        hits = m.map_batch([tx_seq], best_n=5, spliced=True)
+        s, e = int(hits.read_off[0]), int(hits.read_off[1])
+        assert e > s, "read must map"
+        best = s + int(np.argmax(hits.score[s:e]))
+        bs = int(hits.block_off[best])
+        be = int(hits.block_off[best + 1])
+        return [(int(hits.block_s[j]), int(hits.block_e[j]))
+                for j in range(bs, be)]
+
+    blocks = run(with_hints=True)
+    assert len(blocks) == 3
+    # exact annotated exon boundaries at internal junctions (0-based)
+    assert blocks[0][1] == 4000 and blocks[1][0] == 6000
+    assert blocks[1][1] == 8000 and blocks[2][0] == 10000
+
+    # without hints the chainer still finds 3 blocks but at anchor
+    # resolution (edges within ~k+w of the truth, typically inexact)
+    blocks_nh = run(with_hints=False)
+    assert len(blocks_nh) == 3
+    for (s0, e0), (lo, hi) in zip(
+        blocks_nh, [(2000, 4000), (6000, 8000), (10000, 12000)]
+    ):
+        assert abs(s0 - lo) <= 30 and abs(e0 - hi) <= 30
+
+
+def test_junction_bed_roundtrip(genome_fixture, tmp_path):
+    """--junctions BED12 parses back to the same junction set the
+    annotation derives."""
+    d, gfa, gtf, reads = genome_fixture
+    from oarfish_tpu.genome.annotation import (
+        junctions_from_transcripts,
+        load_transcripts,
+        read_junction_bed,
+        write_annotation_junction_bed,
+    )
+
+    transcripts = load_transcripts(gtf)
+    bed = tmp_path / "j.bed"
+    write_annotation_junction_bed(transcripts, bed)
+    got = read_junction_bed(bed)
+    want = junctions_from_transcripts(transcripts)
+    assert got == want
