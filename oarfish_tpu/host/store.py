@@ -18,6 +18,45 @@ import numpy as np
 
 from .filters import DiscardTable, FilteredGroup
 
+_cov_lib = None
+_cov_tried = False
+
+
+def _get_cov_lib():
+    """ctypes handle to the native coverage accumulator (built on first
+    use from csrc/coverage.cpp; None if the toolchain is unavailable)."""
+    global _cov_lib, _cov_tried
+    if _cov_lib is not None or _cov_tried:
+        return _cov_lib
+    _cov_tried = True
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    csrc = Path(__file__).resolve().parent.parent.parent / "csrc"
+    so = csrc / "liboarfish_coverage.so"
+    if not so.exists():
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 str(csrc / "coverage.cpp"), "-o", str(so), "-pthread"],
+                check=True, capture_output=True, timeout=180,
+            )
+        except Exception:  # noqa: BLE001
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.oarfish_coverage_add.argtypes = [
+        p64, p64, p64, ctypes.c_int64, pd, p64, p64, pd,
+        ctypes.c_int64, ctypes.c_int64, pd, pd, ctypes.c_int,
+    ]
+    _cov_lib = lib
+    return lib
+
 
 def _rust_round(x: np.ndarray) -> np.ndarray:
     """Rust f64::round = round half away from zero (numpy rounds half to
@@ -51,19 +90,53 @@ class TranscriptCoverage:
         self.rbw = _rust_round(self.lenf / self.nbins.astype(np.float64))
 
     def add_intervals(
-        self, tid: np.ndarray, start: np.ndarray, end: np.ndarray
+        self, tid: np.ndarray, start: np.ndarray, end: np.ndarray,
+        threads: int = 8,
     ) -> None:
         """Vectorized `add_interval(start, end, 1.0)` over many alignments
-        (`oarfish_types.rs:496-538`)."""
+        (`oarfish_types.rs:496-538`). Uses the native accumulator
+        (csrc/coverage.cpp) when available; the NumPy path below is the
+        differential oracle and fallback."""
         tid = np.asarray(tid, dtype=np.int64)
         if tid.size == 0:
+            return
+        if self.bin_width > 0:
+            lib = _get_cov_lib()
+            if lib is not None:
+                import ctypes
+
+                p64 = ctypes.POINTER(ctypes.c_int64)
+                pd = ctypes.POINTER(ctypes.c_double)
+                s64 = np.ascontiguousarray(start, dtype=np.int64)
+                e64 = np.ascontiguousarray(end, dtype=np.int64)
+                lib.oarfish_coverage_add(
+                    tid.ctypes.data_as(p64),
+                    s64.ctypes.data_as(p64),
+                    e64.ctypes.data_as(p64),
+                    len(tid),
+                    self.lenf.ctypes.data_as(pd),
+                    self.nbins.ctypes.data_as(p64),
+                    self.bin_offsets.ctypes.data_as(p64),
+                    self.rbw.ctypes.data_as(pd),
+                    len(self.txp_len),
+                    len(self.bins),
+                    self.bins.ctypes.data_as(pd),
+                    self.total_weight.ctypes.data_as(pd),
+                    int(threads),
+                )
+                return
+        self.total_weight += np.bincount(
+            tid, minlength=len(self.total_weight)
+        )
+        if self.bin_width == 0:
+            # coverage model off: the reference keeps a 10-bin placeholder
+            # the model never reads (`TranscriptInfo::with_len`); skip the
+            # binning work entirely (no consumer reads `bins` then)
             return
         start = np.asarray(start, dtype=np.float64)
         end = np.asarray(end, dtype=np.float64)
         s = np.minimum(start, end)
         e = np.maximum(s, end)
-
-        np.add.at(self.total_weight, tid, 1.0)
 
         tlen = self.lenf[tid]
         nb = self.nbins[tid].astype(np.float64)
@@ -96,7 +169,11 @@ class TranscriptCoverage:
         )
         width = cbe - cbs
         frac = olap.astype(np.float64) / width.astype(np.float64)
-        np.add.at(self.bins, self.bin_offsets[tid[rep]] + local, frac)
+        # bincount is ~10x np.add.at for large scatter-adds
+        self.bins += np.bincount(
+            self.bin_offsets[tid[rep]] + local, weights=frac,
+            minlength=len(self.bins),
+        )
 
     def normalized_counts_and_lengths(self):
         """Flat (counts f32, widths f32) per bin, matching

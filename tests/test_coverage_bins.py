@@ -72,3 +72,32 @@ def test_normalized_counts_and_lengths():
     np.testing.assert_allclose(w1[:9], [100.0] * 9)
     np.testing.assert_allclose(w1[9], 99.0)
     assert (widths > 0).all()
+
+
+def test_native_coverage_matches_numpy():
+    """csrc/coverage.cpp vs the NumPy path on random intervals."""
+    import numpy as np
+
+    from oarfish_tpu.host import store as store_mod
+    from oarfish_tpu.host.store import TranscriptCoverage
+
+    lib = store_mod._get_cov_lib()
+    assert lib is not None, "native coverage lib must build"
+    rng = np.random.default_rng(21)
+    T = 300
+    txp_len = rng.integers(200, 5000, size=T)
+    n = 200_000
+    tid = rng.integers(0, T, size=n)
+    start = rng.integers(0, txp_len[tid] - 1)
+    end = np.minimum(start + rng.integers(50, 3000, size=n), txp_len[tid])
+    cov_nat = TranscriptCoverage(txp_len, 100)
+    cov_nat.add_intervals(tid, start, end)
+    # force the numpy path
+    store_mod._cov_lib, store_mod._cov_tried = None, True
+    try:
+        cov_np = TranscriptCoverage(txp_len, 100)
+        cov_np.add_intervals(tid, start, end)
+    finally:
+        store_mod._cov_lib, store_mod._cov_tried = lib, True
+    np.testing.assert_allclose(cov_nat.bins, cov_np.bins, rtol=1e-12)
+    np.testing.assert_array_equal(cov_nat.total_weight, cov_np.total_weight)
