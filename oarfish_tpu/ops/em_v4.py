@@ -456,3 +456,39 @@ def _run_em_v4_jit(data, init, max_iter, convergence_thresh,
     prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
     counts = _m_step_v4(data, prev, multiplicity)
     return counts, niter
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def run_em_v4_batch(data, init, max_iter, convergence_thresh, mult,
+                    min_iters=50):
+    """Batched bootstrap-replicate EMs: one EM per multiplicity row,
+    vmapped through the routed m-step, with per-replicate convergence
+    freezing (serial-loop semantics per replicate, `em.rs:144-255`;
+    replicate = multiplicity vector, `bootstrap.rs:7-16`)."""
+    convergence_thresh = jnp.asarray(convergence_thresh, dtype=init.dtype)
+    B = mult.shape[0]
+    init_b = jnp.broadcast_to(init, (B,) + init.shape)
+
+    def m_step_b(prev_b):
+        return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult)
+
+    def cond(state):
+        niter, _prev, conv = state
+        return jnp.any((niter < max_iter) & (~conv))
+
+    def body(state):
+        niter, prev, conv = state
+        curr = m_step_b(prev)
+        rd = jax.vmap(_rel_diff)(prev, curr)
+        newly = (rd < convergence_thresh) & (niter > min_iters)
+        curr = jnp.where(conv[:, None], prev, curr)
+        niter = jnp.where(conv, niter, niter + 1)
+        return (niter, curr, conv | newly)
+
+    niter, prev, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros(B, jnp.int32), init_b, jnp.zeros(B, bool)),
+    )
+    prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
+    counts = m_step_b(prev)
+    return counts, niter

@@ -268,3 +268,32 @@ def test_global_route_skewed():
     want = np.zeros(n, np.float32)
     want[out_idx] = x[in_idx]
     np.testing.assert_array_equal(got, want)
+
+
+def test_v4_batched_bootstraps_match_serial():
+    """The vmapped replicate runner equals per-replicate serial runs."""
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_v4 import (
+        EmV4Data,
+        make_runner,
+        run_em_v4_batch,
+    )
+
+    rng = np.random.default_rng(15)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=120_000, T=2_000, max_k=4
+    )
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    runner = make_runner(data)
+    init = jnp.full(T, R / T, dtype=jnp.float32)
+    B = 3
+    mult_reads = rng.multinomial(R, np.full(R, 1.0 / R), size=B)
+    mult = jnp.asarray(mult_reads[:, np.asarray(order)], dtype=jnp.float32)
+    got, niters = run_em_v4_batch(data, init, 80, 5e-3, mult)
+    for b in range(B):
+        want, niter = runner(init, 80, 5e-3, multiplicity=mult[b])
+        np.testing.assert_allclose(
+            np.asarray(got[b]), np.asarray(want), rtol=1e-5, atol=1e-3
+        )
+        assert int(niters[b]) == int(niter)
