@@ -13,17 +13,37 @@
 //        -o liboarfish_host.so -lz -pthread
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
+#include <libdeflate.h>
 #include <zlib.h>
+
+namespace {
+
+// Phase timing to stderr when OARFISH_DECODE_TIMING is set.
+struct PhaseTimer {
+  bool on = getenv("OARFISH_DECODE_TIMING") != nullptr;
+  std::chrono::steady_clock::time_point t0 = std::chrono::steady_clock::now();
+  void mark(const char* what) {
+    if (!on) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "[decode] %-10s %7.1f ms\n", what,
+            std::chrono::duration<double, std::milli>(t1 - t0).count());
+    t0 = t1;
+  }
+};
+
+}  // namespace
 
 namespace {
 
@@ -76,21 +96,20 @@ bool scan_blocks(const uint8_t* data, size_t n, std::vector<Block>& blocks,
   return true;
 }
 
-bool inflate_block(const uint8_t* src, const Block& b, uint8_t* dst) {
+// libdeflate raw-deflate decompress (~3x zlib); one reusable
+// decompressor per worker thread.
+bool inflate_block(const uint8_t* src, const Block& b, uint8_t* dst,
+                   libdeflate_decompressor* dec) {
   uint16_t xlen;
   memcpy(&xlen, src + b.in_off + 10, 2);
   const uint8_t* comp = src + b.in_off + 12 + xlen;
   size_t comp_len = b.in_size - 12 - xlen - 8;
   if (b.out_size == 0) return true;
-  z_stream zs{};
-  if (inflateInit2(&zs, -15) != Z_OK) return false;
-  zs.next_in = const_cast<uint8_t*>(comp);
-  zs.avail_in = static_cast<uInt>(comp_len);
-  zs.next_out = dst + b.out_off;
-  zs.avail_out = static_cast<uInt>(b.out_size);
-  int rc = inflate(&zs, Z_FINISH);
-  inflateEnd(&zs);
-  return rc == Z_STREAM_END && zs.avail_out == 0;
+  size_t actual = 0;
+  auto rc = libdeflate_deflate_decompress(dec, comp, comp_len,
+                                          dst + b.out_off, b.out_size,
+                                          &actual);
+  return rc == LIBDEFLATE_SUCCESS && actual == b.out_size;
 }
 
 // CIGAR ops consuming the reference: M(0) D(2) N(3) =(7) X(8)
@@ -187,6 +206,7 @@ extern "C" {
 OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                                    int keep_names, int64_t sort_check_num,
                                    int want_barcodes) {
+  PhaseTimer tm;
   // --- read the whole file
   FILE* fh = fopen(path, "rb");
   if (!fh) return make_error(std::string("cannot open ") + path);
@@ -199,6 +219,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     return make_error("short read");
   }
   fclose(fh);
+  tm.mark("read");
 
   // --- parallel BGZF inflate (output offsets from each member's ISIZE)
   std::vector<Block> blocks;
@@ -206,7 +227,8 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
   std::string err;
   if (!scan_blocks(comp.data(), comp.size(), blocks, total_out, err))
     return make_error(err);
-  std::vector<uint8_t> buf(total_out);
+  // uninitialized output buffer: every byte is written by inflate
+  std::unique_ptr<uint8_t[]> buf(new uint8_t[total_out]);
   {
     std::atomic<size_t> next{0};
     std::atomic<bool> ok{true};
@@ -214,11 +236,13 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     std::vector<std::thread> pool;
     for (int t = 0; t < nt; t++) {
       pool.emplace_back([&] {
+        libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
         size_t i;
         while ((i = next.fetch_add(1)) < blocks.size()) {
-          if (!inflate_block(comp.data(), blocks[i], buf.data()))
+          if (!inflate_block(comp.data(), blocks[i], buf.get(), dec))
             ok.store(false);
         }
+        libdeflate_free_decompressor(dec);
       });
     }
     for (auto& th : pool) th.join();
@@ -226,10 +250,11 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
   }
   comp.clear();
   comp.shrink_to_fit();
+  tm.mark("inflate");
 
   // --- header
-  const uint8_t* p = buf.data();
-  size_t n = buf.size();
+  const uint8_t* p = buf.get();
+  size_t n = total_out;
   if (n < 12 || memcmp(p, "BAM\x01", 4) != 0)
     return make_error("missing BAM magic");
   int32_t l_text;
@@ -255,192 +280,303 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     ref_lengths[i] = l_ref;
   }
 
-  // --- record scan (sequential: grouping needs name order anyway; field
-  // extraction is a few ns/record)
-  Columns c;
-  std::string group_names;
-  std::string barcodes_blob;
-  std::vector<std::string> barcode_order;
-  std::unordered_set<std::string> seen_names;
-  // map barcode -> id (first-seen order)
-  std::unordered_map<std::string, int64_t> bc_lookup;
-
-  int64_t num_unmapped = 0;
-  int64_t group = -1;
-  int64_t checked_groups = 0;
-  std::string prev_name;
-  char* dup_name = nullptr;
-  bool have_prev = false;
-
-  while (off + 4 <= n) {
-    int32_t block_size;
-    memcpy(&block_size, p + off, 4);
-    if (off + 4 + block_size > n)
-      return make_error("truncated BAM record");
-    const uint8_t* r = p + off + 4;
-    off += 4 + size_t(block_size);
-
-    int32_t ref_id, pos_, l_seq;
-    memcpy(&ref_id, r, 4);
-    memcpy(&pos_, r + 4, 4);
-    uint8_t l_read_name = r[8];
-    uint16_t n_cigar, flag_;
-    memcpy(&n_cigar, r + 12, 2);
-    memcpy(&flag_, r + 14, 2);
-    memcpy(&l_seq, r + 16, 4);
-    const char* name = reinterpret_cast<const char*>(r + 32);
-    size_t name_len = size_t(l_read_name) - 1;
-
-    if (flag_ & 0x4) {
-      num_unmapped++;
-      continue;
+  // --- record scan: a cheap sequential boundary pass, then parallel
+  // field extraction over contiguous record ranges, then a sequential
+  // merge that stitches name groups across range boundaries (grouping
+  // semantics identical to the serial scan / alignment_parser.rs:361-415)
+  std::vector<size_t> rec_offs;
+  rec_offs.reserve(total_out / 128);
+  {
+    size_t o = off;
+    while (o + 4 <= n) {
+      int32_t block_size;
+      memcpy(&block_size, p + o, 4);
+      if (o + 4 + size_t(block_size) > n)
+        return make_error("truncated BAM record");
+      rec_offs.push_back(o);
+      o += 4 + size_t(block_size);
     }
+  }
+  int64_t n_recs = int64_t(rec_offs.size());
+  tm.mark("bounds");
 
-    // CIGAR reference span
-    size_t cig_off = 32 + l_read_name;
-    int64_t span = 0;
-    for (uint16_t i = 0; i < n_cigar; i++) {
-      uint32_t cv;
-      memcpy(&cv, r + cig_off + 4 * size_t(i), 4);
-      if (consumes_ref(cv & 0xF)) span += cv >> 4;
-    }
+  struct Part {
+    Columns c;
+    std::string names_blob;          // group-head names, \0-separated
+    std::vector<size_t> name_off;    // offsets into names_blob (per group)
+    std::vector<std::string> bc_order;  // local barcodes, first-seen
+    int64_t num_unmapped = 0;
+    int64_t n_groups = 0;
+    std::string last_name;           // name of the final group (if any)
+    bool parse_error = false;
+  };
 
-    // aux tags: AS (int) and optionally CB (string)
-    size_t tag_off = cig_off + 4 * size_t(n_cigar) + (size_t(l_seq) + 1) / 2 +
-                     size_t(l_seq);
-    size_t rec_end = size_t(block_size);
-    int64_t score = 0;
-    bool has_score = false;
-    int64_t cb = -1;
-    while (tag_off + 3 <= rec_end) {
-      uint8_t t0 = r[tag_off], t1 = r[tag_off + 1], vt = r[tag_off + 2];
-      tag_off += 3;
-      switch (vt) {
-        case 'A':
-          tag_off += 1;
-          break;
-        case 'c': {
-          if (t0 == 'A' && t1 == 'S') {
-            score = *reinterpret_cast<const int8_t*>(r + tag_off);
-            has_score = true;
+  int nt = threads > 0 ? threads : 1;
+  if (nt > 16) nt = 16;
+  if (n_recs < 4096) nt = 1;
+  std::vector<Part> parts(nt);
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+      pool.emplace_back([&, t] {
+        Part& pt = parts[t];
+        int64_t lo = n_recs * t / nt, hi = n_recs * (t + 1) / nt;
+        std::unordered_map<std::string, int64_t> bc_local;
+        int64_t group = -1;
+        std::string prev_name;
+        bool have_prev = false;
+        for (int64_t ri = lo; ri < hi; ri++) {
+          const uint8_t* r = p + rec_offs[ri] + 4;
+          int32_t block_size;
+          memcpy(&block_size, p + rec_offs[ri], 4);
+          int32_t ref_id, pos_, l_seq;
+          memcpy(&ref_id, r, 4);
+          memcpy(&pos_, r + 4, 4);
+          uint8_t l_read_name = r[8];
+          uint16_t n_cigar, flag_;
+          memcpy(&n_cigar, r + 12, 2);
+          memcpy(&flag_, r + 14, 2);
+          memcpy(&l_seq, r + 16, 4);
+          const char* name = reinterpret_cast<const char*>(r + 32);
+          size_t name_len = size_t(l_read_name) - 1;
+
+          if (flag_ & 0x4) {
+            pt.num_unmapped++;
+            continue;
           }
-          tag_off += 1;
-          break;
-        }
-        case 'C': {
-          if (t0 == 'A' && t1 == 'S') {
-            score = r[tag_off];
-            has_score = true;
+
+          size_t cig_off = 32 + l_read_name;
+          int64_t span = 0;
+          for (uint16_t i = 0; i < n_cigar; i++) {
+            uint32_t cv;
+            memcpy(&cv, r + cig_off + 4 * size_t(i), 4);
+            if (consumes_ref(cv & 0xF)) span += cv >> 4;
           }
-          tag_off += 1;
-          break;
-        }
-        case 's': {
-          if (t0 == 'A' && t1 == 'S') {
-            int16_t v;
-            memcpy(&v, r + tag_off, 2);
-            score = v;
-            has_score = true;
-          }
-          tag_off += 2;
-          break;
-        }
-        case 'S': {
-          if (t0 == 'A' && t1 == 'S') {
-            uint16_t v;
-            memcpy(&v, r + tag_off, 2);
-            score = v;
-            has_score = true;
-          }
-          tag_off += 2;
-          break;
-        }
-        case 'i': {
-          if (t0 == 'A' && t1 == 'S') {
-            int32_t v;
-            memcpy(&v, r + tag_off, 4);
-            score = v;
-            has_score = true;
-          }
-          tag_off += 4;
-          break;
-        }
-        case 'I': {
-          if (t0 == 'A' && t1 == 'S') {
-            uint32_t v;
-            memcpy(&v, r + tag_off, 4);
-            score = v;
-            has_score = true;
-          }
-          tag_off += 4;
-          break;
-        }
-        case 'f':
-          tag_off += 4;
-          break;
-        case 'Z':
-        case 'H': {
-          size_t z = tag_off;
-          while (z < rec_end && r[z] != 0) z++;
-          if (want_barcodes && t0 == 'C' && t1 == 'B' && vt == 'Z') {
-            std::string bc(reinterpret_cast<const char*>(r + tag_off),
-                           z - tag_off);
-            auto it = bc_lookup.find(bc);
-            if (it == bc_lookup.end()) {
-              cb = int64_t(barcode_order.size());
-              bc_lookup.emplace(bc, cb);
-              barcode_order.push_back(bc);
-            } else {
-              cb = it->second;
+
+          size_t tag_off = cig_off + 4 * size_t(n_cigar) +
+                           (size_t(l_seq) + 1) / 2 + size_t(l_seq);
+          size_t rec_end = size_t(block_size);
+          int64_t score = 0;
+          bool has_score = false;
+          int64_t cb = -1;
+          while (tag_off + 3 <= rec_end) {
+            uint8_t t0 = r[tag_off], t1 = r[tag_off + 1], vt = r[tag_off + 2];
+            tag_off += 3;
+            switch (vt) {
+              case 'A':
+                tag_off += 1;
+                break;
+              case 'c': {
+                if (t0 == 'A' && t1 == 'S') {
+                  score = *reinterpret_cast<const int8_t*>(r + tag_off);
+                  has_score = true;
+                }
+                tag_off += 1;
+                break;
+              }
+              case 'C': {
+                if (t0 == 'A' && t1 == 'S') {
+                  score = r[tag_off];
+                  has_score = true;
+                }
+                tag_off += 1;
+                break;
+              }
+              case 's': {
+                if (t0 == 'A' && t1 == 'S') {
+                  int16_t v;
+                  memcpy(&v, r + tag_off, 2);
+                  score = v;
+                  has_score = true;
+                }
+                tag_off += 2;
+                break;
+              }
+              case 'S': {
+                if (t0 == 'A' && t1 == 'S') {
+                  uint16_t v;
+                  memcpy(&v, r + tag_off, 2);
+                  score = v;
+                  has_score = true;
+                }
+                tag_off += 2;
+                break;
+              }
+              case 'i': {
+                if (t0 == 'A' && t1 == 'S') {
+                  int32_t v;
+                  memcpy(&v, r + tag_off, 4);
+                  score = v;
+                  has_score = true;
+                }
+                tag_off += 4;
+                break;
+              }
+              case 'I': {
+                if (t0 == 'A' && t1 == 'S') {
+                  uint32_t v;
+                  memcpy(&v, r + tag_off, 4);
+                  score = v;
+                  has_score = true;
+                }
+                tag_off += 4;
+                break;
+              }
+              case 'f':
+                tag_off += 4;
+                break;
+              case 'Z':
+              case 'H': {
+                size_t z = tag_off;
+                while (z < rec_end && r[z] != 0) z++;
+                if (want_barcodes && t0 == 'C' && t1 == 'B' && vt == 'Z') {
+                  std::string bc(reinterpret_cast<const char*>(r + tag_off),
+                                 z - tag_off);
+                  auto it = bc_local.find(bc);
+                  if (it == bc_local.end()) {
+                    cb = int64_t(pt.bc_order.size());
+                    bc_local.emplace(bc, cb);
+                    pt.bc_order.push_back(bc);
+                  } else {
+                    cb = it->second;
+                  }
+                }
+                tag_off = z + 1;
+                break;
+              }
+              case 'B': {
+                uint8_t sub = r[tag_off];
+                uint32_t count;
+                memcpy(&count, r + tag_off + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C') ? 1
+                             : (sub == 's' || sub == 'S') ? 2
+                                                          : 4;
+                tag_off += 5 + esz * count;
+                break;
+              }
+              default:
+                pt.parse_error = true;
+                return;
             }
           }
-          tag_off = z + 1;
-          break;
-        }
-        case 'B': {
-          uint8_t sub = r[tag_off];
-          uint32_t count;
-          memcpy(&count, r + tag_off + 1, 4);
-          size_t esz = (sub == 'c' || sub == 'C') ? 1
-                       : (sub == 's' || sub == 'S') ? 2
-                                                    : 4;
-          tag_off += 5 + esz * count;
-          break;
-        }
-        default:
-          return make_error("unknown tag value type");
-      }
-    }
 
-    // name grouping over mapped records (alignment_parser.rs:361-415)
-    bool same = have_prev && prev_name.size() == name_len &&
-                memcmp(prev_name.data(), name, name_len) == 0;
-    if (!same) {
-      group++;
-      prev_name.assign(name, name_len);
-      have_prev = true;
-      if (keep_names) {
-        group_names.append(name, name_len);
-        group_names.push_back('\0');
-      }
-      if (checked_groups < sort_check_num) {
-        auto ins = seen_names.insert(prev_name);
-        if (!ins.second && !dup_name) dup_name = strdup(prev_name.c_str());
-        checked_groups++;
-      }
-    }
-    if (ref_id < 0) continue;  // mapped but no reference: never pushed
+          bool same = have_prev && prev_name.size() == name_len &&
+                      memcmp(prev_name.data(), name, name_len) == 0;
+          if (!same) {
+            group++;
+            prev_name.assign(name, name_len);
+            have_prev = true;
+            pt.name_off.push_back(pt.names_blob.size());
+            pt.names_blob.append(name, name_len);
+            pt.names_blob.push_back('\0');
+          }
+          if (ref_id < 0) continue;  // mapped but no reference: never pushed
 
-    c.group_id.push_back(group);
-    c.flag.push_back(flag_);
-    c.ref_id.push_back(ref_id);
-    c.pos.push_back(pos_);
-    c.ref_span.push_back(span);
-    c.seq_len.push_back(l_seq);
-    c.score.push_back(score);
-    c.has_score.push_back(has_score ? 1 : 0);
-    if (want_barcodes) c.cb_id.push_back(cb);
+          pt.c.group_id.push_back(group);
+          pt.c.flag.push_back(flag_);
+          pt.c.ref_id.push_back(ref_id);
+          pt.c.pos.push_back(pos_);
+          pt.c.ref_span.push_back(span);
+          pt.c.seq_len.push_back(l_seq);
+          pt.c.score.push_back(score);
+          pt.c.has_score.push_back(has_score ? 1 : 0);
+          if (want_barcodes) pt.c.cb_id.push_back(cb);
+        }
+        pt.n_groups = group + 1;
+        pt.last_name = prev_name;
+      });
+    }
+    for (auto& th : pool) th.join();
   }
+  tm.mark("scan");
+  for (auto& pt : parts)
+    if (pt.parse_error) return make_error("unknown tag value type");
+
+  // --- merge: group-id bases with boundary stitching, global barcode
+  // remap (first-seen order across ranges), collation check over the
+  // first `sort_check_num` group names
+  Columns c;
+  {
+    size_t tot = 0;
+    for (auto& pt : parts) tot += pt.c.flag.size();
+    c.group_id.reserve(tot);
+    c.flag.reserve(tot);
+    c.ref_id.reserve(tot);
+    c.pos.reserve(tot);
+    c.ref_span.reserve(tot);
+    c.seq_len.reserve(tot);
+    c.score.reserve(tot);
+    c.has_score.reserve(tot);
+    if (want_barcodes) c.cb_id.reserve(tot);
+  }
+  std::string group_names;
+  std::vector<std::string> barcode_order;
+  std::unordered_map<std::string, int64_t> bc_lookup;
+  std::unordered_set<std::string> seen_names;
+  int64_t num_unmapped = 0;
+  int64_t checked_groups = 0;
+  char* dup_name = nullptr;
+  int64_t group_base = 0;  // global id of each part's local group 0
+  int64_t group = -1;      // last global group id
+  std::string carry_name;  // name of the last group so far
+  bool have_carry = false;
+  for (int t = 0; t < nt; t++) {
+    Part& pt = parts[t];
+    num_unmapped += pt.num_unmapped;
+    bool stitch = false;
+    if (pt.n_groups > 0) {
+      const char* first = pt.names_blob.data() + pt.name_off[0];
+      stitch = have_carry && carry_name == first;
+      group_base = group + (stitch ? 0 : 1);
+      // group names + collation check (skip the stitched head)
+      for (int64_t g = stitch ? 1 : 0; g < pt.n_groups; g++) {
+        const char* nm = pt.names_blob.data() + pt.name_off[size_t(g)];
+        if (keep_names) {
+          group_names.append(nm);
+          group_names.push_back('\0');
+        }
+        if (checked_groups < sort_check_num) {
+          auto ins = seen_names.insert(nm);
+          if (!ins.second && !dup_name) dup_name = strdup(nm);
+          checked_groups++;
+        }
+      }
+      group = group_base + pt.n_groups - 1;
+      carry_name = pt.last_name;
+      have_carry = true;
+    }
+    // barcode remap
+    std::vector<int64_t> bc_map(pt.bc_order.size());
+    for (size_t i = 0; i < pt.bc_order.size(); i++) {
+      auto it = bc_lookup.find(pt.bc_order[i]);
+      if (it == bc_lookup.end()) {
+        bc_map[i] = int64_t(barcode_order.size());
+        bc_lookup.emplace(pt.bc_order[i], bc_map[i]);
+        barcode_order.push_back(pt.bc_order[i]);
+      } else {
+        bc_map[i] = it->second;
+      }
+    }
+    for (size_t i = 0; i < pt.c.group_id.size(); i++)
+      c.group_id.push_back(pt.c.group_id[i] + group_base);
+    c.flag.insert(c.flag.end(), pt.c.flag.begin(), pt.c.flag.end());
+    c.ref_id.insert(c.ref_id.end(), pt.c.ref_id.begin(), pt.c.ref_id.end());
+    c.pos.insert(c.pos.end(), pt.c.pos.begin(), pt.c.pos.end());
+    c.ref_span.insert(c.ref_span.end(), pt.c.ref_span.begin(),
+                      pt.c.ref_span.end());
+    c.seq_len.insert(c.seq_len.end(), pt.c.seq_len.begin(),
+                     pt.c.seq_len.end());
+    c.score.insert(c.score.end(), pt.c.score.begin(), pt.c.score.end());
+    c.has_score.insert(c.has_score.end(), pt.c.has_score.begin(),
+                       pt.c.has_score.end());
+    if (want_barcodes)
+      for (size_t i = 0; i < pt.c.cb_id.size(); i++)
+        c.cb_id.push_back(pt.c.cb_id[i] < 0 ? -1
+                                            : bc_map[size_t(pt.c.cb_id[i])]);
+    pt = Part();  // release
+  }
+  std::string barcodes_blob;
+  tm.mark("merge");
 
   auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
   d->n_records = int64_t(c.flag.size());
@@ -479,6 +615,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     d->n_barcodes = int64_t(barcode_order.size());
   }
   d->dup_name = dup_name;
+  tm.mark("steal");
   return d;
 }
 

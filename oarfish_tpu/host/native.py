@@ -63,7 +63,7 @@ def _build_library() -> bool:
         return False
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(_LIB_PATH), "-lz", "-pthread",
+        str(src), "-o", str(_LIB_PATH), "-ldeflate", "-lz", "-pthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)

@@ -99,6 +99,53 @@ def test_fast_pack_collation_error(tmp_path):
         pack_bam_fast(p, FilterOpts(), bin_width=0)
 
 
+def test_parallel_scan_matches_serial(tmp_path):
+    """>4096 records with threads=16 exercises the parallel record scan;
+    part boundaries land mid-group, so this covers the stitching merge."""
+    p = tmp_path / "big.bam"
+    simulate_bam(p, num_reads=6000, seed=3)
+    par = native.decode_bam(p, threads=16, keep_names=True)
+    ser = native.decode_bam(p, threads=1, keep_names=True)
+    assert par.num_unmapped == ser.num_unmapped
+    assert par.dup_name is None and ser.dup_name is None
+    assert par.group_names == ser.group_names
+    for f in ("group_id", "flag", "ref_id", "pos", "ref_span", "seq_len",
+              "score", "has_score"):
+        np.testing.assert_array_equal(
+            getattr(par.columns, f), getattr(ser.columns, f), err_msg=f
+        )
+
+
+def test_parallel_scan_barcodes(tmp_path):
+    p = tmp_path / "bigbc.bam"
+    bcs = [f"BC{i:03d}" for i in range(40)]
+    simulate_bam(p, num_reads=6000, seed=5, barcodes=bcs)
+    par = native.decode_bam(p, threads=16, want_barcodes=True)
+    ser = native.decode_bam(p, threads=1, want_barcodes=True)
+    assert par.barcodes == ser.barcodes == bcs
+    np.testing.assert_array_equal(par.cb_id, ser.cb_id)
+    np.testing.assert_array_equal(par.columns.group_id, ser.columns.group_id)
+
+
+def test_parallel_scan_collation_check(tmp_path):
+    """A duplicate read name separated by other groups must still be caught
+    when the duplicates fall in different parallel parts."""
+    p = tmp_path / "dup.bam"
+    recs = []
+    for i in range(3000):
+        recs.append(dict(name=f"r{i}", flag=0, ref_id=0, pos=0,
+                         cigar="100M", seq="A" * 100, score=100))
+    recs.append(dict(name="r17", flag=0, ref_id=0, pos=5,
+                     cigar="100M", seq="A" * 100, score=90))
+    # pad past the 4096-record parallel threshold
+    for i in range(3001, 5000):
+        recs.append(dict(name=f"r{i}", flag=0, ref_id=0, pos=0,
+                         cigar="100M", seq="A" * 100, score=100))
+    bam.write_bam(p, ["t"], [500], recs)
+    dec = native.decode_bam(p, threads=16)
+    assert dec.dup_name == "r17"
+
+
 def test_decoder_error_paths(tmp_path):
     p = tmp_path / "junk.bam"
     p.write_bytes(b"this is not a bam file")
