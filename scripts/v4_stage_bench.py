@@ -74,15 +74,18 @@ def main():
 
     xt = jnp.ones(data.n_slots_t, jnp.float32)
 
+    from oarfish_tpu.ops.static_permute import LANES
+
     def txp_math_loop(n):
         def f(d):
             def body(i, x):
                 dt = x.dtype
                 small_sums = _row_sums(x, d.small_shapes, d.small_starts)
-                if d.n_big_rows:
+                if d.big_rows_pad:
+                    g = d.big_rows_pad // LANES
                     big_rows = x[
-                        d.n_slots_t - d.n_big_rows * CAPK :
-                    ].reshape(d.n_big_rows, CAPK).sum(axis=1)
+                        d.n_slots_t - d.big_rows_pad * CAPK :
+                    ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
                     cs = jnp.concatenate(
                         [jnp.zeros(1, dt), jnp.cumsum(big_rows)]
                     )
@@ -96,14 +99,15 @@ def main():
                 curr = d.t_out(vv)[: d.num_txps]
                 ext = jnp.zeros(d.t_space, dt).at[: d.num_txps].set(curr)
                 pr = d.t_in(ext)
-                pr_small = pr[: d.n_small_rows]
-                pr_big = pr[d.n_small_rows : d.n_small_rows + d.n_big]
+                pr_small = pr[: d.row_space_s]
+                pr_big = pr[d.row_space_s : d.row_space_s + d.n_big]
                 parts = [_row_broadcast(pr_small, d.small_shapes)]
-                if d.n_big_rows:
+                if d.big_rows_pad:
                     pr_rows = jnp.take(pr_big, d.big_row_of_txp)
+                    g = d.big_rows_pad // LANES
                     parts.append(
                         jnp.broadcast_to(
-                            pr_rows[:, None], (d.n_big_rows, CAPK)
+                            pr_rows.reshape(g, 1, LANES), (g, CAPK, LANES)
                         ).reshape(-1)
                     )
                 return jnp.concatenate(parts) * 0.999
