@@ -638,12 +638,14 @@ class GlobalRoutePlan:
             x_pad.reshape(n_src * LANES, LANES),
             self.s1_r1, self.s1_lane, self.s1_r2, n_src, self.R1,
         )
-        y1 = y1.reshape(n_src, self.R1 * LANES)[:, : n_dst * Q]
-        y2 = jnp.transpose(
+        # quota exchange: chunk counts are padded so n_dst*Q == R1*128
+        # and n_src*Q == R3*128 EXACTLY — the all-to-all is one pure
+        # reshape/transpose/reshape, no slice and no zero-pad
+        # materialization (saves ~0.7 ms/route at A=6M; see
+        # scripts/exchange_microbench.py).
+        zg = jnp.transpose(
             y1.reshape(n_src, n_dst, Q), (1, 0, 2)
-        ).reshape(n_dst, n_src * Q)
-        zg = jnp.zeros((n_dst, self.R3 * LANES), x.dtype)
-        zg = zg.at[:, : n_src * Q].set(y2)
+        )
         y3 = _run_rect_reduce(
             zg.reshape(n_dst * self.R3, LANES),
             self.s3_r1, self.s3_src, self.s3_row, self.s3_r2, self.s3_mask,
@@ -665,15 +667,31 @@ class GlobalRoute:
         in_idx = np.asarray(in_idx, dtype=np.int64)
         assert n_pad % CH == 0
         n_ch = n_pad // CH
-        n_src = n_dst = n_ch
         d_of = out_idx // CH
         s_of = in_idx // CH
-        flows = np.zeros((n_src, n_dst), dtype=np.int64)
+        flows = np.zeros((n_ch, n_ch), dtype=np.int64)
         np.add.at(flows, (s_of, d_of), 1)
         maxflow = max(int(flows.max()), 1)
-        Q = _roundup(maxflow, 8)
-        R1 = _roundup(_roundup(n_dst * Q, LANES) // LANES, LANES)
-        R3 = _roundup(_roundup(n_src * Q, LANES) // LANES, LANES)
+        # (chunk-pad, Q) selection: require n_chunks * Q % 16384 == 0 on
+        # BOTH sides so the quota exchange in __call__ is a pure
+        # reshape/transpose/reshape (no slice, no zero-pad set — the
+        # glue otherwise costs ~0.7 ms/route at A=6M). Padding the chunk
+        # count up legalizes finer Q granularity; minimize grid area
+        # n_pad*Q, tie-broken toward fewer chunks.
+        import math as _math
+
+        best = None
+        for gran in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
+            npd = _roundup(n_ch, gran)
+            q_step = (LANES * LANES) // _math.gcd(LANES * LANES, npd)
+            q = _roundup(maxflow, q_step)
+            if best is None or (npd * q, npd) < (best[0], best[1]):
+                best = (npd * q, npd, q)
+        _, npd, Q = best
+        n_src = n_dst = npd
+        R1 = n_dst * Q // LANES
+        R3 = n_src * Q // LANES
+        assert R1 % LANES == 0 and R3 % LANES == 0
         if max(R1, R3) // LANES > 16:
             raise ValueError(
                 f"GlobalRoute degenerate: H={max(R1, R3) // LANES} "

@@ -63,6 +63,8 @@ def main():
         return f
 
     def expand_only(n):
+        xe = jnp.ones(n_src * CH, jnp.float32)
+
         def f():
             def body(i, x):
                 y = _run_rect_expand(
@@ -70,7 +72,7 @@ def main():
                     p.s1_r1, p.s1_lane, p.s1_r2, n_src, R1,
                 )
                 return x * 0.999 + y.reshape(-1)[: x.shape[0]] * 1e-30
-            return jax.lax.fori_loop(0, n, body, x0)[:8]
+            return jax.lax.fori_loop(0, n, body, xe)[:8]
         return f
 
     def exchange_only(n):
