@@ -157,17 +157,26 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         tpu_phase()
         return
-    if "--quick" in sys.argv:
+    quick = "--quick" in sys.argv
+    if quick:
+        # smoke mode: the subprocess must run the SAME reduced shape the
+        # parent uses for the label and the CPU baseline
         R, T, ITERS = 200_000, 50_000, 20
 
-    scale = "full-v4"
-    res = run_sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
+    def sub(env, timeout):
+        if quick:
+            env = {**env, "OARFISH_BENCH_SCALE": "quick"}
+            timeout = QUICK_TIMEOUT_S
+        return run_sub(env, timeout)
+
+    scale = "full-v4" if not quick else "quick-v4"
+    res = sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
     if res is None:
-        scale = "full-v3"
-        res = run_sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
+        scale = "full-v3" if not quick else "quick-v3"
+        res = sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
     if res is None:
-        scale = "full"
-        res = run_sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)
+        scale = "full" if not quick else "quick-fast"
+        res = sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)
     if res is None:
         scale = "quick"
         res = run_sub({"OARFISH_BENCH_SCALE": "quick",

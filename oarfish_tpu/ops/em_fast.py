@@ -222,7 +222,9 @@ class FastEmData:
             inv[plan.src_pos[mask]] = np.nonzero(mask)[0]
             inv[A] = L
             offsets = inv[offsets]
-            g_p0, g_p1 = plan.p0, plan.p1
+            from .gather_pallas import base_lanes
+
+            g_p0 = base_lanes(plan.base)  # g_p1 unused (in-kernel one-hot)
             g_lane, g_hi = plan.lane, plan.use_hi
             g_rows, g_table_rows = plan.n_rows, plan.table_rows
             A_pad = L
@@ -285,7 +287,7 @@ def _m_step_fast(
             [prev_ext, jnp.zeros(pad, prev_ext.dtype)]
         ).reshape(S, LANES)
         gathered = _run(
-            table2d, data.g_p0, data.g_p1, data.g_lane, data.g_hi,
+            table2d, data.g_p0, data.g_lane, data.g_hi,
             data.g_rows, S,
         ).reshape(-1)
         contrib_csc = gathered * data.w_csc
