@@ -169,12 +169,17 @@ def main():
             timeout = QUICK_TIMEOUT_S
         return run_sub(env, timeout)
 
-    scale = "full-v4" if not quick else "quick-v4"
-    res = sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
+    res = None
+    scale = "unset"
+    if not quick:
+        scale = "full-v4"
+        res = sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
+        if res is None:
+            scale = "full-v3"
+            res = sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
     if res is None:
-        scale = "full-v3" if not quick else "quick-v3"
-        res = sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
-    if res is None:
+        # quick mode goes straight to fast: the v4/v3 route builds +
+        # compiles routinely exceed the quick timeout at quick shape
         scale = "full" if not quick else "quick-fast"
         res = sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)
     if res is None:
