@@ -297,3 +297,26 @@ def test_v4_batched_bootstraps_match_serial():
             np.asarray(got[b]), np.asarray(want), rtol=1e-5, atol=1e-3
         )
         assert int(niters[b]) == int(niter)
+
+
+@pytest.mark.parametrize("n_ch", [1, 3, 7, 13])
+def test_global_route_pure_transpose_invariant(n_ch):
+    """The (chunk-pad, Q) selection must make the quota exchange exactly
+    transposable on both sides (n_src*Q == R1*128 == R3*128), including
+    awkward odd/prime chunk counts; routing stays exact."""
+    from oarfish_tpu.ops.static_permute import GlobalRoute
+
+    rng = np.random.default_rng(100 + n_ch)
+    n = n_ch * CH
+    n_data = max(1, int(n * 0.6))
+    out_idx = np.sort(rng.choice(n, size=n_data, replace=False))
+    in_idx = rng.permutation(n)[:n_data]
+    gr = GlobalRoute(out_idx, in_idx, n)
+    p = gr.plan
+    assert p.n_src * p.Q == p.R1 * 128
+    assert p.n_dst * p.Q == p.R3 * 128
+    x = rng.normal(size=n).astype(np.float32)
+    got = np.asarray(p(jnp.asarray(x)))
+    want = np.zeros(n, np.float32)
+    want[out_idx] = x[in_idx]
+    np.testing.assert_array_equal(got, want)
