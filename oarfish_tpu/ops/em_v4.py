@@ -67,36 +67,109 @@ def _pad128(n: int) -> int:
     return ((n + LANES - 1) // LANES) * LANES
 
 
-def _pow2_buckets(sizes: np.ndarray, shuffle_rng):
-    """Group rows (reads or transcripts) by power-of-two size buckets.
-    Returns (shapes, starts, row_parts, n_slots): shapes hold the
-    128-PADDED row count per bucket; row_parts the true member ids
-    (shuffled within buckets — flow decorrelation, see em_v3). Size-0
-    rows are excluded."""
-    maxk = int(sizes.max()) if len(sizes) else 1
-    ks: List[int] = []
-    K = 1
-    while K < maxk:
-        ks.append(K)
-        K *= 2
-    ks.append(max(K, 1))
+def _pow2_buckets(sizes: np.ndarray, shuffle_rng, buckets=None):
+    """Group rows (reads or transcripts) by power-of-two size buckets
+    (bucket K holds sizes in (K//2, K]). Returns
+    (shapes, starts, row_parts, n_slots): shapes hold the 128-PADDED row
+    count per bucket; row_parts the true member ids (shuffled within
+    buckets — flow decorrelation, see em_v3). Size-0 rows are excluded.
+
+    With `buckets` (a ((K, rows_pad), ...) envelope from a shard-uniform
+    build, see `merge_envelopes`) the bucket list and padded row counts
+    are forced — possibly larger than this dataset needs; the extra rows
+    are dead (their slots stay all-zero)."""
+    if buckets is None:
+        maxk = int(sizes.max()) if len(sizes) else 1
+        ks: List[int] = []
+        K = 1
+        while K < maxk:
+            ks.append(K)
+            K *= 2
+        ks.append(max(K, 1))
+        buckets = []
+        lo = 0
+        for K in ks:
+            n = int(np.count_nonzero((sizes > lo) & (sizes <= K)))
+            lo = K
+            if n:
+                buckets.append((K, _pad128(n)))
     shapes = []
     starts = []
     row_parts = []
     n_slots = 0
-    lo = 0
-    for K in ks:
+    for K, rows_pad in buckets:
+        lo = K // 2
         rows = np.nonzero((sizes > lo) & (sizes <= K))[0]
-        lo = K
-        if len(rows) == 0:
-            continue
+        assert _pad128(len(rows)) <= rows_pad
         rows = shuffle_rng.permutation(rows)
         starts.append(n_slots)
-        rows_pad = _pad128(len(rows))
-        shapes.append((rows_pad, K))
+        shapes.append((int(rows_pad), int(K)))
         row_parts.append(rows)
         n_slots += rows_pad * K
     return shapes, starts, row_parts, n_slots
+
+
+def compute_envelope(txp_id, boundaries, num_txps) -> dict:
+    """Static-shape requirements of this dataset's v4 layout. Merging
+    envelopes across read shards (`merge_envelopes`) and passing the
+    result to every shard's build yields EmV4Data pytrees with IDENTICAL
+    treedefs/shapes — the precondition for stacking them as `shard_map`
+    data (parallel/sharded_v4.py)."""
+    sizes = np.diff(np.asarray(boundaries, dtype=np.int64))
+    counts = np.bincount(
+        np.asarray(txp_id, dtype=np.int64), minlength=num_txps
+    )
+
+    def ladder(szs):
+        maxk = int(szs.max()) if len(szs) else 1
+        out = []
+        K = 1
+        lo = 0
+        while True:
+            n = int(np.count_nonzero((szs > lo) & (szs <= K)))
+            if n:
+                out.append((K, _pad128(n)))
+            if K >= maxk:
+                break
+            lo = K
+            K *= 2
+        return tuple(out)
+
+    read_buckets = ladder(sizes)
+    small = np.where((counts > 0) & (counts <= CAPK), counts, 0)
+    small_buckets = ladder(small) if small.any() else ()
+    big = counts[counts > CAPK]
+    n_big = int(len(big))
+    big_rows = int(np.ceil(big / CAPK).sum()) if n_big else 0
+    row_space_s = sum(rp for _, rp in small_buckets)
+    t_rows = _tile_rows(max(num_txps, row_space_s + n_big, 1))
+    return {
+        "read_buckets": read_buckets,
+        "small_buckets": small_buckets,
+        "big_rows_pad": _pad128(big_rows),
+        "n_big": n_big,
+        "t_rows": t_rows,
+    }
+
+
+def merge_envelopes(envs: List[dict]) -> dict:
+    """Pointwise max of per-shard envelopes (union of bucket Ks, max
+    padded rows per K)."""
+
+    def merge_buckets(key):
+        acc = {}
+        for e in envs:
+            for K, rp in e[key]:
+                acc[K] = max(acc.get(K, 0), rp)
+        return tuple(sorted(acc.items()))
+
+    return {
+        "read_buckets": merge_buckets("read_buckets"),
+        "small_buckets": merge_buckets("small_buckets"),
+        "big_rows_pad": max(e["big_rows_pad"] for e in envs),
+        "n_big": max(e["n_big"] for e in envs),
+        "t_rows": max(e["t_rows"] for e in envs),
+    }
 
 
 def _colmajor_slot(start: int, K: int, row, col):
@@ -152,193 +225,266 @@ class EmV4Data:
         boundaries: np.ndarray,
         num_txps: int,
         debug: bool = False,
+        envelope: Optional[dict] = None,
+        geometry: Optional[Tuple[int, int]] = None,
     ):
-        txp_id = np.asarray(txp_id, dtype=np.int64)
-        weights = np.asarray(weights, dtype=np.float64)
-        boundaries = np.asarray(boundaries, dtype=np.int64)
-        R = len(boundaries) - 1
-        A = len(txp_id)
-        T = int(num_txps)
-        sizes = np.diff(boundaries)
-
-        # ---- read-side buckets
-        rng_r = np.random.default_rng(3)
-        read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
-            sizes, rng_r
-        )
-        row_space_r = sum(rp for rp, _ in read_shapes)
-        # read id per PADDED row position (pads get read 0: their slots
-        # are all-zero so any multiplicity routed there is inert)
-        read_order = np.zeros(row_space_r, dtype=np.int64)
-        slot_of_aln = np.zeros(A, dtype=np.int64)
-        row_base = 0
-        for (rows_pad, K), start, rows in zip(
-            read_shapes, read_starts, read_row_parts
-        ):
-            read_order[row_base : row_base + len(rows)] = rows
-            row_sizes = sizes[rows]
-            rep = np.repeat(np.arange(len(rows)), row_sizes)
-            col = np.arange(int(row_sizes.sum())) - np.repeat(
-                np.concatenate([[0], np.cumsum(row_sizes)[:-1]]), row_sizes
-            )
-            src = np.repeat(boundaries[rows], row_sizes) + col
-            slot_of_aln[src] = _colmajor_slot(start, K, rep, col)
-            row_base += rows_pad
-
-        # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
-        counts = np.bincount(txp_id, minlength=T)
-        rng_t = np.random.default_rng(5)
-        small_mask = (counts > 0) & (counts <= CAPK)
-        small_sizes = np.where(small_mask, counts, 0)
-        small_shapes, small_starts, small_row_parts, n_small_slots = (
-            _pow2_buckets(small_sizes, rng_t)
-            if small_mask.any()
-            else ([], [], [], 0)
-        )
-        row_space_s = sum(rp for rp, _ in small_shapes)
-
-        big_txps = np.nonzero(counts > CAPK)[0]
-        big_txps = rng_t.permutation(big_txps)
-        n_big = len(big_txps)
-        big_chunks = (
-            np.ceil(counts[big_txps] / CAPK).astype(np.int64)
-            if n_big
-            else np.empty(0, np.int64)
-        )
-        n_big_rows = int(big_chunks.sum())
-        big_rows_pad = _pad128(n_big_rows)
-        big_row_offsets = np.zeros(n_big + 1, dtype=np.int64)
-        np.cumsum(big_chunks, out=big_row_offsets[1:])
-        big_row_of_txp = np.zeros(big_rows_pad, dtype=np.int64)
-        if n_big:
-            big_row_of_txp[:n_big_rows] = np.repeat(
-                np.arange(n_big), big_chunks
-            )
-        big_start = n_small_slots
-        n_slots_t = n_small_slots + big_rows_pad * CAPK
-
-        # per-alignment rank within its transcript
-        ord2 = np.argsort(txp_id, kind="stable")
-        run_start = np.zeros(T + 1, dtype=np.int64)
-        np.cumsum(counts, out=run_start[1:])
-        rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
-        rank = np.zeros(A, dtype=np.int64)
-        rank[ord2] = rank_sorted
-
-        # slot of each alignment in the transcript layout
-        txp_slot_of_aln = np.zeros(A, dtype=np.int64)
-        small_aln = small_mask[txp_id]
-        row_of_small_txp = np.full(T, -1, dtype=np.int64)
-        bK_of_small_txp = np.zeros(T, dtype=np.int64)
-        bstart_of_small_txp = np.zeros(T, dtype=np.int64)
-        row_base = 0
-        small_txp_row_pos = np.full(T, -1, dtype=np.int64)  # flat row pos
-        for (rows_pad, K), start, rows in zip(
-            small_shapes, small_starts, small_row_parts
-        ):
-            row_of_small_txp[rows] = np.arange(len(rows))
-            bK_of_small_txp[rows] = K
-            bstart_of_small_txp[rows] = start
-            small_txp_row_pos[rows] = row_base + np.arange(len(rows))
-            row_base += rows_pad
-        if small_aln.any():
-            t = txp_id[small_aln]
-            txp_slot_of_aln[small_aln] = _colmajor_slot(
-                bstart_of_small_txp[t],
-                bK_of_small_txp[t],
-                row_of_small_txp[t],
-                rank[small_aln],
-            )
-        if n_big:
-            big_index = np.full(T, -1, dtype=np.int64)
-            big_index[big_txps] = np.arange(n_big)
-            big_aln = counts[txp_id] > CAPK
-            bi = big_index[txp_id[big_aln]]
-            row = big_row_offsets[bi] + rank[big_aln] // CAPK
-            txp_slot_of_aln[big_aln] = _colmajor_slot(
-                big_start, CAPK, row, rank[big_aln] % CAPK
-            )
-
-        # ---- routes over the unified rounded space (partial injective
-        # maps: uncovered outputs — the bucket pads — come out ZERO,
-        # which is exactly the invariant both row-sum stages need)
-        NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
-        w_txp = np.zeros(n_slots_t, dtype=np.float64)
-        w_txp[txp_slot_of_aln] = weights
-        p_a = GlobalRoute(slot_of_aln, txp_slot_of_aln, NPAD).plan
-        p_b = GlobalRoute(txp_slot_of_aln, slot_of_aln, NPAD).plan
-
-        # ---- tiny T-space tile permutes
-        t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
-        t_space = t_rows * LANES
-        # t_in: out[row pos] = prev[small txp of that row], then the big
-        # txps as a dense block after the small row space
-        have_s = small_txp_row_pos >= 0
-        perm_in = np.full(t_space, -1, dtype=np.int64)
-        perm_in[small_txp_row_pos[have_s]] = np.nonzero(have_s)[0]
-        if n_big:
-            perm_in[row_space_s : row_space_s + n_big] = big_txps
-        used = np.zeros(t_space, dtype=bool)
-        used[perm_in[perm_in >= 0]] = True
-        free_out = np.nonzero(perm_in < 0)[0]
-        perm_in[free_out] = np.nonzero(~used)[0]
-        t_in = BatchTilePermute.build([DeviceTilePlan.build(perm_in, t_rows)])
-
-        # t_out: curr[t] = v[pos_of_t]; v = [small row sums (flat row
-        # positions), big txp sums, zeros]; empty transcripts route from
-        # the zero tail (padded rows sum to zero as well)
-        pos_of_txp = np.full(T, -1, dtype=np.int64)
-        pos_of_txp[have_s] = small_txp_row_pos[have_s]
-        if n_big:
-            pos_of_txp[big_txps] = row_space_s + np.arange(n_big)
-        perm_out = np.full(t_space, -1, dtype=np.int64)
-        have = pos_of_txp >= 0
-        perm_out[np.nonzero(have)[0]] = pos_of_txp[have]
-        free_out = np.nonzero(perm_out < 0)[0]
-        used = np.zeros(t_space, dtype=bool)
-        used[pos_of_txp[have]] = True
-        # route empty/pad outputs from slots past the live v prefix where
-        # possible (they hold zeros); any leftover free inputs also work
-        # because v's tail is zero-filled
-        perm_out[free_out] = np.nonzero(~used)[0]
-        t_out = BatchTilePermute.build(
-            [DeviceTilePlan.build(perm_out, t_rows)]
-        )
-
-        data = EmV4Data(
-            w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
-            p_a=p_a,
-            p_b=p_b,
-            t_in=t_in,
-            t_out=t_out,
-            big_row_of_txp=jnp.asarray(big_row_of_txp, dtype=jnp.int32),
-            big_row_offsets=jnp.asarray(big_row_offsets, dtype=jnp.int32),
-            read_shapes=tuple(read_shapes),
-            read_starts=tuple(read_starts),
-            n_slots_r=n_slots_r,
-            row_space_r=row_space_r,
-            small_shapes=tuple(small_shapes),
-            small_starts=tuple(small_starts),
-            row_space_s=row_space_s,
-            big_rows_pad=big_rows_pad,
-            n_big=n_big,
-            n_slots_t=n_slots_t,
-            t_space=t_space,
-            num_reads=R,
-            num_txps=T,
-        )
+        """Build the routed device state. `envelope` (see
+        `compute_envelope`/`merge_envelopes`) forces the bucket/t-space
+        static shapes and `geometry` the route (chunk-pad, Q) — both are
+        required to be shard-uniform for the sharded v4 path."""
+        lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope)
+        data = _v4_finish(lay, geometry)
         if debug:
-            dbg = {
-                "perm_in": perm_in,
-                "perm_out": perm_out,
-                "slot_of_aln": slot_of_aln,
-                "txp_slot_of_aln": txp_slot_of_aln,
-                "w_txp": w_txp,
-                "NPAD": NPAD,
-                "big_txps": big_txps,
-            }
-            return data, read_order, dbg
-        return data, read_order
+            return data, lay["read_order"], lay["dbg"]
+        return data, lay["read_order"]
+
+
+def _v4_layout(
+    txp_id: np.ndarray,
+    weights: np.ndarray,
+    boundaries: np.ndarray,
+    num_txps: int,
+    envelope: Optional[dict] = None,
+) -> dict:
+    """Phase 1 of the v4 build: bucket layouts, slot maps, and the tiny
+    T-space tile permutes — everything except the two GlobalRoutes (whose
+    geometry a shard-uniform build must choose from ALL shards' flows;
+    see `route_maxflow`/`select_route_geometry`)."""
+    txp_id = np.asarray(txp_id, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float64)
+    boundaries = np.asarray(boundaries, dtype=np.int64)
+    R = len(boundaries) - 1
+    A = len(txp_id)
+    T = int(num_txps)
+    sizes = np.diff(boundaries)
+
+    # ---- read-side buckets
+    rng_r = np.random.default_rng(3)
+    read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
+        sizes, rng_r,
+        envelope["read_buckets"] if envelope else None,
+    )
+    row_space_r = sum(rp for rp, _ in read_shapes)
+    # read id per PADDED row position (pads get read 0: their slots
+    # are all-zero so any multiplicity routed there is inert)
+    read_order = np.zeros(row_space_r, dtype=np.int64)
+    slot_of_aln = np.zeros(A, dtype=np.int64)
+    row_base = 0
+    for (rows_pad, K), start, rows in zip(
+        read_shapes, read_starts, read_row_parts
+    ):
+        read_order[row_base : row_base + len(rows)] = rows
+        row_sizes = sizes[rows]
+        rep = np.repeat(np.arange(len(rows)), row_sizes)
+        col = np.arange(int(row_sizes.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(row_sizes)[:-1]]), row_sizes
+        )
+        src = np.repeat(boundaries[rows], row_sizes) + col
+        slot_of_aln[src] = _colmajor_slot(start, K, rep, col)
+        row_base += rows_pad
+
+    # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
+    counts = np.bincount(txp_id, minlength=T)
+    rng_t = np.random.default_rng(5)
+    small_mask = (counts > 0) & (counts <= CAPK)
+    small_sizes = np.where(small_mask, counts, 0)
+    env_small = envelope["small_buckets"] if envelope else None
+    small_shapes, small_starts, small_row_parts, n_small_slots = (
+        _pow2_buckets(small_sizes, rng_t, env_small)
+        if (small_mask.any() or env_small)
+        else ([], [], [], 0)
+    )
+    row_space_s = sum(rp for rp, _ in small_shapes)
+
+    big_txps = np.nonzero(counts > CAPK)[0]
+    big_txps = rng_t.permutation(big_txps)
+    n_big_real = len(big_txps)
+    # envelope may force MORE big slots/rows than this dataset has; the
+    # dummy entries own no rows and no transcript positions (inert)
+    n_big = max(n_big_real, envelope["n_big"]) if envelope else n_big_real
+    big_chunks = (
+        np.ceil(counts[big_txps] / CAPK).astype(np.int64)
+        if n_big_real
+        else np.empty(0, np.int64)
+    )
+    n_big_rows = int(big_chunks.sum())
+    big_rows_pad = _pad128(n_big_rows)
+    if envelope:
+        big_rows_pad = max(big_rows_pad, envelope["big_rows_pad"])
+    big_row_offsets = np.zeros(n_big + 1, dtype=np.int64)
+    np.cumsum(big_chunks, out=big_row_offsets[1 : n_big_real + 1])
+    big_row_offsets[n_big_real + 1 :] = big_row_offsets[n_big_real]
+    big_row_of_txp = np.zeros(big_rows_pad, dtype=np.int64)
+    if n_big_real:
+        big_row_of_txp[:n_big_rows] = np.repeat(
+            np.arange(n_big_real), big_chunks
+        )
+    big_start = n_small_slots
+    n_slots_t = n_small_slots + big_rows_pad * CAPK
+
+    # per-alignment rank within its transcript
+    ord2 = np.argsort(txp_id, kind="stable")
+    run_start = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(counts, out=run_start[1:])
+    rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
+    rank = np.zeros(A, dtype=np.int64)
+    rank[ord2] = rank_sorted
+
+    # slot of each alignment in the transcript layout
+    txp_slot_of_aln = np.zeros(A, dtype=np.int64)
+    small_aln = small_mask[txp_id]
+    row_of_small_txp = np.full(T, -1, dtype=np.int64)
+    bK_of_small_txp = np.zeros(T, dtype=np.int64)
+    bstart_of_small_txp = np.zeros(T, dtype=np.int64)
+    row_base = 0
+    small_txp_row_pos = np.full(T, -1, dtype=np.int64)  # flat row pos
+    for (rows_pad, K), start, rows in zip(
+        small_shapes, small_starts, small_row_parts
+    ):
+        row_of_small_txp[rows] = np.arange(len(rows))
+        bK_of_small_txp[rows] = K
+        bstart_of_small_txp[rows] = start
+        small_txp_row_pos[rows] = row_base + np.arange(len(rows))
+        row_base += rows_pad
+    if small_aln.any():
+        t = txp_id[small_aln]
+        txp_slot_of_aln[small_aln] = _colmajor_slot(
+            bstart_of_small_txp[t],
+            bK_of_small_txp[t],
+            row_of_small_txp[t],
+            rank[small_aln],
+        )
+    if n_big_real:
+        big_index = np.full(T, -1, dtype=np.int64)
+        big_index[big_txps] = np.arange(n_big_real)
+        big_aln = counts[txp_id] > CAPK
+        bi = big_index[txp_id[big_aln]]
+        row = big_row_offsets[bi] + rank[big_aln] // CAPK
+        txp_slot_of_aln[big_aln] = _colmajor_slot(
+            big_start, CAPK, row, rank[big_aln] % CAPK
+        )
+
+    NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
+
+    # ---- tiny T-space tile permutes
+    t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
+    if envelope:
+        t_rows = max(t_rows, envelope["t_rows"])
+    t_space = t_rows * LANES
+    # t_in: out[row pos] = prev[small txp of that row], then the big
+    # txps as a dense block after the small row space
+    have_s = small_txp_row_pos >= 0
+    perm_in = np.full(t_space, -1, dtype=np.int64)
+    perm_in[small_txp_row_pos[have_s]] = np.nonzero(have_s)[0]
+    if n_big_real:
+        perm_in[row_space_s : row_space_s + n_big_real] = big_txps
+    used = np.zeros(t_space, dtype=bool)
+    used[perm_in[perm_in >= 0]] = True
+    free_out = np.nonzero(perm_in < 0)[0]
+    perm_in[free_out] = np.nonzero(~used)[0]
+    t_in = BatchTilePermute.build([DeviceTilePlan.build(perm_in, t_rows)])
+
+    # t_out: curr[t] = v[pos_of_t]; v = [small row sums (flat row
+    # positions), big txp sums, zeros]; empty transcripts route from
+    # the zero tail (padded rows sum to zero as well)
+    pos_of_txp = np.full(T, -1, dtype=np.int64)
+    pos_of_txp[have_s] = small_txp_row_pos[have_s]
+    if n_big_real:
+        pos_of_txp[big_txps] = row_space_s + np.arange(n_big_real)
+    perm_out = np.full(t_space, -1, dtype=np.int64)
+    have = pos_of_txp >= 0
+    perm_out[np.nonzero(have)[0]] = pos_of_txp[have]
+    free_out = np.nonzero(perm_out < 0)[0]
+    used = np.zeros(t_space, dtype=bool)
+    used[pos_of_txp[have]] = True
+    # route empty/pad outputs from slots past the live v prefix where
+    # possible (they hold zeros); any leftover free inputs also work
+    # because v's tail is zero-filled
+    perm_out[free_out] = np.nonzero(~used)[0]
+    t_out = BatchTilePermute.build(
+        [DeviceTilePlan.build(perm_out, t_rows)]
+    )
+
+    return {
+        "slot_of_aln": slot_of_aln,
+        "txp_slot_of_aln": txp_slot_of_aln,
+        "weights": weights,
+        "NPAD": NPAD,
+        "read_order": read_order,
+        "t_in": t_in,
+        "t_out": t_out,
+        "big_row_of_txp": big_row_of_txp,
+        "big_row_offsets": big_row_offsets,
+        "read_shapes": tuple(read_shapes),
+        "read_starts": tuple(read_starts),
+        "n_slots_r": n_slots_r,
+        "row_space_r": row_space_r,
+        "small_shapes": tuple(small_shapes),
+        "small_starts": tuple(small_starts),
+        "row_space_s": row_space_s,
+        "big_rows_pad": big_rows_pad,
+        "n_big": n_big,
+        "n_slots_t": n_slots_t,
+        "t_space": t_space,
+        "num_reads": R,
+        "num_txps": T,
+        "dbg": {
+            "perm_in": perm_in,
+            "perm_out": perm_out,
+            "slot_of_aln": slot_of_aln,
+            "txp_slot_of_aln": txp_slot_of_aln,
+            "NPAD": NPAD,
+            "big_txps": big_txps,
+        },
+    }
+
+
+def _v4_finish(lay: dict, geometry: Optional[Tuple[int, int]] = None
+               ) -> EmV4Data:
+    """Phase 2: construct the two GlobalRoutes (optionally with a forced
+    shard-uniform geometry) and assemble the device state. The routes
+    over the unified rounded space are partial injective maps: uncovered
+    outputs — the bucket pads — come out ZERO, which is exactly the
+    invariant both row-sum stages need."""
+    NPAD = lay["NPAD"]
+    p_a = GlobalRoute(
+        lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
+        force_geometry=geometry,
+    ).plan
+    p_b = GlobalRoute(
+        lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
+        force_geometry=geometry,
+    ).plan
+    # weights stored at the route's padded length so the fused-mul
+    # expand kernel takes them without a pad copy per iteration
+    w_txp = np.zeros(p_a.n_src * CH, dtype=np.float64)
+    w_txp[lay["txp_slot_of_aln"]] = lay["weights"]
+    lay["dbg"]["w_txp"] = w_txp[: lay["n_slots_t"]]
+
+    return EmV4Data(
+        w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
+        p_a=p_a,
+        p_b=p_b,
+        t_in=lay["t_in"],
+        t_out=lay["t_out"],
+        big_row_of_txp=jnp.asarray(lay["big_row_of_txp"], dtype=jnp.int32),
+        big_row_offsets=jnp.asarray(
+            lay["big_row_offsets"], dtype=jnp.int32
+        ),
+        read_shapes=lay["read_shapes"],
+        read_starts=lay["read_starts"],
+        n_slots_r=lay["n_slots_r"],
+        row_space_r=lay["row_space_r"],
+        small_shapes=lay["small_shapes"],
+        small_starts=lay["small_starts"],
+        row_space_s=lay["row_space_s"],
+        big_rows_pad=lay["big_rows_pad"],
+        n_big=lay["n_big"],
+        n_slots_t=lay["n_slots_t"],
+        t_space=lay["t_space"],
+        num_reads=lay["num_reads"],
+        num_txps=lay["num_txps"],
+    )
 
 
 def _row_sums(slots, shapes, starts, xp=jnp):
@@ -354,11 +500,13 @@ def _row_sums(slots, shapes, starts, xp=jnp):
     return xp.concatenate(parts)
 
 
-def _row_broadcast(values, shapes, xp=jnp):
+def _row_broadcast(values, shapes, xp=jnp, total=None):
     """Inverse of `_row_sums`: expand one value per row across its K
-    column-major slots."""
+    column-major slots. With `total`, a zero tail pads the result to that
+    length (free inside the concatenate — avoids a later pad copy)."""
     parts = []
     roff = 0
+    n = 0
     for rows_pad, K in shapes:
         g = rows_pad // LANES
         blk = values[roff : roff + rows_pad].reshape(g, 1, LANES)
@@ -366,6 +514,9 @@ def _row_broadcast(values, shapes, xp=jnp):
             xp.broadcast_to(blk, (g, K, LANES)).reshape(-1)
         )
         roff += rows_pad
+        n += rows_pad * K
+    if total is not None and total > n:
+        parts.append(xp.zeros(total - n, values.dtype))
     if not parts:
         return xp.zeros(0, values.dtype)
     return xp.concatenate(parts)
@@ -374,13 +525,15 @@ def _row_broadcast(values, shapes, xp=jnp):
 def _m_step_v4(data: EmV4Data, prev, multiplicity):
     T = data.num_txps
     dt = prev.dtype
+    npad = data.p_a.n_src * CH
     # 1. deliver prev to transcript rows (tiny static tile permute)
     ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
     pr = data.t_in(ext)
     pr_small = pr[: data.row_space_s]
     pr_big = pr[data.row_space_s : data.row_space_s + data.n_big]
 
-    # 2. contrib in the transcript layout
+    # 2. prev in the transcript layout (zero-tailed to the route pad);
+    # the * w_txp product is fused into the expand kernel of p_a
     parts = [_row_broadcast(pr_small, data.small_shapes)]
     if data.big_rows_pad:
         pr_rows = jnp.take(pr_big, data.big_row_of_txp)  # tiny static
@@ -390,25 +543,39 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
                 pr_rows.reshape(g, 1, LANES), (g, CAPK, LANES)
             ).reshape(-1)
         )
-    prev_slots = jnp.concatenate(parts) if parts else jnp.zeros(0, dt)
-    contrib_t = prev_slots * data.w_txp
+    if npad > data.n_slots_t:
+        parts.append(jnp.zeros(npad - data.n_slots_t, dt))
+    prev_slots = jnp.concatenate(parts)
 
-    # 3. route to the read layout; exact denominators (pads carry zero)
-    contrib_r = data.p_a(contrib_t)[: data.n_slots_r]
+    # 3. route to the read layout; exact denominators (pads carry zero;
+    # _row_sums never touches the padded tail, so keep it unsliced)
+    import os
+
+    fuse = os.environ.get("OARFISH_V4_NO_FUSE") != "1"
+    if fuse:
+        contrib_r = data.p_a(prev_slots, mul=data.w_txp.astype(dt),
+                             sliced=False)
+    else:
+        contrib_r = data.p_a(prev_slots * data.w_txp.astype(dt),
+                             sliced=False)
     denom = _row_sums(contrib_r, data.read_shapes, data.read_starts)
     scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
     if multiplicity is not None:
         scale = scale * multiplicity.astype(dt)
-    scale_slots = _row_broadcast(scale, data.read_shapes)
-    inc_r = contrib_r * scale_slots
+    scale_slots = _row_broadcast(scale, data.read_shapes, total=npad)
 
-    # 4. route back; per-transcript masses as dense row sums
-    inc_t = data.p_b(inc_r)[: data.n_slots_t]
+    # 4. route back (inc = contrib * scale fused into p_b's expand);
+    # per-transcript masses as dense row sums
+    if fuse:
+        inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)
+    else:
+        inc_t = data.p_b(contrib_r * scale_slots, sliced=False)
     small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
     if data.big_rows_pad:
         g = data.big_rows_pad // LANES
+        big_base = data.n_slots_t - data.big_rows_pad * CAPK
         big_rows = inc_t[
-            data.n_slots_t - data.big_rows_pad * CAPK :
+            big_base : data.n_slots_t
         ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
         cs = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(big_rows)])
         o = data.big_row_offsets

@@ -493,6 +493,41 @@ class GlobalPermute:
 # edges before coloring.
 
 
+def route_maxflow(out_idx: np.ndarray, in_idx: np.ndarray,
+                  n_pad: int) -> int:
+    """Max per-(src,dst)-chunk flow of the partial map — the quota Q a
+    GlobalRoute needs. Exposed so shard-uniform plans can take the max
+    over shards before forcing a common geometry."""
+    n_ch = n_pad // CH
+    flows = np.zeros((n_ch, n_ch), dtype=np.int64)
+    np.add.at(
+        flows,
+        (np.asarray(in_idx) // CH, np.asarray(out_idx) // CH),
+        1,
+    )
+    return max(int(flows.max()), 1)
+
+
+def select_route_geometry(n_ch: int, maxflow: int) -> Tuple[int, int]:
+    """(chunk-pad, Q) selection: require n_chunks * Q % 16384 == 0 on
+    BOTH sides so the quota exchange in __call__ is a pure
+    reshape/transpose/reshape (no slice, no zero-pad set — the glue
+    otherwise costs ~0.7 ms/route at A=6M). Padding the chunk count up
+    legalizes finer Q granularity; minimize grid area n_pad*Q,
+    tie-broken toward fewer chunks."""
+    import math as _math
+
+    best = None
+    for gran in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
+        npd = _roundup(n_ch, gran)
+        q_step = (LANES * LANES) // _math.gcd(LANES * LANES, npd)
+        q = _roundup(maxflow, q_step)
+        if best is None or (npd * q, npd) < (best[0], best[1]):
+            best = (npd * q, npd, q)
+    _, npd, Q = best
+    return npd, Q
+
+
 def _color_channels(src_row, dst_row, n_left, n_right):
     """Proper 128-edge-coloring of an irregular bipartite multigraph by
     padding it to 128-regular with dummy edges."""
@@ -508,71 +543,132 @@ def _color_channels(src_row, dst_row, n_left, n_right):
     return color[: len(src_row)]
 
 
-def _make_rect_expand_kernel(H_o: int):
-    def kernel(x_ref, r1_ref, lane_ref, r2_ref, out_ref):
-        s1 = jnp.take_along_axis(
-            x_ref[:, :], r1_ref[0].astype(jnp.int32), axis=1
-        )
-        bT = s1.T  # [channel, src_row]
-        outs = []
-        for hd in range(H_o):
-            g = jnp.take_along_axis(
-                bT, lane_ref[0, hd].astype(jnp.int32), axis=1
+def _chunks_per_program(n_chunks: int, bytes_per_chunk: int,
+                        budget: int = 4 << 20, cap: int = 8) -> int:
+    """Batch several chunks into one grid program to amortize per-program
+    and per-DMA overhead (measured ~1 us/program through the route grids:
+    at n=512 chunks the overhead dominated the ~100-cycle shuffle work).
+    Must divide n_chunks (the exchange reshape needs exact coverage) and
+    fit the ~16 MB VMEM with double buffering. OARFISH_ROUTE_CPP_CAP
+    overrides the cap (0/1 disables batching) for A/B measurement."""
+    import os
+
+    env = os.environ.get("OARFISH_ROUTE_CPP_CAP")
+    if env is not None:
+        cap = max(1, int(env))
+    cpp = 1
+    c = 2
+    while c <= cap:
+        if n_chunks % c == 0 and c * bytes_per_chunk <= budget:
+            cpp = c
+        c *= 2
+    return cpp
+
+
+def _make_rect_expand_kernel(H_o: int, cpp: int, has_mul: bool):
+    R1 = H_o * LANES
+
+    def kernel(*refs):
+        if has_mul:
+            x_ref, y_ref, r1_ref, lane_ref, r2_ref, out_ref = refs
+        else:
+            x_ref, r1_ref, lane_ref, r2_ref, out_ref = refs
+        for j in range(cpp):
+            x = x_ref[j * LANES : (j + 1) * LANES, :]
+            if has_mul:
+                x = x * y_ref[j * LANES : (j + 1) * LANES, :]
+            s1 = jnp.take_along_axis(
+                x, r1_ref[j].astype(jnp.int32), axis=1
             )
-            outs.append(g.T)
-        q = jnp.concatenate(outs, axis=0)  # [R1, 128] element at channel
-        out_ref[:, :] = jnp.take_along_axis(
-            q, r2_ref[0].astype(jnp.int32), axis=1
-        )
+            bT = s1.T  # [channel, src_row]
+            outs = []
+            for hd in range(H_o):
+                g = jnp.take_along_axis(
+                    bT, lane_ref[j, hd].astype(jnp.int32), axis=1
+                )
+                outs.append(g.T)
+            q = jnp.concatenate(outs, axis=0)  # [R1,128] element at chan
+            out_ref[j * R1 : (j + 1) * R1, :] = jnp.take_along_axis(
+                q, r2_ref[j].astype(jnp.int32), axis=1
+            )
 
     return kernel
 
 
-def _make_rect_reduce_kernel(H_i: int):
+def _make_rect_reduce_kernel(H_i: int, cpp: int):
+    R3 = H_i * LANES
+
     def kernel(x_ref, r1_ref, src_ref, row_ref, r2_ref, mask_ref, out_ref):
-        s1 = jnp.take_along_axis(
-            x_ref[:, :], r1_ref[0].astype(jnp.int32), axis=1
-        )
-        blocks = [s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_i)]
-        src = src_ref[0].astype(jnp.int32)
-        row = row_ref[0].astype(jnp.int32)
-        acc = jnp.zeros((LANES, LANES), s1.dtype)
-        for hs in range(H_i):
-            g = jnp.take_along_axis(blocks[hs], row, axis=1)
-            acc = jnp.where(src == hs, g, acc)
-        accT = acc.T  # [out_row, channel]
-        out = jnp.take_along_axis(accT, r2_ref[0].astype(jnp.int32), axis=1)
-        out_ref[:, :] = jnp.where(mask_ref[0] != 0, out, 0.0)
+        for j in range(cpp):
+            s1 = jnp.take_along_axis(
+                x_ref[j * R3 : (j + 1) * R3, :],
+                r1_ref[j].astype(jnp.int32), axis=1,
+            )
+            blocks = [
+                s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_i)
+            ]
+            src = src_ref[j].astype(jnp.int32)
+            row = row_ref[j].astype(jnp.int32)
+            acc = jnp.zeros((LANES, LANES), s1.dtype)
+            for hs in range(H_i):
+                g = jnp.take_along_axis(blocks[hs], row, axis=1)
+                acc = jnp.where(src == hs, g, acc)
+            accT = acc.T  # [out_row, channel]
+            out = jnp.take_along_axis(
+                accT, r2_ref[j].astype(jnp.int32), axis=1
+            )
+            out_ref[j * LANES : (j + 1) * LANES, :] = jnp.where(
+                mask_ref[j] != 0, out, 0.0
+            )
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("n_src", "R1"))
-def _run_rect_expand(x, r1, lane, r2, n_src, R1):
+def _run_rect_expand(x, r1, lane, r2, n_src, R1, mul=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .gather_pallas import _interpret
 
     H_o = R1 // LANES
+    has_mul = mul is not None
+    esize = x.dtype.itemsize
+    per_chunk = (
+        CH * esize * (2 if has_mul else 1)  # x (+ mul)
+        + CH  # r1 (i8)
+        + H_o * CH  # lane
+        + R1 * LANES  # r2
+        + R1 * LANES * esize  # out
+    )
+    cpp = _chunks_per_program(n_src, per_chunk)
+    data_specs = [
+        pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x]
+    if has_mul:
+        data_specs.append(
+            pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mul)
     return pl.pallas_call(
-        _make_rect_expand_kernel(H_o),
+        _make_rect_expand_kernel(H_o, cpp, has_mul),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_src * R1, LANES), x.dtype),
-        grid=(n_src,),
-        in_specs=[
-            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+        grid=(n_src // cpp,),
+        in_specs=data_specs + [
+            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, H_o, LANES, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H_o, LANES, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, R1, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R1, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((cpp * R1, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(x, r1, lane, r2)
+    )(*args, r1, lane, r2)
 
 
 @functools.partial(jax.jit, static_argnames=("n_dst", "R3"))
@@ -583,26 +679,34 @@ def _run_rect_reduce(x, r1, src, row, r2, mask, n_dst, R3):
     from .gather_pallas import _interpret
 
     H_i = R3 // LANES
+    esize = x.dtype.itemsize
+    per_chunk = (
+        R3 * LANES * esize  # x
+        + R3 * LANES  # r1 (i8)
+        + 4 * CH  # src/row/r2/mask
+        + CH * esize  # out
+    )
+    cpp = _chunks_per_program(n_dst, per_chunk)
     return pl.pallas_call(
-        _make_rect_reduce_kernel(H_i),
+        _make_rect_reduce_kernel(H_i, cpp),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_dst * LANES, LANES), x.dtype),
-        grid=(n_dst,),
+        grid=(n_dst // cpp,),
         in_specs=[
-            pl.BlockSpec((R3, LANES), lambda i: (i, 0),
+            pl.BlockSpec((cpp * R3, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R3, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, R3, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )(x, r1, src, row, r2, mask)
 
@@ -631,12 +735,30 @@ class GlobalRoutePlan:
     R1: int
     R3: int
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, mul: Optional[jax.Array] = None,
+                 sliced: bool = True) -> jax.Array:
+        """Route `x` (elementwise-multiplied by `mul` inside the expand
+        kernel when given — saves materializing the product in HBM).
+        With `sliced=False` the full n_dst*CH padded output is returned
+        (the tail past `n_out` is zero); callers that index absolute slot
+        ranges can skip the slice copy."""
         n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
-        x_pad = jnp.zeros(n_src * CH, x.dtype).at[: x.shape[0]].set(x)
+        npad = n_src * CH
+
+        def pad(v):
+            if v.shape[0] == npad:
+                return v
+            if v.shape[0] > npad:
+                return v[:npad]
+            return jnp.zeros(npad, v.dtype).at[: v.shape[0]].set(v)
+
+        x_pad = pad(x).reshape(n_src * LANES, LANES)
+        mul_pad = None if mul is None else pad(mul).reshape(
+            n_src * LANES, LANES
+        )
         y1 = _run_rect_expand(
-            x_pad.reshape(n_src * LANES, LANES),
-            self.s1_r1, self.s1_lane, self.s1_r2, n_src, self.R1,
+            x_pad, self.s1_r1, self.s1_lane, self.s1_r2, n_src, self.R1,
+            mul=mul_pad,
         )
         # quota exchange: chunk counts are padded so n_dst*Q == R1*128
         # and n_src*Q == R3*128 EXACTLY — the all-to-all is one pure
@@ -651,7 +773,8 @@ class GlobalRoutePlan:
             self.s3_r1, self.s3_src, self.s3_row, self.s3_r2, self.s3_mask,
             n_dst, self.R3,
         )
-        return y3.reshape(-1)[: self.n_out]
+        out = y3.reshape(-1)
+        return out[: self.n_out] if sliced else out
 
 
 class GlobalRoute:
@@ -662,32 +785,23 @@ class GlobalRoute:
     mask. Use `.plan` (a pytree) inside jitted code."""
 
     def __init__(self, out_idx: np.ndarray, in_idx: np.ndarray, n_pad: int,
-                 n_out: Optional[int] = None):
+                 n_out: Optional[int] = None,
+                 force_geometry: Optional[Tuple[int, int]] = None):
         out_idx = np.asarray(out_idx, dtype=np.int64)
         in_idx = np.asarray(in_idx, dtype=np.int64)
         assert n_pad % CH == 0
         n_ch = n_pad // CH
         d_of = out_idx // CH
         s_of = in_idx // CH
-        flows = np.zeros((n_ch, n_ch), dtype=np.int64)
-        np.add.at(flows, (s_of, d_of), 1)
-        maxflow = max(int(flows.max()), 1)
-        # (chunk-pad, Q) selection: require n_chunks * Q % 16384 == 0 on
-        # BOTH sides so the quota exchange in __call__ is a pure
-        # reshape/transpose/reshape (no slice, no zero-pad set — the
-        # glue otherwise costs ~0.7 ms/route at A=6M). Padding the chunk
-        # count up legalizes finer Q granularity; minimize grid area
-        # n_pad*Q, tie-broken toward fewer chunks.
-        import math as _math
-
-        best = None
-        for gran in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
-            npd = _roundup(n_ch, gran)
-            q_step = (LANES * LANES) // _math.gcd(LANES * LANES, npd)
-            q = _roundup(maxflow, q_step)
-            if best is None or (npd * q, npd) < (best[0], best[1]):
-                best = (npd * q, npd, q)
-        _, npd, Q = best
+        maxflow = route_maxflow(out_idx, in_idx, n_pad)
+        if force_geometry is not None:
+            # shared geometry across shard-uniform plans (sharded v4):
+            # every shard's routing arrays must have identical shapes
+            npd, Q = force_geometry
+            assert npd >= n_ch and Q >= maxflow, (npd, Q, n_ch, maxflow)
+            assert npd * Q % (LANES * LANES) == 0
+        else:
+            npd, Q = select_route_geometry(n_ch, maxflow)
         n_src = n_dst = npd
         R1 = n_dst * Q // LANES
         R3 = n_src * Q // LANES

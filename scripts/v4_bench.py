@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import bench
 from oarfish_tpu.ops.em_v4 import EmV4Data, _m_step_v4
 
-N1, N2 = 8, 24
+N1, N2 = 20, 120  # >=100-iter delta: 16-iter deltas are noise at ms scale
 
 
 def main():
