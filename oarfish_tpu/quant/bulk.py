@@ -128,9 +128,11 @@ def perform_inference_and_write_output(
         log.warning("pallas EM kernels need a TPU backend; using 'fast'")
         impl = "fast"
     # explicit multi-shard request: read-sharded data-parallel EM (the
-    # bootstrap batch stays on the single-device path)
+    # bootstrap batch stays on the single-device path). With --em-impl
+    # v4 the flagship routed iteration is distributed (one psum per
+    # iteration, parallel/sharded_v4.py); otherwise the segment-sum EM.
     if args.num_shards > 1 and args.num_bootstraps == 0:
-        impl = "sharded"
+        impl = "sharded-v4" if impl == "v4" else "sharded"
 
     T = len(txps_name)
     if impl in ("v3", "v4"):
@@ -222,7 +224,7 @@ def perform_inference_and_write_output(
         except ValueError as e:
             log.warning("%s routing unavailable (%s); using 'fast'", impl, e)
             impl = "fast"
-    if impl == "sharded":
+    if impl in ("sharded", "sharded-v4"):
         import jax.numpy as jnp
 
         from ..parallel.sharded_em import sharded_em
@@ -237,24 +239,55 @@ def perform_inference_and_write_output(
             if init is not None
             else np.full(T, store.num_reads / T)
         )
-        t0 = time.time()
-        counts, niter = sharded_em(
-            store.txp_id,
-            w,
-            store.boundaries,
-            T,
-            init_arr,
-            max_iter=args.max_em_iter,
-            convergence_thresh=args.convergence_thresh,
-            dtype=dtype,
-            num_shards=args.num_shards,
-        )
-        log.info(
-            "sharded EM (%d shards) converged after %d iterations in %.3fs",
-            args.num_shards or len(jax.devices()),
-            niter,
-            time.time() - t0,
-        )
+        counts = None
+        if impl == "sharded-v4":
+            from ..parallel.sharded_v4 import sharded_v4_em
+
+            try:
+                t0 = time.time()
+                counts, niter = sharded_v4_em(
+                    store.txp_id,
+                    w,
+                    store.boundaries,
+                    T,
+                    init_arr,
+                    max_iter=args.max_em_iter,
+                    convergence_thresh=args.convergence_thresh,
+                    dtype=dtype,
+                    num_shards=args.num_shards,
+                )
+                log.info(
+                    "sharded v4 EM (%d shards) converged after %d "
+                    "iterations in %.3fs",
+                    args.num_shards or len(jax.devices()),
+                    niter,
+                    time.time() - t0,
+                )
+            except ValueError as e:
+                log.warning(
+                    "sharded v4 routing unavailable (%s); using the "
+                    "segment-sum sharded EM", e,
+                )
+        if counts is None:
+            t0 = time.time()
+            counts, niter = sharded_em(
+                store.txp_id,
+                w,
+                store.boundaries,
+                T,
+                init_arr,
+                max_iter=args.max_em_iter,
+                convergence_thresh=args.convergence_thresh,
+                dtype=dtype,
+                num_shards=args.num_shards,
+            )
+            log.info(
+                "sharded EM (%d shards) converged after %d iterations "
+                "in %.3fs",
+                args.num_shards or len(jax.devices()),
+                niter,
+                time.time() - t0,
+            )
         unique, total = get_aux_counts(store, T)
         info = get_json_info(args, opts, store.discard, digest, aln_time_s)
         write_output(
