@@ -11,9 +11,12 @@
 //           per-(target,strand) colinear chaining DP (bounded lookback)
 //           -> top `best_n` chains with target span + chaining score.
 //
-// Scores approximate an alignment score (2 * chained bases, capped by
-// query coverage) so the engine's `exp((score-best)/D)` weighting behaves
-// like the alignment-mode path. No base-level extension DP (yet).
+// Scores: chain scores approximate an alignment score (2 * chained bases,
+// capped by query coverage); with rescoring on (default in transcript
+// mode) the retained candidates get true base-level alignment scores —
+// exact diagonal compares between anchors, banded affine-gap DP across
+// indel segments, x-drop end extension — so the engine's
+// `exp((score-best)/D)` weighting sees AS-like values as with rammap.
 //
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC mapper.cpp
 //        -o liboarfish_mapper.so -pthread
@@ -173,7 +176,201 @@ struct Hit {
   // spliced mode: contiguous aligned blocks on the target, [s, e) 0-based.
   // Gaps between consecutive blocks are candidate introns.
   std::vector<std::pair<uint32_t, uint32_t>> blocks;
+  // chain anchor (tpos, qpos) pairs, kept when base-level rescoring is on
+  std::vector<std::pair<uint32_t, uint32_t>> anchors;
 };
+
+// ---------------------------------------------------------------------------
+// Base-level rescoring: replace the chain-count score approximation with an
+// alignment score computed against the actual bases (the reference's rammap
+// reports extension-DP AS values; our chained-bases estimate was only
+// statistically comparable — PARITY.md). Pieces: exact compare on the
+// diagonal runs between anchors, banded affine-gap (Gotoh) DP across
+// indel-containing inter-anchor segments, and banded free-end extension at
+// both read ends. minimap2 map-ont-like scoring: match +2, mismatch -4,
+// gap open -4, gap extend -2.
+// ---------------------------------------------------------------------------
+
+struct AlnParams {
+  int32_t ma = 2, mm = 4, go = 4, ge = 2;
+  int32_t band = 32;          // half-width beyond the diagonal drift
+  int64_t cell_budget = 2000000;  // max DP cells per inter-anchor segment
+  int32_t xlen = 512;         // end-extension window
+  int32_t xdrop = 60;         // end-extension row-max drop cutoff
+};
+
+inline bool base_match(uint8_t a, uint8_t b) {
+  int ca = nt4(a), cb = nt4(b);
+  return ca < 4 && ca == cb;
+}
+
+inline int32_t score_diag(const uint8_t* t, const uint8_t* q, int32_t n,
+                          const AlnParams& P) {
+  int32_t s = 0;
+  for (int32_t i = 0; i < n; i++)
+    s += base_match(t[i], q[i]) ? P.ma : -P.mm;
+  return s;
+}
+
+// Banded affine-gap DP of t[0..lt) vs q[0..lq). Global in both starts.
+// extend_mode: free end — returns the best cell and its (i, j) extents
+// with x-drop row termination; otherwise returns the (lt, lq) cell.
+int32_t banded_align(const uint8_t* t, int32_t lt, const uint8_t* q,
+                     int32_t lq, const AlnParams& P, bool extend_mode,
+                     int32_t* out_i = nullptr, int32_t* out_j = nullptr) {
+  const int32_t NEG = INT32_MIN / 4;
+  int32_t dlo = std::min(0, lq - lt) - P.band;
+  int32_t dhi = std::max(0, lq - lt) + P.band;
+  int32_t W = dhi - dlo + 1;
+  // row-local column c = j - i - dlo; diag move = same c from prev row,
+  // vertical (i-1, j) = prev row c+1, horizontal (i, j-1) = same row c-1
+  std::vector<int32_t> H(W, NEG), F(W, NEG), Hn(W), Fn(W);
+  int32_t best = 0, best_i = 0, best_j = 0;
+  for (int32_t j = 0; j <= std::min(lq, dhi); j++) {
+    int32_t c = j - dlo;
+    if (c < 0 || c >= W) continue;
+    H[c] = (j == 0) ? 0 : -(P.go + P.ge * j);
+  }
+  for (int32_t i = 1; i <= lt; i++) {
+    std::fill(Hn.begin(), Hn.end(), NEG);
+    std::fill(Fn.begin(), Fn.end(), NEG);
+    int32_t jlo = std::max(0, i + dlo), jhi = std::min(lq, i + dhi);
+    int32_t E = NEG;
+    int32_t row_best = NEG;
+    for (int32_t j = jlo; j <= jhi; j++) {
+      int32_t c = j - i - dlo;
+      if (j == 0) {
+        Hn[c] = -(P.go + P.ge * i);
+        Fn[c] = Hn[c];
+        E = NEG;
+        row_best = std::max(row_best, Hn[c]);
+        continue;
+      }
+      // E: gap in t (came from (i, j-1) = same row c-1)
+      int32_t hl = (c - 1 >= 0) ? Hn[c - 1] : NEG;
+      E = std::max(hl - P.go, E) - P.ge;
+      // F: gap in q (came from (i-1, j) = prev row c+1)
+      int32_t hu = (c + 1 < W) ? H[c + 1] : NEG;
+      int32_t fu = (c + 1 < W) ? F[c + 1] : NEG;
+      int32_t f = std::max(hu - P.go, fu) - P.ge;
+      Fn[c] = f;
+      // diagonal from (i-1, j-1) = prev row same c
+      int32_t hd = H[c];
+      int32_t sc = (hd <= NEG / 2)
+                       ? NEG
+                       : hd + (base_match(t[i - 1], q[j - 1]) ? P.ma : -P.mm);
+      int32_t h = std::max(sc, std::max(E, f));
+      Hn[c] = h;
+      row_best = std::max(row_best, h);
+      if (extend_mode && h > best) {
+        best = h;
+        best_i = i;
+        best_j = j;
+      }
+    }
+    H.swap(Hn);
+    F.swap(Fn);
+    if (extend_mode && row_best < best - P.xdrop) break;
+  }
+  if (extend_mode) {
+    if (out_i) *out_i = best_i;
+    if (out_j) *out_j = best_j;
+    return best;
+  }
+  int32_t c_end = lq - lt - dlo;
+  return (c_end >= 0 && c_end < W) ? H[c_end] : NEG;
+}
+
+// Rescore one (unspliced) hit against the bases. `q` is the read in hit
+// orientation (revcomp'd for is_rc). Updates score and extends the
+// aligned spans with the end-extension results.
+void rescore_hit(const Index& idx, Hit& h, const uint8_t* q, int32_t qlen,
+                 int k, const AlnParams& P, bool verbose = false) {
+  const uint8_t* tgt = idx.seqs.data() + idx.seq_off[h.target];
+  int32_t tlen = int32_t(idx.lengths[h.target]);
+  int64_t score = 0;
+  int32_t ft = -1, fq = -1;  // aligned frontier (exclusive)
+  for (auto& a : h.anchors) {
+    int32_t ts = int32_t(a.first), qs = int32_t(a.second);
+    int64_t score_before = score;
+    if (ft < 0) {
+      score += int64_t(P.ma) * k;
+      ft = ts + k;
+      fq = qs + k;
+      continue;
+    }
+    int32_t dt = ts - ft, dq = qs - fq;
+    if (dt == dq && dt <= 4) {
+      // same-diagonal short gap/overlap: the few intervening bases are
+      // exact-compared; the anchor contributes only its FRESH bases
+      // (on overlap part of the k-mer was counted by the previous
+      // anchor). Longer same-diagonal gaps go through the DP below —
+      // zero NET drift can still hide an indel pair, and a diagonal
+      // walk through one scores ~25% identity garbage.
+      if (dt > 0) score += score_diag(tgt + ft, q + fq, dt, P);
+      int32_t fresh = std::min(k, ts + k - ft);
+      score += int64_t(P.ma) * std::max(fresh, 0);
+    } else if (dt < 0 || dq < 0) {
+      // crossing overlap on a different diagonal (repeat slippage):
+      // count the anchor conservatively, no segment score
+      score += int64_t(P.ma) * std::max(0, std::min(k, std::min(ts + k - ft, qs + k - fq)));
+    } else {
+      int32_t df = std::max(dt, dq) - std::min(dt, dq);
+      int64_t cells =
+          int64_t(std::max(dt, dq)) * (int64_t(df) + 2 * P.band + 1);
+      if (cells <= P.cell_budget) {
+        score += banded_align(tgt + ft, dt, q + fq, dq, P, false);
+      } else {
+        // beyond the cell budget: score PESSIMISTICALLY — unverified
+        // bases must never award near-match-rate points, or spurious
+        // chains on wrong targets outscore verified alignments
+        score += int64_t(P.ma) * std::min(dt, dq) / 4 -
+                 (P.go + int64_t(P.ge) * df);
+      }
+      score += int64_t(P.ma) * k;
+    }
+    if (verbose)
+      fprintf(stderr, "  anchor t=%d q=%d dt=%d dq=%d -> +%lld (sum %lld)\n",
+              ts, qs, ts - (ft - k), qs - (fq - k),
+              (long long)(score - score_before), (long long)score);
+    ft = std::max(ft, ts + k);
+    fq = std::max(fq, qs + k);
+  }
+  // end extensions (free end toward the read ends, banded, x-drop)
+  int32_t t0 = int32_t(h.anchors.front().first);
+  int32_t q0 = int32_t(h.anchors.front().second);
+  if (t0 > 0 && q0 > 0) {
+    int32_t wt = std::min(t0, P.xlen + P.band);
+    int32_t wq = std::min(q0, P.xlen);
+    std::vector<uint8_t> tr(wt), qr(wq);
+    for (int32_t i = 0; i < wt; i++) tr[i] = tgt[t0 - 1 - i];
+    for (int32_t i = 0; i < wq; i++) qr[i] = q[q0 - 1 - i];
+    int32_t bi = 0, bj = 0;
+    int32_t s = banded_align(tr.data(), wt, qr.data(), wq, P, true, &bi, &bj);
+    if (verbose)
+      fprintf(stderr, "  left ext (wt=%d wq=%d): %d\n", wt, wq, s);
+    if (s > 0) {
+      score += s;
+      h.tstart = uint32_t(t0 - bi);
+      h.qstart = uint32_t(q0 - bj);
+    }
+  }
+  if (ft < tlen && fq < qlen) {
+    int32_t wt = std::min(tlen - ft, P.xlen + P.band);
+    int32_t wq = std::min(qlen - fq, P.xlen);
+    int32_t bi = 0, bj = 0;
+    int32_t s = banded_align(tgt + ft, wt, q + fq, wq, P, true, &bi, &bj);
+    if (verbose)
+      fprintf(stderr, "  right ext (wt=%d wq=%d): %d\n", wt, wq, s);
+    if (s > 0) {
+      score += s;
+      h.tend = uint32_t(ft + bi);
+      h.qend = uint32_t(fq + bj);
+    }
+  }
+  if (score < k) score = k;  // keep positive for the exp() weighting
+  h.score = int32_t(std::min<int64_t>(score, INT32_MAX));
+}
 
 struct Anchor {
   uint32_t target;
@@ -183,7 +380,8 @@ struct Anchor {
 
 void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
              std::vector<Hit>& hits, std::vector<Minimizer>& mbuf,
-             std::vector<Anchor>& abuf, bool spliced = false) {
+             std::vector<Anchor>& abuf, bool spliced = false,
+             bool rescore = false) {
   hits.clear();
   mbuf.clear();
   abuf.clear();
@@ -318,6 +516,11 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
       h.score = int32_t(2 * chained);
       h.is_rc = abuf[run_start].strand;
       h.n_anchors = cnt;
+      if (rescore) {
+        h.anchors.reserve(chain.size());
+        for (size_t ci : chain)
+          h.anchors.emplace_back(abuf[ci].tpos, abuf[ci].qpos);
+      }
       hits.push_back(h);
     }
     run_start = s;
@@ -326,6 +529,29 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
   std::sort(hits.begin(), hits.end(),
             [](const Hit& a, const Hit& b) { return a.score > b.score; });
   if (int(hits.size()) > best_n) hits.resize(best_n);
+
+  if (rescore && !spliced && !hits.empty()) {
+    // base-level rescoring of the retained candidates (chain order may
+    // change: re-sort after)
+    AlnParams P;
+    std::vector<uint8_t> rc;
+    for (auto& h : hits) {
+      const uint8_t* q = seq;
+      if (h.is_rc) {
+        if (rc.empty()) {
+          rc.resize(len);
+          for (size_t i = 0; i < len; i++) {
+            int c = nt4(seq[len - 1 - i]);
+            rc[i] = (c < 4) ? uint8_t("ACGT"[3 - c]) : uint8_t('N');
+          }
+        }
+        q = rc.data();
+      }
+      rescore_hit(idx, h, q, int32_t(len), idx.k, P);
+    }
+    std::sort(hits.begin(), hits.end(),
+              [](const Hit& a, const Hit& b) { return a.score > b.score; });
+  }
 }
 
 }  // namespace
@@ -450,7 +676,8 @@ int64_t oarfish_index_num_targets(void* h) {
 // oarfish_map_result_free.
 OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
                                     const int64_t* offsets, int64_t n_reads,
-                                    int best_n, int threads, int spliced) {
+                                    int best_n, int threads, int spliced,
+                                    int rescore) {
   auto& idx = static_cast<IndexHandle*>(hptr)->idx;
   int nt = threads > 0 ? threads : 1;
   std::vector<std::vector<Hit>> per_read(n_reads);
@@ -465,7 +692,7 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
       while ((i = next.fetch_add(1)) < n_reads) {
         map_one(idx, reinterpret_cast<const uint8_t*>(seqs) + offsets[i],
                 size_t(offsets[i + 1] - offsets[i]), best_n, hits, mbuf,
-                abuf, spliced != 0);
+                abuf, spliced != 0, rescore != 0);
         per_read[i] = hits;
       }
     });
@@ -521,6 +748,51 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
   }
   if (spliced) res->block_off[total] = bo;
   return res;
+}
+
+// Debug export: map one read with rescoring, tracing every per-anchor
+// segment contribution to stderr.
+void oarfish_dbg_rescore_read(void* hptr, const char* seq, int64_t len,
+                              int best_n) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  std::vector<Hit> hits;
+  std::vector<Minimizer> mbuf;
+  std::vector<Anchor> abuf;
+  map_one(idx, reinterpret_cast<const uint8_t*>(seq), size_t(len), best_n,
+          hits, mbuf, abuf, false, true);
+  AlnParams P;
+  std::vector<uint8_t> rc;
+  for (auto& h : hits) {
+    fprintf(stderr, "hit %s t[%u,%u) q[%u,%u) rc=%d chain_score=%d "
+            "n_anchors=%d\n",
+            idx.names[h.target].c_str(), h.tstart, h.tend, h.qstart,
+            h.qend, int(h.is_rc), h.score, h.n_anchors);
+    const uint8_t* q = reinterpret_cast<const uint8_t*>(seq);
+    if (h.is_rc) {
+      if (rc.empty()) {
+        rc.resize(len);
+        for (int64_t i = 0; i < len; i++) {
+          int c = nt4(uint8_t(seq[len - 1 - i]));
+          rc[i] = (c < 4) ? uint8_t("ACGT"[3 - c]) : uint8_t('N');
+        }
+      }
+      q = rc.data();
+    }
+    Hit copy = h;
+    rescore_hit(idx, copy, q, int32_t(len), idx.k, P, true);
+    fprintf(stderr, "  => rescored %d\n", copy.score);
+  }
+}
+
+// Debug/test export: banded affine alignment score of two base strings
+// (extend_mode: free-end best cell). Differential-tested against a NumPy
+// Needleman/Gotoh oracle in tests/test_mapper.py.
+int32_t oarfish_dbg_align(const char* t, int32_t lt, const char* q,
+                          int32_t lq, int extend_mode) {
+  AlnParams P;
+  return banded_align(reinterpret_cast<const uint8_t*>(t), lt,
+                      reinterpret_cast<const uint8_t*>(q), lq, P,
+                      extend_mode != 0);
 }
 
 void oarfish_map_result_free(OarfishMapResult* r) {

@@ -81,6 +81,7 @@ def get_lib():
     lib.oarfish_map_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.oarfish_map_result_free.argtypes = [ctypes.POINTER(_MapResult)]
     lib.oarfish_index_save.restype = ctypes.c_int
@@ -241,7 +242,12 @@ class Mapper:
         return n_loaded
 
     def map_batch(self, seqs: Sequence[bytes], best_n: int = 100,
-                  threads: int = 4, spliced: bool = False) -> MapHits:
+                  threads: int = 4, spliced: bool = False,
+                  rescore: bool = True) -> MapHits:
+        """Map a read batch. `rescore` (unspliced mode) replaces the
+        chain-count score approximation with base-level alignment scores
+        (banded affine DP between anchors + x-drop end extension), the
+        analogue of rammap's extension-DP AS values."""
         lib = get_lib()
         blob = b"".join(seqs)
         offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
@@ -254,6 +260,7 @@ class Mapper:
             int(best_n),
             int(threads),
             1 if spliced else 0,
+            1 if rescore else 0,
         )
         r = rptr.contents
         n = int(r.n_hits)

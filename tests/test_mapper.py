@@ -115,3 +115,87 @@ def test_index_save_load_roundtrip(sirv_mapper, tmp_path):
     h2 = m2.map_batch([read])
     np.testing.assert_array_equal(h1.target, h2.target)
     np.testing.assert_array_equal(h1.score, h2.score)
+
+
+def test_banded_align_vs_gotoh_oracle(sirv_mapper):
+    """The C banded affine aligner must equal a full Needleman/Gotoh
+    NumPy oracle whenever the optimum fits in the band."""
+    import ctypes
+
+    lib = mp.get_lib()
+    lib.oarfish_dbg_align.restype = ctypes.c_int32
+    lib.oarfish_dbg_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_int,
+    ]
+
+    def gotoh(t, q, ma=2, mm=4, go=4, ge=2):
+        lt, lq = len(t), len(q)
+        NEG = -(10 ** 9)
+        H = np.full((lt + 1, lq + 1), NEG, dtype=np.int64)
+        E = np.full_like(H, NEG)
+        F = np.full_like(H, NEG)
+        H[0, 0] = 0
+        for j in range(1, lq + 1):
+            H[0, j] = -(go + ge * j)
+        for i in range(1, lt + 1):
+            H[i, 0] = -(go + ge * i)
+            F[i, 0] = H[i, 0]
+            for j in range(1, lq + 1):
+                E[i, j] = max(H[i, j - 1] - go, E[i, j - 1]) - ge
+                F[i, j] = max(H[i - 1, j] - go, F[i - 1, j]) - ge
+                s = ma if t[i - 1] == q[j - 1] else -mm
+                H[i, j] = max(H[i - 1, j - 1] + s, E[i, j], F[i, j])
+        return int(H[lt, lq])
+
+    rng = np.random.default_rng(5)
+    bases = b"ACGT"
+    for _ in range(40):
+        lt = int(rng.integers(1, 80))
+        lq = max(1, lt + int(rng.integers(-10, 10)))
+        t = bytes(bytearray(bases[i] for i in rng.integers(0, 4, size=lt)))
+        q = bytearray(t[:lq].ljust(lq, b"A"))
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, len(q)))
+            q[p] = bases[int(rng.integers(4))]
+        q = bytes(q)
+        got = lib.oarfish_dbg_align(t, lt, q, lq, 0)
+        want = gotoh(t, q)
+        assert got == want, (t, q, got, want)
+
+
+def test_rescoring_sharpens_discrimination(sirv_mapper):
+    """Base-level rescoring must keep top-hit accuracy and widen the
+    best-vs-second score margin versus the chain approximation."""
+    names, seqs, m = sirv_mapper
+    rng = np.random.default_rng(17)
+    reads, truth = [], []
+    for _ in range(150):
+        t = int(rng.integers(0, len(seqs)))
+        s = seqs[t]
+        if len(s) < 400:
+            continue
+        start = int(rng.integers(0, max(1, len(s) - 300)))
+        ln = int(rng.integers(300, min(2000, len(s) - start) + 1))
+        reads.append(mutate(rng, s[start:start + ln], sub=0.06, indel=0.04))
+        truth.append(t)
+
+    stats = {}
+    for rescore in (False, True):
+        hits = m.map_batch(reads, best_n=20, threads=4, rescore=rescore)
+        tophit = 0
+        margins = []
+        for i in range(len(reads)):
+            a, b = hits.read_off[i], hits.read_off[i + 1]
+            if a == b:
+                continue
+            sc = hits.score[a:b]
+            best = int(np.argmax(sc))
+            if hits.target[a:b][best] == truth[i]:
+                tophit += 1
+                if b - a > 1:
+                    others = np.delete(sc, best)
+                    margins.append(int(sc[best]) - int(others.max()))
+        stats[rescore] = (tophit, float(np.median(margins)))
+    assert stats[True][0] >= stats[False][0] - 2  # accuracy held
+    assert stats[True][1] > stats[False][1] * 1.15  # sharper margins
