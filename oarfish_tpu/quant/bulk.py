@@ -122,6 +122,30 @@ def perform_inference_and_write_output(
     import jax
 
     impl = args.em_impl
+    # Tiny problems: per-dispatch device latency (and, under the axon
+    # tunnel, multi-minute round-trips) dwarfs the compute — run the EM
+    # on the host CPU backend instead (observed 320s for a 400-read EM
+    # through the tunnel vs ~1s on CPU). Explicit --em-impl choices are
+    # honored.
+    SMALL_EM_ALNS = 200_000
+    if (
+        impl == "auto"
+        and args.num_shards <= 1
+        and jax.default_backend() != "cpu"
+        and store.num_alignments < SMALL_EM_ALNS
+    ):
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            log.info(
+                "small problem (%d alignments < %d): running the EM on "
+                "the host CPU backend",
+                store.num_alignments, SMALL_EM_ALNS,
+            )
+            jax.config.update("jax_default_device", cpu)
+            impl = "segsum"
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
     if impl in ("pallas", "v3", "v4") and jax.default_backend() == "cpu":
