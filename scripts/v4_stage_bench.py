@@ -15,7 +15,7 @@ import bench
 from oarfish_tpu.constants import EM_DENOM_THRESH
 from oarfish_tpu.ops.em_v4 import CAPK, EmV4Data, _row_broadcast, _row_sums
 
-N1, N2 = 8, 24
+N1, N2 = 20, 120
 
 
 def delta_time(make_fn, data, tag):
