@@ -439,25 +439,72 @@ def _v4_layout(
     }
 
 
-def _v4_finish(lay: dict, geometry: Optional[Tuple[int, int]] = None
-               ) -> EmV4Data:
+_CR_CANDIDATES = (128, 256, 512)  # route chunk sizes (128-lane rows)
+
+
+def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
+    """Pick (chunk_rows, npad_rounded, (npd, Q)) minimizing the
+    estimated per-route cost: ~3 HBM passes over the quota tensor plus
+    the gather-network VPU work (H_in x H_out block gathers per chunk).
+    Larger chunks concentrate the per-pair flows toward their mean
+    (less quota inflation) but cost more shuffle work.
+
+    `lay_or_maxflows`: either a layout dict (maxflows computed here) or
+    a {chunk_rows: maxflow} dict (shard-uniform builds pass the max over
+    shards)."""
+    from .static_permute import route_maxflow, select_route_geometry
+
+    if isinstance(lay_or_maxflows, dict) and "slot_of_aln" in lay_or_maxflows:
+        lay = lay_or_maxflows
+        mfs = {}
+        for CR in _CR_CANDIDATES:
+            CHR = CR * LANES
+            npad_r = ((NPAD + CHR - 1) // CHR) * CHR
+            mfs[CR] = route_maxflow(
+                lay["slot_of_aln"], lay["txp_slot_of_aln"], npad_r,
+                chunk=CHR,
+            )
+    else:
+        mfs = lay_or_maxflows
+    best = None
+    for CR, mf in mfs.items():
+        CHR = CR * LANES
+        npad_r = ((NPAD + CHR - 1) // CHR) * CHR
+        npd, Q = select_route_geometry(npad_r // CHR, mf)
+        R1 = npd * Q // LANES
+        if R1 % LANES or R1 // LANES > 16:
+            continue
+        area = npd * npd * Q  # quota elements
+        vpu = npd * (CR // LANES) * (R1 // LANES) * (LANES * LANES)
+        cost = 3 * area + vpu
+        if best is None or cost < best[0]:
+            best = (cost, CR, npad_r, (npd, Q))
+    if best is None:
+        raise ValueError("no feasible route geometry at any chunk size")
+    return best[1], best[2], best[3]
+
+
+def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
     """Phase 2: construct the two GlobalRoutes (optionally with a forced
-    shard-uniform geometry) and assemble the device state. The routes
-    over the unified rounded space are partial injective maps: uncovered
-    outputs — the bucket pads — come out ZERO, which is exactly the
-    invariant both row-sum stages need."""
-    NPAD = lay["NPAD"]
+    shard-uniform (chunk_rows, npad, (npd, Q)) config) and assemble the
+    device state. The routes over the unified rounded space are partial
+    injective maps: uncovered outputs — the bucket pads — come out
+    ZERO, which is exactly the invariant both row-sum stages need."""
+    if geometry is None:
+        CR, NPAD, geo = route_config(lay, lay["NPAD"])
+    else:
+        CR, NPAD, geo = geometry
     p_a = GlobalRoute(
         lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
-        force_geometry=geometry,
+        force_geometry=geo, chunk_rows=CR,
     ).plan
     p_b = GlobalRoute(
         lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
-        force_geometry=geometry,
+        force_geometry=geo, chunk_rows=CR,
     ).plan
     # weights stored at the route's padded length so the fused-mul
     # expand kernel takes them without a pad copy per iteration
-    w_txp = np.zeros(p_a.n_src * CH, dtype=np.float64)
+    w_txp = np.zeros(p_a.n_src * CR * LANES, dtype=np.float64)
     w_txp[lay["txp_slot_of_aln"]] = lay["weights"]
     lay["dbg"]["w_txp"] = w_txp[: lay["n_slots_t"]]
 
@@ -525,7 +572,7 @@ def _row_broadcast(values, shapes, xp=jnp, total=None):
 def _m_step_v4(data: EmV4Data, prev, multiplicity):
     T = data.num_txps
     dt = prev.dtype
-    npad = data.p_a.n_src * CH
+    npad = data.p_a.n_src * data.p_a.chunk_rows * LANES
     # 1. deliver prev to transcript rows (tiny static tile permute)
     ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
     pr = data.t_in(ext)

@@ -494,15 +494,15 @@ class GlobalPermute:
 
 
 def route_maxflow(out_idx: np.ndarray, in_idx: np.ndarray,
-                  n_pad: int) -> int:
+                  n_pad: int, chunk: int = CH) -> int:
     """Max per-(src,dst)-chunk flow of the partial map — the quota Q a
     GlobalRoute needs. Exposed so shard-uniform plans can take the max
     over shards before forcing a common geometry."""
-    n_ch = n_pad // CH
+    n_ch = n_pad // chunk
     flows = np.zeros((n_ch, n_ch), dtype=np.int64)
     np.add.at(
         flows,
-        (np.asarray(in_idx) // CH, np.asarray(out_idx) // CH),
+        (np.asarray(in_idx) // chunk, np.asarray(out_idx) // chunk),
         1,
     )
     return max(int(flows.max()), 1)
@@ -565,168 +565,153 @@ def _chunks_per_program(n_chunks: int, bytes_per_chunk: int,
     return cpp
 
 
-def _make_rect_expand_kernel(H_o: int, cpp: int, has_mul: bool):
-    R1 = H_o * LANES
+def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
+                       has_mask: bool):
+    """Unified gather-network stage kernel: [R_in,128] -> [R_out,128]
+    per chunk. Lane shuffle (element -> channel), per-output-block
+    channel delivery (gather from the matching input block, selected by
+    a static source-block table when H_in > 1), lane shuffle to the
+    final lane (+ static zero mask for outputs not covered by data)."""
+    R_in = H_in * LANES
+    R_out = H_out * LANES
 
     def kernel(*refs):
-        if has_mul:
-            x_ref, y_ref, r1_ref, lane_ref, r2_ref, out_ref = refs
-        else:
-            x_ref, r1_ref, lane_ref, r2_ref, out_ref = refs
+        it = iter(refs)
+        x_ref = next(it)
+        y_ref = next(it) if has_mul else None
+        r1_ref = next(it)
+        src_ref = next(it) if H_in > 1 else None
+        row_ref = next(it)
+        r2_ref = next(it)
+        mask_ref = next(it) if has_mask else None
+        out_ref = next(it)
         for j in range(cpp):
-            x = x_ref[j * LANES : (j + 1) * LANES, :]
+            x = x_ref[j * R_in : (j + 1) * R_in, :]
             if has_mul:
-                x = x * y_ref[j * LANES : (j + 1) * LANES, :]
+                x = x * y_ref[j * R_in : (j + 1) * R_in, :]
             s1 = jnp.take_along_axis(
                 x, r1_ref[j].astype(jnp.int32), axis=1
             )
-            bT = s1.T  # [channel, src_row]
-            outs = []
-            for hd in range(H_o):
-                g = jnp.take_along_axis(
-                    bT, lane_ref[j, hd].astype(jnp.int32), axis=1
-                )
-                outs.append(g.T)
-            q = jnp.concatenate(outs, axis=0)  # [R1,128] element at chan
-            out_ref[j * R1 : (j + 1) * R1, :] = jnp.take_along_axis(
-                q, r2_ref[j].astype(jnp.int32), axis=1
-            )
-
-    return kernel
-
-
-def _make_rect_reduce_kernel(H_i: int, cpp: int):
-    R3 = H_i * LANES
-
-    def kernel(x_ref, r1_ref, src_ref, row_ref, r2_ref, mask_ref, out_ref):
-        for j in range(cpp):
-            s1 = jnp.take_along_axis(
-                x_ref[j * R3 : (j + 1) * R3, :],
-                r1_ref[j].astype(jnp.int32), axis=1,
-            )
             blocks = [
-                s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_i)
-            ]
-            src = src_ref[j].astype(jnp.int32)
-            row = row_ref[j].astype(jnp.int32)
-            acc = jnp.zeros((LANES, LANES), s1.dtype)
-            for hs in range(H_i):
-                g = jnp.take_along_axis(blocks[hs], row, axis=1)
-                acc = jnp.where(src == hs, g, acc)
-            accT = acc.T  # [out_row, channel]
-            out = jnp.take_along_axis(
-                accT, r2_ref[j].astype(jnp.int32), axis=1
-            )
-            out_ref[j * LANES : (j + 1) * LANES, :] = jnp.where(
-                mask_ref[j] != 0, out, 0.0
-            )
+                s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_in)
+            ]  # [channel, row-in-block]
+            outs = []
+            for ho in range(H_out):
+                row = row_ref[j, ho].astype(jnp.int32)
+                if H_in == 1:
+                    acc = jnp.take_along_axis(blocks[0], row, axis=1)
+                else:
+                    src = src_ref[j, ho].astype(jnp.int32)
+                    acc = jnp.zeros((LANES, LANES), s1.dtype)
+                    for hi in range(H_in):
+                        g = jnp.take_along_axis(blocks[hi], row, axis=1)
+                        acc = jnp.where(src == hi, g, acc)
+                outs.append(acc.T)  # [out-row-in-block, channel]
+            q = jnp.concatenate(outs, axis=0)  # [R_out,128] at channel
+            out = jnp.take_along_axis(q, r2_ref[j].astype(jnp.int32),
+                                      axis=1)
+            if has_mask:
+                out = jnp.where(mask_ref[j] != 0, out, 0.0)
+            out_ref[j * R_out : (j + 1) * R_out, :] = out
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_src", "R1"))
-def _run_rect_expand(x, r1, lane, r2, n_src, R1, mul=None):
+@functools.partial(
+    jax.jit, static_argnames=("n_chunks", "R_in", "R_out", "has_mask")
+)
+def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
+                     has_mask, mul=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .gather_pallas import _interpret
 
-    H_o = R1 // LANES
+    H_in = R_in // LANES
+    H_out = R_out // LANES
     has_mul = mul is not None
     esize = x.dtype.itemsize
     per_chunk = (
-        CH * esize * (2 if has_mul else 1)  # x (+ mul)
-        + CH  # r1 (i8)
-        + H_o * CH  # lane
-        + R1 * LANES  # r2
-        + R1 * LANES * esize  # out
+        R_in * LANES * esize * (2 if has_mul else 1)  # x (+ mul)
+        + R_in * LANES  # r1 (i8)
+        + (H_out * LANES * LANES if H_in > 1 else 0)  # src
+        + H_out * LANES * LANES  # row
+        + R_out * LANES  # r2
+        + (R_out * LANES if has_mask else 0)  # mask
+        + R_out * LANES * esize  # out
     )
-    cpp = _chunks_per_program(n_src, per_chunk)
-    data_specs = [
-        pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
+    # heavier unrolled bodies (H_in x H_out gathers) compile slower:
+    # cap the batching by body weight as well as VMEM
+    cap = 8 if H_in * H_out <= 8 else 4
+    cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
+    specs = [
+        pl.BlockSpec((cpp * R_in, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [x]
     if has_mul:
-        data_specs.append(
-            pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
+        specs.append(
+            pl.BlockSpec((cpp * R_in, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(mul)
-    return pl.pallas_call(
-        _make_rect_expand_kernel(H_o, cpp, has_mul),
-        interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((n_src * R1, LANES), x.dtype),
-        grid=(n_src // cpp,),
-        in_specs=data_specs + [
-            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, H_o, LANES, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, R1, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cpp * R1, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )(*args, r1, lane, r2)
-
-
-@functools.partial(jax.jit, static_argnames=("n_dst", "R3"))
-def _run_rect_reduce(x, r1, src, row, r2, mask, n_dst, R3):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from .gather_pallas import _interpret
-
-    H_i = R3 // LANES
-    esize = x.dtype.itemsize
-    per_chunk = (
-        R3 * LANES * esize  # x
-        + R3 * LANES  # r1 (i8)
-        + 4 * CH  # src/row/r2/mask
-        + CH * esize  # out
+    specs.append(
+        pl.BlockSpec((cpp, R_in, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
     )
-    cpp = _chunks_per_program(n_dst, per_chunk)
+    args.append(r1)
+    if H_in > 1:
+        specs.append(
+            pl.BlockSpec((cpp, H_out, LANES, LANES),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(src)
+    specs.append(
+        pl.BlockSpec((cpp, H_out, LANES, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(row)
+    specs.append(
+        pl.BlockSpec((cpp, R_out, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    args.append(r2)
+    if has_mask:
+        specs.append(
+            pl.BlockSpec((cpp, R_out, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
     return pl.pallas_call(
-        _make_rect_reduce_kernel(H_i, cpp),
+        _make_route_kernel(H_in, H_out, cpp, has_mul, has_mask),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((n_dst * LANES, LANES), x.dtype),
-        grid=(n_dst // cpp,),
-        in_specs=[
-            pl.BlockSpec((cpp * R3, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, R3, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cpp, LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((cpp * LANES, LANES), lambda i: (i, 0),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * R_out, LANES), x.dtype),
+        grid=(n_chunks // cpp,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((cpp * R_out, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-    )(x, r1, src, row, r2, mask)
+    )(*args)
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["s1_r1", "s1_lane", "s1_r2", "s3_r1", "s3_src", "s3_row",
-                 "s3_r2", "s3_mask"],
-    meta_fields=["n_in", "n_out", "n_src", "n_dst", "Q", "R1", "R3"],
+    data_fields=["s1_r1", "s1_src", "s1_row", "s1_r2", "s3_r1", "s3_src",
+                 "s3_row", "s3_r2", "s3_mask"],
+    meta_fields=["n_in", "n_out", "n_src", "n_dst", "Q", "R1", "R3",
+                 "chunk_rows"],
 )
 @dataclass(frozen=True)
 class GlobalRoutePlan:
-    s1_r1: jax.Array  # [n_src, 128, 128] i8
-    s1_lane: jax.Array  # [n_src, H_o, 128, 128] i8
+    s1_r1: jax.Array  # [n_src, CR, 128] i8
+    s1_src: Optional[jax.Array]  # [n_src, H_o, 128, 128] i8 (None: CR=128)
+    s1_row: jax.Array  # [n_src, H_o, 128, 128] i8
     s1_r2: jax.Array  # [n_src, R1, 128] i8
     s3_r1: jax.Array  # [n_dst, R3, 128] i8
-    s3_src: jax.Array  # [n_dst, 128, 128] i8
-    s3_row: jax.Array  # [n_dst, 128, 128] i8
-    s3_r2: jax.Array  # [n_dst, 128, 128] i8
-    s3_mask: jax.Array  # [n_dst, 128, 128] i8
+    s3_src: Optional[jax.Array]  # [n_dst, CR/128, 128, 128] i8
+    s3_row: jax.Array  # [n_dst, CR/128, 128, 128] i8
+    s3_r2: jax.Array  # [n_dst, CR, 128] i8
+    s3_mask: jax.Array  # [n_dst, CR, 128] i8
     n_in: int
     n_out: int
     n_src: int
@@ -734,16 +719,18 @@ class GlobalRoutePlan:
     Q: int
     R1: int
     R3: int
+    chunk_rows: int  # CR: 128-lane rows per chunk (CR*128 elements)
 
     def __call__(self, x: jax.Array, mul: Optional[jax.Array] = None,
                  sliced: bool = True) -> jax.Array:
         """Route `x` (elementwise-multiplied by `mul` inside the expand
         kernel when given — saves materializing the product in HBM).
-        With `sliced=False` the full n_dst*CH padded output is returned
-        (the tail past `n_out` is zero); callers that index absolute slot
-        ranges can skip the slice copy."""
+        With `sliced=False` the full padded output is returned (the tail
+        past `n_out` is zero); callers that index absolute slot ranges
+        can skip the slice copy."""
         n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
-        npad = n_src * CH
+        CR = self.chunk_rows
+        npad = n_src * CR * LANES
 
         def pad(v):
             if v.shape[0] == npad:
@@ -752,13 +739,13 @@ class GlobalRoutePlan:
                 return v[:npad]
             return jnp.zeros(npad, v.dtype).at[: v.shape[0]].set(v)
 
-        x_pad = pad(x).reshape(n_src * LANES, LANES)
+        x_pad = pad(x).reshape(n_src * CR, LANES)
         mul_pad = None if mul is None else pad(mul).reshape(
-            n_src * LANES, LANES
+            n_src * CR, LANES
         )
-        y1 = _run_rect_expand(
-            x_pad, self.s1_r1, self.s1_lane, self.s1_r2, n_src, self.R1,
-            mul=mul_pad,
+        y1 = _run_route_stage(
+            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
+            None, n_src, CR, self.R1, False, mul=mul_pad,
         )
         # quota exchange: chunk counts are padded so n_dst*Q == R1*128
         # and n_src*Q == R3*128 EXACTLY — the all-to-all is one pure
@@ -768,13 +755,37 @@ class GlobalRoutePlan:
         zg = jnp.transpose(
             y1.reshape(n_src, n_dst, Q), (1, 0, 2)
         )
-        y3 = _run_rect_reduce(
+        y3 = _run_route_stage(
             zg.reshape(n_dst * self.R3, LANES),
-            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2, self.s3_mask,
-            n_dst, self.R3,
+            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
+            self.s3_mask, n_dst, self.R3, CR, True,
         )
         out = y3.reshape(-1)
         return out[: self.n_out] if sliced else out
+
+
+def _build_stage_tables(in_row, in_lane, out_row, out_lane, R_in, R_out,
+                        need_mask):
+    """Static routing tables of one gather-network stage for one chunk:
+    elements enter at (in_row, in_lane) of the [R_in,128] input tile and
+    leave at (out_row, out_lane) of the [R_out,128] output tile. Channel
+    assignment = proper 128-edge-coloring of the (in_row, out_row)
+    bipartite multigraph (Konig: max degree 128 on both sides)."""
+    H_out = R_out // LANES
+    c = _color_channels(in_row, out_row, R_in, R_out)
+    r1 = np.zeros((R_in, LANES), dtype=np.int8)
+    src = np.zeros((H_out, LANES, LANES), dtype=np.int8)
+    row = np.zeros((H_out, LANES, LANES), dtype=np.int8)
+    r2 = np.zeros((R_out, LANES), dtype=np.int8)
+    r1[in_row, c] = in_lane
+    src[out_row // LANES, c, out_row % LANES] = in_row // LANES
+    row[out_row // LANES, c, out_row % LANES] = in_row % LANES
+    r2[out_row, out_lane] = c
+    if not need_mask:
+        return r1, src, row, r2, None
+    mask = np.zeros((R_out, LANES), dtype=np.int8)
+    mask[out_row, out_lane] = 1
+    return r1, src, row, r2, mask
 
 
 class GlobalRoute:
@@ -782,18 +793,29 @@ class GlobalRoute:
     over [0, n_pad); all other outputs are ZERO. No pad routing, no
     bijection completion: quota slots not covered by data carry garbage
     that is never read back, and output pads are zeroed by a static
-    mask. Use `.plan` (a pytree) inside jitted code."""
+    mask. Use `.plan` (a pytree) inside jitted code.
+
+    `chunk_rows` sets the route-chunk size (chunk_rows*128 elements).
+    Larger chunks average the per-(src,dst) flows toward their mean
+    (Poisson concentration: the quota Q must cover the MAX flow, and at
+    chunk=16384 the max sits ~3x above the mean at A=6M), shrinking the
+    quota tensor — at the cost of H_in x H_out gather/select work in
+    the stage kernels."""
 
     def __init__(self, out_idx: np.ndarray, in_idx: np.ndarray, n_pad: int,
                  n_out: Optional[int] = None,
-                 force_geometry: Optional[Tuple[int, int]] = None):
+                 force_geometry: Optional[Tuple[int, int]] = None,
+                 chunk_rows: int = LANES):
         out_idx = np.asarray(out_idx, dtype=np.int64)
         in_idx = np.asarray(in_idx, dtype=np.int64)
-        assert n_pad % CH == 0
-        n_ch = n_pad // CH
-        d_of = out_idx // CH
-        s_of = in_idx // CH
-        maxflow = route_maxflow(out_idx, in_idx, n_pad)
+        CR = int(chunk_rows)
+        assert CR % LANES == 0
+        CHR = CR * LANES  # elements per chunk
+        assert n_pad % CHR == 0, (n_pad, CHR)
+        n_ch = n_pad // CHR
+        d_of = out_idx // CHR
+        s_of = in_idx // CHR
+        maxflow = route_maxflow(out_idx, in_idx, n_pad, chunk=CHR)
         if force_geometry is not None:
             # shared geometry across shard-uniform plans (sharded v4):
             # every shard's routing arrays must have identical shapes
@@ -803,7 +825,7 @@ class GlobalRoute:
         else:
             npd, Q = select_route_geometry(n_ch, maxflow)
         n_src = n_dst = npd
-        R1 = n_dst * Q // LANES
+        R1 = n_dst * Q // LANES  # stage-1 quota rows per chunk
         R3 = n_src * Q // LANES
         assert R1 % LANES == 0 and R3 % LANES == 0
         if max(R1, R3) // LANES > 16:
@@ -815,8 +837,7 @@ class GlobalRoute:
         self.n_out = n_out if n_out is not None else n_pad
         self.n_src, self.n_dst, self.Q = n_src, n_dst, Q
         self.R1, self.R3 = R1, R3
-        H_o = R1 // LANES
-        H_i = R3 // LANES
+        self.chunk_rows = CR
 
         # rank within each (s,d) flow
         E = len(out_idx)
@@ -832,14 +853,22 @@ class GlobalRoute:
         q_slot = d_of * Q + rank  # within src chunk quota space
         q3_slot = s_of * Q + rank  # within dst chunk (post-transpose)
 
-        s1_r1 = np.zeros((n_src, LANES, LANES), dtype=np.int8)
-        s1_lane = np.zeros((n_src, H_o, LANES, LANES), dtype=np.int8)
+        H_in_gt1 = CR > LANES
+        s1_r1 = np.zeros((n_src, CR, LANES), dtype=np.int8)
+        s1_src = (
+            np.zeros((n_src, R1 // LANES, LANES, LANES), dtype=np.int8)
+            if H_in_gt1 else None
+        )
+        s1_row = np.zeros((n_src, R1 // LANES, LANES, LANES),
+                          dtype=np.int8)
         s1_r2 = np.zeros((n_src, R1, LANES), dtype=np.int8)
         s3_r1 = np.zeros((n_dst, R3, LANES), dtype=np.int8)
-        s3_src = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
-        s3_row = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
-        s3_r2 = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
-        s3_mask = np.zeros((n_dst, LANES, LANES), dtype=np.int8)
+        s3_src = np.zeros((n_dst, CR // LANES, LANES, LANES),
+                          dtype=np.int8)
+        s3_row = np.zeros((n_dst, CR // LANES, LANES, LANES),
+                          dtype=np.int8)
+        s3_r2 = np.zeros((n_dst, CR, LANES), dtype=np.int8)
+        s3_mask = np.zeros((n_dst, CR, LANES), dtype=np.int8)
 
         so = np.argsort(s_of, kind="stable")
         sb = np.searchsorted(s_of[so], np.arange(n_src + 1))
@@ -847,15 +876,18 @@ class GlobalRoute:
             sel = so[sb[s] : sb[s + 1]]
             if len(sel) == 0:
                 continue
-            r_in = (in_idx[sel] % CH) // LANES
-            lane_in = in_idx[sel] % LANES
-            qs = q_slot[sel]
-            q_row = qs // LANES
-            q_lane = qs % LANES
-            c1 = _color_channels(r_in, q_row, LANES, R1)
-            s1_r1[s, r_in, c1] = lane_in
-            s1_lane[s, q_row // LANES, c1, q_row % LANES] = r_in
-            s1_r2[s, q_row, q_lane] = c1
+            r1, src, row, r2, _ = _build_stage_tables(
+                (in_idx[sel] % CHR) // LANES,
+                in_idx[sel] % LANES,
+                q_slot[sel] // LANES,
+                q_slot[sel] % LANES,
+                CR, R1, need_mask=False,
+            )
+            s1_r1[s] = r1
+            if H_in_gt1:
+                s1_src[s] = src
+            s1_row[s] = row
+            s1_r2[s] = r2
 
         do = np.argsort(d_of, kind="stable")
         db = np.searchsorted(d_of[do], np.arange(n_dst + 1))
@@ -863,21 +895,23 @@ class GlobalRoute:
             sel = do[db[d] : db[d + 1]]
             if len(sel) == 0:
                 continue
-            q3 = q3_slot[sel]
-            q_row = q3 // LANES
-            q_lane = q3 % LANES
-            r_out = (out_idx[sel] % CH) // LANES
-            lane_out = out_idx[sel] % LANES
-            c2 = _color_channels(q_row, r_out, R3, LANES)
-            s3_r1[d, q_row, c2] = q_lane
-            s3_src[d, c2, r_out] = q_row // LANES
-            s3_row[d, c2, r_out] = q_row % LANES
-            s3_r2[d, r_out, lane_out] = c2
-            s3_mask[d, r_out, lane_out] = 1
+            r1, src, row, r2, mask = _build_stage_tables(
+                q3_slot[sel] // LANES,
+                q3_slot[sel] % LANES,
+                (out_idx[sel] % CHR) // LANES,
+                out_idx[sel] % LANES,
+                R3, CR, need_mask=True,
+            )
+            s3_r1[d] = r1
+            s3_src[d] = src
+            s3_row[d] = row
+            s3_r2[d] = r2
+            s3_mask[d] = mask
 
         self.plan = GlobalRoutePlan(
             s1_r1=jnp.asarray(s1_r1),
-            s1_lane=jnp.asarray(s1_lane),
+            s1_src=None if s1_src is None else jnp.asarray(s1_src),
+            s1_row=jnp.asarray(s1_row),
             s1_r2=jnp.asarray(s1_r2),
             s3_r1=jnp.asarray(s3_r1),
             s3_src=jnp.asarray(s3_src),
@@ -891,7 +925,9 @@ class GlobalRoute:
             Q=Q,
             R1=R1,
             R3=R3,
+            chunk_rows=CR,
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.plan(x)
+

@@ -102,15 +102,23 @@ class ShardedV4:
         npads = {lay["NPAD"] for lay in lays}
         assert len(npads) == 1, f"enveloped NPADs diverged: {npads}"
         NPAD = npads.pop()
-        from ..ops.static_permute import CH
+        from ..ops.em_v4 import _CR_CANDIDATES, route_config
+        from ..ops.static_permute import LANES
 
-        mf = max(
-            route_maxflow(
-                lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD
+        # per-chunk-size maxflows, maxed over shards, then one shared
+        # (chunk_rows, npad, (npd, Q)) route config for every shard
+        mfs = {}
+        for CR in _CR_CANDIDATES:
+            CHR = CR * LANES
+            npad_r = ((NPAD + CHR - 1) // CHR) * CHR
+            mfs[CR] = max(
+                route_maxflow(
+                    lay["slot_of_aln"], lay["txp_slot_of_aln"], npad_r,
+                    chunk=CHR,
+                )
+                for lay in lays
             )
-            for lay in lays
-        )
-        geometry = select_route_geometry(NPAD // CH, mf)
+        geometry = route_config(mfs, NPAD)
         import dataclasses
 
         # num_reads is informational-only in EmV4Data; shard_map needs

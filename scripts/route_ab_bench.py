@@ -24,8 +24,7 @@ N1, N2 = 20, 120
 def time_variant(data, init, label):
     # the inner route kernels are jit-cached on shapes only; the env
     # knobs act at trace time, so force a retrace
-    sp._run_rect_expand.clear_cache()
-    sp._run_rect_reduce.clear_cache()
+    sp._run_route_stage.clear_cache()
 
     def make(n):
         def f(d):

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 
 import bench
 from oarfish_tpu.ops.em_v4 import EmV4Data
-from oarfish_tpu.ops.static_permute import CH, LANES, _run_rect_expand, \
-    _run_rect_reduce
+from oarfish_tpu.ops.static_permute import CH, LANES, _run_route_stage
 
 N1, N2 = 8, 24
 
@@ -67,9 +66,10 @@ def main():
 
         def f():
             def body(i, x):
-                y = _run_rect_expand(
-                    x.reshape(n_src * LANES, LANES),
-                    p.s1_r1, p.s1_lane, p.s1_r2, n_src, R1,
+                y = _run_route_stage(
+                    x.reshape(n_src * p.chunk_rows, LANES),
+                    p.s1_r1, p.s1_src, p.s1_row, p.s1_r2, None,
+                    n_src, p.chunk_rows, R1, False,
                 )
                 return x * 0.999 + y.reshape(-1)[: x.shape[0]] * 1e-30
             return jax.lax.fori_loop(0, n, body, xe)[:8]
@@ -93,9 +93,9 @@ def main():
     def reduce_only(n):
         def f():
             def body(i, zg):
-                y3 = _run_rect_reduce(
+                y3 = _run_route_stage(
                     zg, p.s3_r1, p.s3_src, p.s3_row, p.s3_r2, p.s3_mask,
-                    n_dst, R3,
+                    n_dst, R3, p.chunk_rows, True,
                 )
                 upd = jnp.zeros_like(zg).at[: y3.shape[0]].set(y3 * 1e-30)
                 return zg * 0.999 + upd
