@@ -1,0 +1,181 @@
+// Greedy flow-balancing placement for the v4 routed EM layouts.
+//
+// The dual-bucketed EM (oarfish_tpu/ops/em_v4.py) connects a transcript
+// -side bucket layout and a read-side bucket layout with two static
+// routes whose quota Q must cover the MAX per-(src,dst)-chunk flow.
+// Random row placement leaves that max ~2-3x above the mean (load skew
+// + Poisson noise); this module places each item (read or transcript)
+// into the bucket row whose chunk minimizes the running max cell load —
+// the "power of all choices" analogue of d-choice balls-into-bins, which
+// concentrates the max near the mean.
+//
+// One generic routine serves all passes:
+//   - transcript scalar pass: items = transcripts, every alignment's
+//     src cell = 0 (pure per-chunk load balancing; n_src = 1);
+//   - read vector pass: items = reads, src cell = chunk of the
+//     alignment's transcript-side slot;
+//   - transcript vector re-pass: items = transcripts, src cell = chunk
+//     of the alignment's read-side slot (pass F transposed).
+//
+// An item of bucket (start, K) placed in bucket row i occupies slots
+//   start + (i>>7)*K*128 + col*128 + (i&127)     for col in [0, size)
+// (the column-major layout), so its chunk footprint depends only on the
+// GROUP g = i>>7. Groups with equal (base/CHR, base%CHR) footprints are
+// interchangeable; they are collapsed into candidate classes (at most
+// ~2 per chunk for K*128 <= CHR, one per group otherwise), keeping the
+// candidate list per item ~O(chunks spanned by its bucket).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC balance.cpp -o
+//        liboarfish_balance.so
+
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct CandClass {
+  int64_t base;       // representative slot base (start + g*K*128)
+  int32_t capacity;   // remaining row slots across member groups
+  int32_t next_group; // index into `groups` of the class
+  int32_t next_row;   // next free row within the current group [0,128)
+  std::vector<int32_t> groups; // member group ids, fill order
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns the final max cell of F, or -1 on capacity errors.
+//
+// n_items        items to place (in `order` order)
+// item_off       [n_items+1] CSR offsets into src_cell / item sizes
+// src_cell       [nnz] src chunk id per (item, col) — col order matters
+// item_bucket    [n_items] bucket id per item
+// n_buckets      bucket count
+// bucket_start   [n_buckets] first slot of the bucket
+// bucket_K       [n_buckets] bucket width (slots per row)
+// bucket_ngroups [n_buckets] 128-row groups in the bucket (rows_pad/128)
+// CHR            elements per chunk (the balancing granularity)
+// n_dst          dst chunk count (slot space / CHR)
+// n_src          src chunk count (rows of F)
+// order          [n_items] processing order (e.g. size-descending)
+// F              [n_src*n_dst] int32 cell loads, in/out (preload with
+//                contributions of items NOT being placed, e.g. big
+//                transcripts with fixed rows)
+// out_row        [n_items] assigned row within the item's bucket
+int64_t oarfish_balance_greedy(
+    int64_t n_items, const int64_t* item_off, const int32_t* src_cell,
+    const int32_t* item_bucket, int64_t n_buckets,
+    const int64_t* bucket_start, const int64_t* bucket_K,
+    const int64_t* bucket_ngroups, int64_t CHR, int32_t n_dst,
+    int32_t n_src, const int64_t* order, int32_t* F, int64_t* out_row) {
+  // ---- candidate classes per bucket
+  std::vector<std::vector<CandClass>> classes(n_buckets);
+  for (int64_t b = 0; b < n_buckets; b++) {
+    auto& cls = classes[b];
+    std::unordered_map<int64_t, int32_t> key_of;  // (d0*CHR+off) -> idx
+    const int64_t K = bucket_K[b];
+    const int64_t start = bucket_start[b];
+    const int64_t span = K << 7;  // slots per 128-row group
+    for (int64_t g = 0; g < bucket_ngroups[b]; g++) {
+      const int64_t base = start + g * span;
+      const int64_t d0 = base / CHR;
+      const int64_t off = base % CHR;
+      // groups that sit inside one chunk are interchangeable regardless
+      // of their offset; straddling / multi-chunk groups key on it
+      const int64_t key =
+          (off + span <= CHR) ? (d0 * CHR) : (d0 * CHR + off + 1);
+      auto it = key_of.find(key);
+      if (it == key_of.end()) {
+        key_of.emplace(key, (int32_t)cls.size());
+        cls.push_back(CandClass{base, 128, 0, 0, {(int32_t)g}});
+      } else {
+        cls[it->second].capacity += 128;
+        cls[it->second].groups.push_back((int32_t)g);
+      }
+    }
+  }
+
+  // d-choice candidate sampling: evaluating every class costs
+  // O(n_classes * item_size) per item, which dominates the build at
+  // millions of items. Balls-into-bins theory (and measurement) says a
+  // modest number of random choices already concentrates the max near
+  // the mean; sample a deterministic pseudo-random window of DCAND
+  // classes per item instead of scanning all of them.
+  constexpr int32_t DCAND = 12;
+  uint64_t h = 0x9e3779b97f4a7c15ull;
+  for (int64_t oi = 0; oi < n_items; oi++) {
+    const int64_t it = order[oi];
+    const int64_t j0 = item_off[it], j1 = item_off[it + 1];
+    const int64_t sz = j1 - j0;
+    if (sz == 0) { out_row[it] = 0; continue; }
+    auto& cls = classes[item_bucket[it]];
+    const int32_t ncls = (int32_t)cls.size();
+    int32_t n_eval = ncls;
+    int32_t c_start = 0, c_step = 1;
+    if (ncls > DCAND) {
+      h = h * 6364136223846793005ull + 1442695040888963407ull;
+      c_start = (int32_t)((h >> 33) % (uint64_t)ncls);
+      // any step coprime with ncls covers all classes; odd steps are
+      // coprime with the common power-of-two-ish counts often enough,
+      // and full coverage only matters in the capacity-pressed tail
+      c_step = (int32_t)(((h >> 17) % (uint64_t)(ncls - 1)) + 1);
+      n_eval = DCAND;
+    }
+    int32_t best = -1;
+    int64_t best_max = INT64_MAX, best_sum = INT64_MAX;
+    int32_t ci = c_start;
+    for (int32_t k = 0; k < n_eval || best < 0; k++) {
+      if (k >= ncls + n_eval) break;  // every class visited: all full
+      if (k >= n_eval) c_step = 1;    // exhaustive fallback sweep
+      const int32_t cur = ci;
+      ci += c_step;
+      if (ci >= ncls) ci -= ncls;
+      CandClass& c = cls[cur];
+      if (c.capacity <= 0) continue;
+      const int64_t base = c.base;
+      int64_t mx = 0, sum = 0;
+      if (base % CHR + (sz << 7) <= CHR) {
+        // fast path: whole footprint in one dst chunk
+        const int64_t d = base / CHR;
+        const int32_t* Fd = F + (int64_t)0 * n_dst + d;
+        for (int64_t j = j0; j < j1; j++) {
+          const int64_t v = Fd[(int64_t)src_cell[j] * n_dst];
+          sum += v;
+          if (v > mx) mx = v;
+        }
+      } else {
+        for (int64_t j = j0; j < j1; j++) {
+          const int64_t d = (base + ((j - j0) << 7)) / CHR;
+          const int64_t v = F[(int64_t)src_cell[j] * n_dst + d];
+          sum += v;
+          if (v > mx) mx = v;
+        }
+      }
+      if (mx < best_max || (mx == best_max && sum < best_sum)) {
+        best_max = mx;
+        best_sum = sum;
+        best = cur;
+      }
+    }
+    if (best < 0) return -1;  // no capacity anywhere: caller bug
+    CandClass& c = cls[best];
+    for (int64_t j = j0; j < j1; j++) {
+      const int64_t d = (c.base + ((j - j0) << 7)) / CHR;
+      F[(int64_t)src_cell[j] * n_dst + d] += 1;
+    }
+    out_row[it] = (int64_t)c.groups[c.next_group] * 128 + c.next_row;
+    c.capacity--;
+    if (++c.next_row == 128) { c.next_row = 0; c.next_group++; }
+  }
+
+  int64_t mx = 0;
+  const int64_t ncells = (int64_t)n_src * n_dst;
+  for (int64_t i = 0; i < ncells; i++)
+    if (F[i] > mx) mx = F[i];
+  return mx;
+}
+
+}  // extern "C"

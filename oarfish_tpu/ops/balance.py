@@ -1,0 +1,113 @@
+"""Flow-balanced bucket-row placement (ctypes binding of csrc/balance.cpp).
+
+The v4 EM's route quota Q covers the MAX per-(src,dst)-chunk flow of the
+alignment map between the transcript-side and read-side bucket layouts
+(`static_permute.GlobalRoute`). Random row placement leaves that max
+2-3x above the mean flow; the greedy placer drives it toward the mean,
+shrinking the quota tensor (HBM traffic) and the gather networks (VPU
+work) of both routes. See PERF_NOTES.md "quota inflation".
+
+Three passes per layout build (`em_v4._v4_layout`):
+  1. transcript scalar: balance per-chunk transcript-side load;
+  2. read vector: place each read minimizing its max (txp-chunk,
+     read-chunk) cell;
+  3. transcript vector re-pass: re-place transcripts against the chosen
+     read layout (transposed flow matrix).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("oarfish_tpu")
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+_LIB_PATH = _CSRC / "liboarfish_balance.so"
+_lib = None
+_lib_tried = False
+
+BAL_CHR = 16384  # balancing granularity: the finest route chunk (CR=128)
+
+
+def get_lib():
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    src = _CSRC / "balance.cpp"
+    if not _LIB_PATH.exists():
+        if not src.exists():
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                 "-fPIC", str(src), "-o", str(_LIB_PATH)],
+                check=True, capture_output=True, timeout=300,
+            )
+        except Exception as e:  # noqa: BLE001
+            log.warning("could not build balance library: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError as e:  # pragma: no cover
+        log.warning("could not load balance library: %s", e)
+        return None
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.oarfish_balance_greedy.restype = ctypes.c_int64
+    lib.oarfish_balance_greedy.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64, i64p, i64p,
+        i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p,
+        i32p, i64p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def greedy_place(
+    item_off: np.ndarray,
+    src_cell: np.ndarray,
+    item_bucket: np.ndarray,
+    buckets: List[Tuple[int, int, int]],  # (start, K, ngroups) per bucket
+    n_dst: int,
+    n_src: int,
+    order: np.ndarray,
+    F: Optional[np.ndarray] = None,
+    chunk: int = BAL_CHR,
+) -> Tuple[np.ndarray, int, np.ndarray]:
+    """Place items into bucket rows; returns (row_within_bucket per item,
+    final max cell, F). `F` may carry preloaded contributions of items
+    with fixed placement (e.g. big transcripts)."""
+    lib = get_lib()
+    assert lib is not None
+    n_items = len(item_off) - 1
+    item_off = np.ascontiguousarray(item_off, dtype=np.int64)
+    src_cell = np.ascontiguousarray(src_cell, dtype=np.int32)
+    item_bucket = np.ascontiguousarray(item_bucket, dtype=np.int32)
+    starts = np.ascontiguousarray([b[0] for b in buckets], dtype=np.int64)
+    ks = np.ascontiguousarray([b[1] for b in buckets], dtype=np.int64)
+    ngs = np.ascontiguousarray([b[2] for b in buckets], dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    if F is None:
+        F = np.zeros(n_src * n_dst, dtype=np.int32)
+    else:
+        F = np.ascontiguousarray(F.reshape(-1), dtype=np.int32)
+    out_row = np.zeros(max(n_items, 1), dtype=np.int64)
+    mx = lib.oarfish_balance_greedy(
+        n_items, item_off, src_cell, item_bucket, len(buckets), starts,
+        ks, ngs, chunk, np.int32(n_dst), np.int32(n_src), order, F,
+        out_row,
+    )
+    if mx < 0:
+        raise RuntimeError("balance_greedy: insufficient bucket capacity")
+    return out_row[:n_items], int(mx), F.reshape(n_src, n_dst)

@@ -249,7 +249,16 @@ def _v4_layout(
     """Phase 1 of the v4 build: bucket layouts, slot maps, and the tiny
     T-space tile permutes — everything except the two GlobalRoutes (whose
     geometry a shard-uniform build must choose from ALL shards' flows;
-    see `route_maxflow`/`select_route_geometry`)."""
+    see `route_maxflow`/`select_route_geometry`).
+
+    Row placement within buckets is flow-balanced (ops/balance.py) when
+    the native placer is available: reads and small transcripts are
+    greedily assigned to the bucket row whose chunk minimizes the
+    running max (txp-chunk, read-chunk) cell load, pulling the route
+    quota Q toward the mean flow (random placement leaves it 2-3x
+    higher). Rows not chosen stay pads (all-zero slots, inert)."""
+    import os as _os
+
     txp_id = np.asarray(txp_id, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.float64)
     boundaries = np.asarray(boundaries, dtype=np.int64)
@@ -258,30 +267,21 @@ def _v4_layout(
     T = int(num_txps)
     sizes = np.diff(boundaries)
 
-    # ---- read-side buckets
+    from . import balance as _balance
+
+    use_balance = (
+        _os.environ.get("OARFISH_V4_NO_BALANCE") != "1"
+        and _balance.available()
+    )
+    BCH = _balance.BAL_CHR
+
+    # ---- read-side buckets (membership only; rows assigned below)
     rng_r = np.random.default_rng(3)
     read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
         sizes, rng_r,
         envelope["read_buckets"] if envelope else None,
     )
     row_space_r = sum(rp for rp, _ in read_shapes)
-    # read id per PADDED row position (pads get read 0: their slots
-    # are all-zero so any multiplicity routed there is inert)
-    read_order = np.zeros(row_space_r, dtype=np.int64)
-    slot_of_aln = np.zeros(A, dtype=np.int64)
-    row_base = 0
-    for (rows_pad, K), start, rows in zip(
-        read_shapes, read_starts, read_row_parts
-    ):
-        read_order[row_base : row_base + len(rows)] = rows
-        row_sizes = sizes[rows]
-        rep = np.repeat(np.arange(len(rows)), row_sizes)
-        col = np.arange(int(row_sizes.sum())) - np.repeat(
-            np.concatenate([[0], np.cumsum(row_sizes)[:-1]]), row_sizes
-        )
-        src = np.repeat(boundaries[rows], row_sizes) + col
-        slot_of_aln[src] = _colmajor_slot(start, K, rep, col)
-        row_base += rows_pad
 
     # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
     counts = np.bincount(txp_id, minlength=T)
@@ -330,39 +330,181 @@ def _v4_layout(
     rank = np.zeros(A, dtype=np.int64)
     rank[ord2] = rank_sorted
 
-    # slot of each alignment in the transcript layout
+    # ---- big-transcript slots (fixed contiguous rows; their alignment
+    # slots smear across many chunks per group, self-decorrelating)
     txp_slot_of_aln = np.zeros(A, dtype=np.int64)
     small_aln = small_mask[txp_id]
-    row_of_small_txp = np.full(T, -1, dtype=np.int64)
-    bK_of_small_txp = np.zeros(T, dtype=np.int64)
-    bstart_of_small_txp = np.zeros(T, dtype=np.int64)
-    row_base = 0
-    small_txp_row_pos = np.full(T, -1, dtype=np.int64)  # flat row pos
-    for (rows_pad, K), start, rows in zip(
-        small_shapes, small_starts, small_row_parts
-    ):
-        row_of_small_txp[rows] = np.arange(len(rows))
-        bK_of_small_txp[rows] = K
-        bstart_of_small_txp[rows] = start
-        small_txp_row_pos[rows] = row_base + np.arange(len(rows))
-        row_base += rows_pad
-    if small_aln.any():
-        t = txp_id[small_aln]
-        txp_slot_of_aln[small_aln] = _colmajor_slot(
-            bstart_of_small_txp[t],
-            bK_of_small_txp[t],
-            row_of_small_txp[t],
-            rank[small_aln],
-        )
+    big_aln = counts[txp_id] > CAPK
     if n_big_real:
         big_index = np.full(T, -1, dtype=np.int64)
         big_index[big_txps] = np.arange(n_big_real)
-        big_aln = counts[txp_id] > CAPK
         bi = big_index[txp_id[big_aln]]
         row = big_row_offsets[bi] + rank[big_aln] // CAPK
         txp_slot_of_aln[big_aln] = _colmajor_slot(
             big_start, CAPK, row, rank[big_aln] % CAPK
         )
+
+    BCHn = ((max(n_slots_r, n_slots_t) + BCH - 1) // BCH) * BCH
+    n_chk = BCHn // BCH
+
+    # ---- small-transcript placement (pass 1: per-chunk load balance)
+    items_t = (
+        np.concatenate(small_row_parts)
+        if small_row_parts
+        else np.empty(0, np.int64)
+    )
+    sizes_t = counts[items_t]
+    ib_t = (
+        np.concatenate(
+            [
+                np.full(len(rows), bi, dtype=np.int64)
+                for bi, rows in enumerate(small_row_parts)
+            ]
+        )
+        if small_row_parts
+        else np.empty(0, np.int64)
+    )
+    buckets_t = [
+        (start, K, rows_pad // LANES)
+        for (rows_pad, K), start in zip(small_shapes, small_starts)
+    ]
+    off_t = np.zeros(len(items_t) + 1, dtype=np.int64)
+    np.cumsum(sizes_t, out=off_t[1:])
+    rng_b = np.random.default_rng(7)
+    if use_balance and len(items_t):
+        p = rng_b.permutation(len(items_t))
+        order_t = p[np.argsort(-sizes_t[p], kind="stable")]
+        F1 = np.zeros((1, n_chk), dtype=np.int32)
+        if n_big_real:
+            np.add.at(
+                F1[0],
+                txp_slot_of_aln[big_aln] // BCH,
+                1,
+            )
+        row_within_t, _, _ = _balance.greedy_place(
+            off_t, np.zeros(int(off_t[-1]), np.int32), ib_t, buckets_t,
+            n_chk, 1, order_t, F1,
+        )
+    else:
+        order_t = None
+        row_within_t = (
+            np.concatenate(
+                [np.arange(len(rows)) for rows in small_row_parts]
+            )
+            if small_row_parts
+            else np.empty(0, np.int64)
+        )
+
+    sb_flat_base = np.concatenate(
+        [[0], np.cumsum([rp for rp, _ in small_shapes])]
+    ).astype(np.int64)
+
+    def _apply_small(row_within):
+        """Small-transcript slot tables from per-item bucket rows; also
+        (re)writes the small part of txp_slot_of_aln."""
+        row_of = np.full(T, -1, dtype=np.int64)
+        bK = np.zeros(T, dtype=np.int64)
+        bst = np.zeros(T, dtype=np.int64)
+        pos = np.full(T, -1, dtype=np.int64)
+        if len(items_t):
+            row_of[items_t] = row_within
+            pos[items_t] = sb_flat_base[ib_t] + row_within
+        for (rows_pad, K), start, rows in zip(
+            small_shapes, small_starts, small_row_parts
+        ):
+            bK[rows] = K
+            bst[rows] = start
+        if small_aln.any():
+            t = txp_id[small_aln]
+            txp_slot_of_aln[small_aln] = _colmajor_slot(
+                bst[t], bK[t], row_of[t], rank[small_aln]
+            )
+        return row_of, pos
+
+    row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
+
+    # ---- read placement (pass 2: greedy on (txp-chunk, read-chunk)
+    # cells — the flow matrix both routes share)
+    items_r = (
+        np.concatenate(read_row_parts)
+        if read_row_parts
+        else np.empty(0, np.int64)
+    )
+    sizes_r = sizes[items_r]
+    ib_r = (
+        np.concatenate(
+            [
+                np.full(len(rows), bi, dtype=np.int64)
+                for bi, rows in enumerate(read_row_parts)
+            ]
+        )
+        if read_row_parts
+        else np.empty(0, np.int64)
+    )
+    buckets_r = [
+        (start, K, rows_pad // LANES)
+        for (rows_pad, K), start in zip(read_shapes, read_starts)
+    ]
+    off_r = np.zeros(len(items_r) + 1, dtype=np.int64)
+    np.cumsum(sizes_r, out=off_r[1:])
+    tot_r = int(off_r[-1])
+    col_r = np.arange(tot_r) - np.repeat(off_r[:-1], sizes_r)
+    aln_idx_r = np.repeat(boundaries[items_r], sizes_r) + col_r
+    if use_balance and len(items_r):
+        p = rng_b.permutation(len(items_r))
+        order_r = p[np.argsort(-sizes_r[p], kind="stable")]
+        row_within_r, _, _ = _balance.greedy_place(
+            off_r,
+            (txp_slot_of_aln[aln_idx_r] // BCH).astype(np.int32),
+            ib_r, buckets_r, n_chk, n_chk, order_r,
+        )
+    else:
+        row_within_r = (
+            np.concatenate(
+                [np.arange(len(rows)) for rows in read_row_parts]
+            )
+            if read_row_parts
+            else np.empty(0, np.int64)
+        )
+
+    rb_flat_base = np.concatenate(
+        [[0], np.cumsum([rp for rp, _ in read_shapes])]
+    ).astype(np.int64)
+    # read id per PADDED row position (unassigned rows get read 0:
+    # their slots are all-zero so any multiplicity routed there is inert)
+    read_order = np.zeros(row_space_r, dtype=np.int64)
+    slot_of_aln = np.zeros(A, dtype=np.int64)
+    if len(items_r):
+        read_order[rb_flat_base[ib_r] + row_within_r] = items_r
+        Kv = np.asarray([K for _, K in read_shapes], dtype=np.int64)
+        stv = np.asarray(read_starts, dtype=np.int64)
+        slot_of_aln[aln_idx_r] = _colmajor_slot(
+            np.repeat(stv[ib_r], sizes_r),
+            np.repeat(Kv[ib_r], sizes_r),
+            np.repeat(row_within_r, sizes_r),
+            col_r,
+        )
+
+    # ---- pass 3: re-place small transcripts against the chosen read
+    # layout (transposed flow matrix, big flows preloaded)
+    if use_balance and len(items_t):
+        col_t = np.arange(int(off_t[-1])) - np.repeat(
+            off_t[:-1], sizes_t
+        )
+        idx_t = np.repeat(run_start[items_t], sizes_t) + col_t
+        src3 = (slot_of_aln[ord2[idx_t]] // BCH).astype(np.int32)
+        F3 = np.zeros((n_chk, n_chk), dtype=np.int32)
+        if n_big_real:
+            np.add.at(
+                F3,
+                (slot_of_aln[big_aln] // BCH,
+                 txp_slot_of_aln[big_aln] // BCH),
+                1,
+            )
+        row_within_t, _, _ = _balance.greedy_place(
+            off_t, src3, ib_t, buckets_t, n_chk, n_chk, order_t, F3,
+        )
+        row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
 
     NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
 
