@@ -152,6 +152,16 @@ class ShardedV4:
             out[d] = mult[s:e][self.read_orders[d]]
         return out
 
+    def shard_multiplicity_batch(self, mult: np.ndarray) -> np.ndarray:
+        """[B, R] replicate multiplicities -> [D, B, row_space_r]."""
+        B = mult.shape[0]
+        out = np.zeros(
+            (self.num_shards, B, self.row_space_r), dtype=mult.dtype
+        )
+        for d, (s, e) in enumerate(self.read_ranges):
+            out[d] = mult[:, s:e][:, self.read_orders[d]]
+        return out
+
 
 def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50):
     """Jitted shard_map EM: (stacked data, init[T], conv, mult|None) ->
@@ -200,6 +210,111 @@ def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50):
     return jax.jit(run)
 
 
+def make_sharded_v4_batch_runner(
+    mesh: Mesh, max_iter: int, min_iters: int = 50
+):
+    """Batched bootstrap-replicate EMs over the mesh: every shard runs
+    all B replicates vmapped through its routed m-step (the static
+    routing arrays are shared across replicates, so per-index work
+    amortizes — PERF_NOTES "vmap amortization"), with ONE psum of the
+    [B, T] partial counts per iteration and per-replicate convergence
+    freezing (serial-loop semantics per replicate, `em.rs:144-255`)."""
+
+    def em_local(data, init, conv, mult_b):
+        B = mult_b.shape[0]
+        init_b = jnp.broadcast_to(init, (B,) + init.shape)
+
+        def m_step_b(prev_b):
+            local = jax.vmap(lambda p, m: _m_step_v4(data, p, m))(
+                prev_b, mult_b
+            )
+            return jax.lax.psum(local, "data")
+
+        def cond(state):
+            niter, _prev, convg = state
+            return jnp.any((niter < max_iter) & (~convg))
+
+        def body(state):
+            niter, prev, convg = state
+            curr = m_step_b(prev)
+            rd = jax.vmap(_rel_diff)(prev, curr)
+            newly = (rd < conv) & (niter > min_iters)
+            curr = jnp.where(convg[:, None], prev, curr)
+            niter = jnp.where(convg, niter, niter + 1)
+            return (niter, curr, convg | newly)
+
+        niter, prev, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros(B, jnp.int32), init_b, jnp.zeros(B, bool)),
+        )
+        prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
+        counts = m_step_b(prev)
+        return counts, niter
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(data_shard, init, conv, mult_shard):
+        data_local = jax.tree_util.tree_map(lambda x: x[0], data_shard)
+        return em_local(data_local, init, conv, mult_shard[0])
+
+    return jax.jit(run)
+
+
+def sharded_v4_bootstrap(
+    sh: "ShardedV4",
+    mesh: Mesh,
+    init: np.ndarray,
+    mult: np.ndarray,
+    max_iter: int = 1000,
+    convergence_thresh: float = 1e-3,
+    dtype=jnp.float32,
+    batch: int = 8,
+) -> np.ndarray:
+    """Run all replicates of `mult` ([n_boot, R]) through the mesh in
+    vmapped batches of `batch` (the last batch padded by repetition so
+    one compilation serves all); returns [n_boot, T] f64 counts."""
+    n_boot = mult.shape[0]
+    BB = min(batch, n_boot)
+    runner = make_sharded_v4_batch_runner(mesh, max_iter)
+    init_j = jnp.asarray(init, dtype=dtype)
+    conv_j = jnp.asarray(convergence_thresh, dtype=dtype)
+    out = []
+    b0 = 0
+    while b0 < n_boot:
+        idx = np.minimum(np.arange(b0, b0 + BB), n_boot - 1)
+        mb = sh.shard_multiplicity_batch(mult[idx])
+        cb, _ = runner(sh.data, init_j, conv_j, jnp.asarray(mb, dtype))
+        take = min(BB, n_boot - b0)
+        out.extend(np.asarray(cb[:take], dtype=np.float64))
+        b0 += BB
+    return np.stack(out)
+
+
+def build_sharded_v4(
+    txp_id: np.ndarray,
+    weights: np.ndarray,
+    boundaries: np.ndarray,
+    num_txps: int,
+    devices=None,
+    num_shards: int = 0,
+) -> Tuple[ShardedV4, Mesh]:
+    """Envelope-build the per-shard v4 states and the device mesh (the
+    expensive host step, reusable across the point EM and bootstrap
+    batches)."""
+    if devices is None:
+        devices = jax.devices()
+    D = num_shards or len(devices)
+    devices = devices[:D]
+    mesh = Mesh(np.array(devices), ("data",))
+    sh = ShardedV4(txp_id, weights, boundaries, num_txps, D)
+    return sh, mesh
+
+
 def sharded_v4_em(
     txp_id: np.ndarray,
     weights: np.ndarray,
@@ -216,12 +331,10 @@ def sharded_v4_em(
     """Host entry: envelope-build the shards, run the mesh EM, return
     (counts[T] f64, niter). Raises ValueError where v4 routing is
     degenerate (callers fall back to the segment-sum sharded EM)."""
-    if devices is None:
-        devices = jax.devices()
-    D = num_shards or len(devices)
-    devices = devices[:D]
-    mesh = Mesh(np.array(devices), ("data",))
-    sh = ShardedV4(txp_id, weights, boundaries, num_txps, D)
+    sh, mesh = build_sharded_v4(
+        txp_id, weights, boundaries, num_txps,
+        devices=devices, num_shards=num_shards,
+    )
     run = make_sharded_v4_runner(mesh, max_iter)
     mult = (
         None

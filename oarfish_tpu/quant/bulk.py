@@ -148,15 +148,21 @@ def perform_inference_and_write_output(
             impl = "segsum"
     if impl == "auto":
         impl = "fast" if jax.default_backend() != "cpu" else "segsum"
+    # explicit multi-shard request: read-sharded data-parallel EM. With
+    # --em-impl v4 the flagship routed iteration is distributed (one
+    # psum per iteration, parallel/sharded_v4.py) and bootstrap
+    # replicates run as vmapped batches over the same mesh; otherwise
+    # the segment-sum sharded EM (bootstraps stay single-device there).
+    # Sharded v4 is honored on the CPU backend too (the routed kernels
+    # run in pallas interpret mode there — the virtual-mesh test path).
+    if args.num_shards > 1:
+        if impl == "v4":
+            impl = "sharded-v4"
+        elif args.num_bootstraps == 0:
+            impl = "sharded"
     if impl in ("pallas", "v3", "v4") and jax.default_backend() == "cpu":
         log.warning("pallas EM kernels need a TPU backend; using 'fast'")
         impl = "fast"
-    # explicit multi-shard request: read-sharded data-parallel EM (the
-    # bootstrap batch stays on the single-device path). With --em-impl
-    # v4 the flagship routed iteration is distributed (one psum per
-    # iteration, parallel/sharded_v4.py); otherwise the segment-sum EM.
-    if args.num_shards > 1 and args.num_bootstraps == 0:
-        impl = "sharded-v4" if impl == "v4" else "sharded"
 
     T = len(txps_name)
     if impl in ("v3", "v4"):
@@ -264,34 +270,60 @@ def perform_inference_and_write_output(
             else np.full(T, store.num_reads / T)
         )
         counts = None
+        breps = None
         if impl == "sharded-v4":
-            from ..parallel.sharded_v4 import sharded_v4_em
+            from ..parallel.sharded_v4 import (
+                build_sharded_v4,
+                make_sharded_v4_runner,
+                sharded_v4_bootstrap,
+            )
 
             try:
                 t0 = time.time()
-                counts, niter = sharded_v4_em(
-                    store.txp_id,
-                    w,
-                    store.boundaries,
-                    T,
-                    init_arr,
-                    max_iter=args.max_em_iter,
-                    convergence_thresh=args.convergence_thresh,
-                    dtype=dtype,
+                sh, mesh = build_sharded_v4(
+                    store.txp_id, w, store.boundaries, T,
                     num_shards=args.num_shards,
                 )
+                run = make_sharded_v4_runner(mesh, args.max_em_iter)
+                counts_j, niter = run(
+                    sh.data,
+                    jnp.asarray(init_arr, dtype=dtype),
+                    jnp.asarray(args.convergence_thresh, dtype=dtype),
+                    None,
+                )
+                counts = np.asarray(counts_j, dtype=np.float64)
                 log.info(
                     "sharded v4 EM (%d shards) converged after %d "
                     "iterations in %.3fs",
-                    args.num_shards or len(jax.devices()),
-                    niter,
+                    sh.num_shards,
+                    int(niter),
                     time.time() - t0,
                 )
+                if args.num_bootstraps > 0:
+                    rng = np.random.default_rng(args.seed)
+                    mult = bootstrap_ops.sample_multiplicities(
+                        rng, args.num_bootstraps, store.num_reads
+                    )
+                    t0 = time.time()
+                    breps = sharded_v4_bootstrap(
+                        sh, mesh,
+                        np.asarray(init_arr, dtype=np.float64),
+                        mult.astype(np.float64),
+                        max_iter=args.max_em_iter,
+                        convergence_thresh=args.convergence_thresh,
+                        dtype=dtype,
+                    )
+                    log.info(
+                        "%d sharded bootstrap replicates in %.3fs",
+                        args.num_bootstraps, time.time() - t0,
+                    )
             except ValueError as e:
                 log.warning(
                     "sharded v4 routing unavailable (%s); using the "
                     "segment-sum sharded EM", e,
                 )
+                counts = None
+                breps = None
         if counts is None:
             t0 = time.time()
             counts, niter = sharded_em(
@@ -317,6 +349,23 @@ def perform_inference_and_write_output(
         write_output(
             args.output, info, txps_name, txps_len, counts, unique, total
         )
+        if args.num_bootstraps > 0:
+            if breps is None:
+                # sharded-v4 routing was unavailable (tiny/degenerate
+                # problem): replicate EMs are cheap there — run them on
+                # the single-device segment-sum path
+                data = build_em_inputs(
+                    store, T, opts.model_coverage, dens_prob, dtype
+                )
+                breps = bootstrap_ops.bootstrap(
+                    data, args.num_bootstraps,
+                    max_iter=args.max_em_iter,
+                    convergence_thresh=args.convergence_thresh,
+                    init_abundances=init,
+                    dtype=dtype,
+                    seed=args.seed,
+                )
+            write_infrep_file(args.output, np.asarray(breps))
         if args.write_assignment_probs is not None:
             write_out_prob(
                 args.output, store, counts, txps_name,

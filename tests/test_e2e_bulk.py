@@ -112,6 +112,29 @@ def test_cli_bootstraps(sim):
     assert np.std(reps, axis=0)[hi].max() > 0
 
 
+def test_cli_sharded_v4_bootstraps(sim):
+    """--num-shards with --em-impl v4 and bootstraps: the point EM and
+    the replicate batches both run through the mesh (vmapped replicates
+    under one shard_map program)."""
+    import pyarrow.parquet as pq
+
+    d, p, names, lengths, truth = sim
+    out = d / "shboot" / "q"
+    rc = main(["--alignments", str(p), "-o", str(out),
+               "--num-bootstraps", "4", "--num-shards", "2",
+               "--em-impl", "v4", "--em-dtype", "float64", "--quiet"])
+    assert rc == 0
+    _, _, qc = read_quant(str(out) + ".quant")
+    want = oracle_counts(p, lengths)
+    np.testing.assert_allclose(qc, want, rtol=1e-5, atol=1e-6)
+    t = pq.read_table(str(out) + ".infreps.pq")
+    assert t.column_names == [f"bootstrap.{i}" for i in range(4)]
+    reps = np.stack([t.column(i).to_numpy() for i in range(4)])
+    assert np.isfinite(reps).all()
+    # each replicate conserves its resampled read mass
+    np.testing.assert_allclose(reps.sum(axis=1), qc.sum(), rtol=0.05)
+
+
 def test_cli_write_probs(sim):
     d, p, names, lengths, truth = sim
     out = d / "probs" / "q"

@@ -69,6 +69,44 @@ def test_sharded_v4_envelope_uniformity():
         assert leaf.shape[0] == 2
 
 
+def test_sharded_v4_bootstrap_batch_matches_single():
+    """Vmapped replicate batches over the mesh reproduce the
+    single-device per-replicate runs (same multiplicity vectors)."""
+    from oarfish_tpu.ops.em_v4 import EmV4Data, make_runner
+    from oarfish_tpu.parallel.sharded_v4 import (
+        build_sharded_v4,
+        sharded_v4_bootstrap,
+    )
+
+    rng = np.random.default_rng(29)
+    txp_id, w, boundaries, read_id, R, T = _skewed_csr(
+        rng, R=40_000, T=800, max_k=4
+    )
+    B = 3
+    mult = rng.multinomial(R, np.full(R, 1.0 / R), size=B).astype(
+        np.float64
+    )
+    init = np.full(T, R / T)
+
+    sh, mesh = build_sharded_v4(txp_id, w, boundaries, T, num_shards=4)
+    breps = sharded_v4_bootstrap(
+        sh, mesh, init, mult, max_iter=20, convergence_thresh=5e-3,
+        dtype=jnp.float64, batch=2,  # exercises the padded last batch
+    )
+    assert breps.shape == (B, T)
+
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    runner = make_runner(data)
+    for b in range(B):
+        counts_1, _ = runner(
+            jnp.asarray(init, dtype=jnp.float64), 20, 5e-3,
+            multiplicity=jnp.asarray(mult[b][order], dtype=jnp.float64),
+        )
+        np.testing.assert_allclose(
+            breps[b], np.asarray(counts_1), rtol=1e-8, atol=1e-8
+        )
+
+
 def test_sharded_v4_multiplicity_matches_single():
     """A bootstrap-style multiplicity vector gives the same result
     sharded as on the single-device v4 runner."""
