@@ -58,6 +58,7 @@ from .static_permute import (
     BatchTilePermute,
     DeviceTilePlan,
     GlobalRoute,
+    _run_middle_stage,
 )
 
 CAPK = 2048  # max bucket row width; wider transcripts are row-chunked
@@ -67,12 +68,18 @@ def _pad128(n: int) -> int:
     return ((n + LANES - 1) // LANES) * LANES
 
 
-def _pow2_buckets(sizes: np.ndarray, shuffle_rng, buckets=None):
+def _pow2_buckets(sizes: np.ndarray, shuffle_rng, buckets=None,
+                  align_groups: bool = False):
     """Group rows (reads or transcripts) by power-of-two size buckets
     (bucket K holds sizes in (K//2, K]). Returns
     (shapes, starts, row_parts, n_slots): shapes hold the 128-PADDED row
     count per bucket; row_parts the true member ids (shuffled within
     buckets — flow decorrelation, see em_v3). Size-0 rows are excluded.
+
+    With `align_groups` each bucket start is aligned to K*128 (its own
+    group span), so no 128-row group ever straddles a route-chunk
+    boundary — the invariant the fused middle kernel's in-chunk row
+    sums rely on (read side only; total waste < sum K*128 ~ tens of KB).
 
     With `buckets` (a ((K, rows_pad), ...) envelope from a shard-uniform
     build, see `merge_envelopes`) the bucket list and padded row counts
@@ -102,6 +109,9 @@ def _pow2_buckets(sizes: np.ndarray, shuffle_rng, buckets=None):
         rows = np.nonzero((sizes > lo) & (sizes <= K))[0]
         assert _pad128(len(rows)) <= rows_pad
         rows = shuffle_rng.permutation(rows)
+        if align_groups:
+            span = K * LANES
+            n_slots = ((n_slots + span - 1) // span) * span
         starts.append(n_slots)
         shapes.append((int(rows_pad), int(K)))
         row_parts.append(rows)
@@ -186,7 +196,7 @@ def _tile_rows(n: int) -> int:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["w_txp", "p_a", "p_b", "t_in", "t_out", "big_row_of_txp",
-                 "big_row_offsets"],
+                 "big_row_offsets", "seg_id"],
     meta_fields=["read_shapes", "read_starts", "n_slots_r", "row_space_r",
                  "small_shapes", "small_starts", "row_space_s",
                  "big_rows_pad", "n_big", "n_slots_t", "t_space",
@@ -204,6 +214,7 @@ class EmV4Data:
     t_out: object  # BatchTilePermute: row sums -> curr[T]
     big_row_of_txp: jax.Array  # [big_rows_pad] i32: big-txp idx per row
     big_row_offsets: jax.Array  # [n_big+1] i32 row ranges per big txp
+    seg_id: Optional[jax.Array]  # [n_chunks*CR, 128] i32 log2(K)/row
     read_shapes: Tuple[Tuple[int, int], ...]  # (rows_pad, K)
     read_starts: Tuple[int, ...]
     n_slots_r: int
@@ -280,6 +291,7 @@ def _v4_layout(
     read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
         sizes, rng_r,
         envelope["read_buckets"] if envelope else None,
+        align_groups=True,
     )
     row_space_r = sum(rp for rp, _ in read_shapes)
 
@@ -626,6 +638,36 @@ def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
     return best[1], best[2], best[3]
 
 
+def _read_lvl_ids(read_shapes, read_starts, n_chunks: int,
+                  CR: int) -> Optional[np.ndarray]:
+    """[n_chunks * CR, 128] i32: per route-chunk kernel row, log2(K) of
+    the read bucket owning it, broadcast across lanes (-1 for rows
+    outside any read bucket — alignment gaps, the transcript-layout
+    region, and the rounding tail). Group-aligned bucket starts
+    guarantee no K-row group straddles a chunk, so the fused middle
+    kernel's pairwise-sum pyramid covers every read. Returns None
+    (fused middle disabled) when some bucket is wider than a chunk."""
+    CHR = CR * LANES
+    if any(K > CR for _rp, K in read_shapes):
+        return None
+    # i32, not i8: Mosaic on this target rejects sub-word vector
+    # equality compares ("Target does not support this comparison")
+    lvl = np.full(n_chunks * CR, -1, dtype=np.int32)
+    for (rows_pad, K), start in zip(read_shapes, read_starts):
+        s = int(K).bit_length() - 1
+        assert (1 << s) == K, "bucket widths must be powers of two"
+        for g in range(rows_pad // LANES):
+            base = start + g * K * LANES
+            r0 = base // LANES
+            assert (base % CHR) // LANES + K <= CR, (
+                "read group straddles a route chunk"
+            )
+            lvl[r0 : r0 + K] = s
+    return np.broadcast_to(
+        lvl[:, None], (n_chunks * CR, LANES)
+    ).copy()
+
+
 def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
     """Phase 2: construct the two GlobalRoutes (optionally with a forced
     shard-uniform (chunk_rows, npad, (npd, Q)) config) and assemble the
@@ -644,6 +686,9 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
         lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
         force_geometry=geo, chunk_rows=CR,
     ).plan
+    seg_id = _read_lvl_ids(
+        lay["read_shapes"], lay["read_starts"], p_a.n_src, CR
+    )
     # weights stored at the route's padded length so the fused-mul
     # expand kernel takes them without a pad copy per iteration
     w_txp = np.zeros(p_a.n_src * CR * LANES, dtype=np.float64)
@@ -660,6 +705,7 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
         big_row_offsets=jnp.asarray(
             lay["big_row_offsets"], dtype=jnp.int32
         ),
+        seg_id=None if seg_id is None else jnp.asarray(seg_id),
         read_shapes=lay["read_shapes"],
         read_starts=lay["read_starts"],
         n_slots_r=lay["n_slots_r"],
@@ -689,14 +735,19 @@ def _row_sums(slots, shapes, starts, xp=jnp):
     return xp.concatenate(parts)
 
 
-def _row_broadcast(values, shapes, xp=jnp, total=None):
+def _row_broadcast(values, shapes, xp=jnp, total=None, starts=None):
     """Inverse of `_row_sums`: expand one value per row across its K
     column-major slots. With `total`, a zero tail pads the result to that
-    length (free inside the concatenate — avoids a later pad copy)."""
+    length (free inside the concatenate — avoids a later pad copy).
+    `starts` (required when bucket starts are group-aligned and leave
+    gaps) inserts zero blocks so output positions match slot space."""
     parts = []
     roff = 0
     n = 0
-    for rows_pad, K in shapes:
+    for bi, (rows_pad, K) in enumerate(shapes):
+        if starts is not None and starts[bi] > n:
+            parts.append(xp.zeros(starts[bi] - n, values.dtype))
+            n = starts[bi]
         g = rows_pad // LANES
         blk = values[roff : roff + rows_pad].reshape(g, 1, LANES)
         parts.append(
@@ -736,29 +787,59 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
         parts.append(jnp.zeros(npad - data.n_slots_t, dt))
     prev_slots = jnp.concatenate(parts)
 
-    # 3. route to the read layout; exact denominators (pads carry zero;
-    # _row_sums never touches the padded tail, so keep it unsliced)
+    # 3+4. route to the read layout, per-read denominators + scaling,
+    # route back. The fused middle path runs route A's reduce stage,
+    # the denominator row sums (one-hot matmul over static group ids),
+    # the guarded reciprocal scaling, and route B's expand stage in ONE
+    # pallas kernel per read chunk — contrib never round-trips HBM.
     import os
 
     fuse = os.environ.get("OARFISH_V4_NO_FUSE") != "1"
-    if fuse:
-        contrib_r = data.p_a(prev_slots, mul=data.w_txp.astype(dt),
-                             sliced=False)
+    middle = (
+        data.seg_id is not None
+        and os.environ.get("OARFISH_V4_NO_MIDDLE") != "1"
+    )
+    if middle:
+        pa, pb = data.p_a, data.p_b
+        zg = pa.expand(prev_slots, mul=data.w_txp.astype(dt))
+        mult_slots = None
+        if multiplicity is not None:
+            mult_slots = _row_broadcast(
+                multiplicity.astype(dt), data.read_shapes, total=npad,
+                starts=data.read_starts,
+            ).reshape(-1, LANES)
+        max_lvl = max(
+            (int(K).bit_length() - 1 for _rp, K in data.read_shapes),
+            default=0,
+        )
+        y1b = _run_middle_stage(
+            zg, data.seg_id, pa.s3_r1, pa.s3_src, pa.s3_row, pa.s3_r2,
+            pa.s3_mask, pb.s1_r1, pb.s1_src, pb.s1_row, pb.s1_r2,
+            n_chunks=pa.n_dst, R_q=pa.R3, R_c=pa.chunk_rows,
+            thresh=float(EM_DENOM_THRESH), max_lvl=max_lvl,
+            mult=mult_slots,
+        )
+        zgb = jnp.transpose(
+            y1b.reshape(pb.n_src, pb.n_dst, pb.Q), (1, 0, 2)
+        ).reshape(pb.n_dst * pb.R3, LANES)
+        inc_t = pb.reduce(zgb, sliced=False)
     else:
-        contrib_r = data.p_a(prev_slots * data.w_txp.astype(dt),
-                             sliced=False)
-    denom = _row_sums(contrib_r, data.read_shapes, data.read_starts)
-    scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
-    if multiplicity is not None:
-        scale = scale * multiplicity.astype(dt)
-    scale_slots = _row_broadcast(scale, data.read_shapes, total=npad)
-
-    # 4. route back (inc = contrib * scale fused into p_b's expand);
-    # per-transcript masses as dense row sums
-    if fuse:
-        inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)
-    else:
-        inc_t = data.p_b(contrib_r * scale_slots, sliced=False)
+        if fuse:
+            contrib_r = data.p_a(prev_slots, mul=data.w_txp.astype(dt),
+                                 sliced=False)
+        else:
+            contrib_r = data.p_a(prev_slots * data.w_txp.astype(dt),
+                                 sliced=False)
+        denom = _row_sums(contrib_r, data.read_shapes, data.read_starts)
+        scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
+        if multiplicity is not None:
+            scale = scale * multiplicity.astype(dt)
+        scale_slots = _row_broadcast(scale, data.read_shapes, total=npad,
+                                     starts=data.read_starts)
+        if fuse:
+            inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)
+        else:
+            inc_t = data.p_b(contrib_r * scale_slots, sliced=False)
     small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
     if data.big_rows_pad:
         g = data.big_rows_pad // LANES

@@ -565,13 +565,38 @@ def _chunks_per_program(n_chunks: int, bytes_per_chunk: int,
     return cpp
 
 
+def _stage_apply(x, r1, src, row_t, r2, mask, H_in, H_out):
+    """One gather-network stage on VMEM values: [R_in,128] -> [R_out,128].
+    Lane shuffle (element -> channel), per-output-block channel delivery
+    (gather from the matching input block, selected by a static
+    source-block table when H_in > 1), lane shuffle to the final lane
+    (+ static zero mask for outputs not covered by data)."""
+    s1 = jnp.take_along_axis(x, r1.astype(jnp.int32), axis=1)
+    blocks = [
+        s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_in)
+    ]  # [channel, row-in-block]
+    outs = []
+    for ho in range(H_out):
+        row = row_t[ho].astype(jnp.int32)
+        if H_in == 1:
+            acc = jnp.take_along_axis(blocks[0], row, axis=1)
+        else:
+            src_h = src[ho].astype(jnp.int32)
+            acc = jnp.zeros((LANES, LANES), s1.dtype)
+            for hi in range(H_in):
+                g = jnp.take_along_axis(blocks[hi], row, axis=1)
+                acc = jnp.where(src_h == hi, g, acc)
+        outs.append(acc.T)  # [out-row-in-block, channel]
+    q = jnp.concatenate(outs, axis=0)  # [R_out,128] at channel
+    out = jnp.take_along_axis(q, r2.astype(jnp.int32), axis=1)
+    if mask is not None:
+        out = jnp.where(mask != 0, out, 0.0)
+    return out
+
+
 def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
                        has_mask: bool):
-    """Unified gather-network stage kernel: [R_in,128] -> [R_out,128]
-    per chunk. Lane shuffle (element -> channel), per-output-block
-    channel delivery (gather from the matching input block, selected by
-    a static source-block table when H_in > 1), lane shuffle to the
-    final lane (+ static zero mask for outputs not covered by data)."""
+    """Gather-network stage kernel over cpp chunks per grid program."""
     R_in = H_in * LANES
     R_out = H_out * LANES
 
@@ -589,30 +614,16 @@ def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
             x = x_ref[j * R_in : (j + 1) * R_in, :]
             if has_mul:
                 x = x * y_ref[j * R_in : (j + 1) * R_in, :]
-            s1 = jnp.take_along_axis(
-                x, r1_ref[j].astype(jnp.int32), axis=1
+            out_ref[j * R_out : (j + 1) * R_out, :] = _stage_apply(
+                x,
+                r1_ref[j],
+                None if src_ref is None else src_ref[j],
+                row_ref[j],
+                r2_ref[j],
+                mask_ref[j] if has_mask else None,
+                H_in,
+                H_out,
             )
-            blocks = [
-                s1[h * LANES : (h + 1) * LANES, :].T for h in range(H_in)
-            ]  # [channel, row-in-block]
-            outs = []
-            for ho in range(H_out):
-                row = row_ref[j, ho].astype(jnp.int32)
-                if H_in == 1:
-                    acc = jnp.take_along_axis(blocks[0], row, axis=1)
-                else:
-                    src = src_ref[j, ho].astype(jnp.int32)
-                    acc = jnp.zeros((LANES, LANES), s1.dtype)
-                    for hi in range(H_in):
-                        g = jnp.take_along_axis(blocks[hi], row, axis=1)
-                        acc = jnp.where(src == hi, g, acc)
-                outs.append(acc.T)  # [out-row-in-block, channel]
-            q = jnp.concatenate(outs, axis=0)  # [R_out,128] at channel
-            out = jnp.take_along_axis(q, r2_ref[j].astype(jnp.int32),
-                                      axis=1)
-            if has_mask:
-                out = jnp.where(mask_ref[j] != 0, out, 0.0)
-            out_ref[j * R_out : (j + 1) * R_out, :] = out
 
     return kernel
 
@@ -694,6 +705,156 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
     )(*args)
 
 
+def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
+                        thresh: float, max_lvl: int):
+    """Fused EM middle: per read chunk, gather the (post-transpose)
+    quota tensor into chunk space (route A's reduce stage), compute the
+    per-read denominators, turn them into guarded reciprocal scales,
+    scale the chunk values, and re-expand into route B's quota layout
+    (route B's expand stage) — all without touching HBM between the two
+    routes. Works because route B's quota layout is exactly the
+    transpose of route A's (same flows, identical ranks), so the input
+    and output tiles have the same [R_q, 128] shape per chunk.
+
+    Denominators exploit the bucket layout: every read's K slots are K
+    CONSECUTIVE kernel rows, K is a power of two, and groups are
+    K-aligned (em_v4 `align_groups`). A sublane BUTTERFLY computes, in
+    step s, y[r] += y[r XOR 2^(s-1)] (two static-slice rolls + an
+    iota-bit select — strictly 2D, Mosaic-friendly), after which y[r]
+    is the sum of the aligned 2^s-row span containing r; each row then
+    selects the step matching its bucket via a static per-row log2(K)
+    table (-1 for non-data rows -> scale 0). Exact f32 adds — no MXU
+    one-hot matmul (which at HIGHEST precision cost ~0.5 ms/iter at the
+    A=6M bench shape)."""
+    R_q = H_q * LANES
+    R_c = H_c * LANES
+
+    def kernel(*refs):
+        it = iter(refs)
+        y_ref = next(it)  # [cpp*R_q, 128] quota values (dst-chunk major)
+        lvl_ref = next(it)  # [cpp*R_c, 128] i32 log2(K) per kernel row
+        a_r1 = next(it)
+        a_src = next(it) if H_q > 1 else None
+        a_row = next(it)
+        a_r2 = next(it)
+        a_mask = next(it)
+        b_r1 = next(it)
+        b_src = next(it) if H_c > 1 else None
+        b_row = next(it)
+        b_r2 = next(it)
+        mult_ref = next(it) if has_mult else None
+        out_ref = next(it)
+        for j in range(cpp):
+            y = y_ref[j * R_q : (j + 1) * R_q, :]
+            x = _stage_apply(
+                y, a_r1[j], None if a_src is None else a_src[j],
+                a_row[j], a_r2[j], a_mask[j], H_q, H_c,
+            )  # [R_c, 128] chunk values, non-data slots zero
+            lvl = lvl_ref[j * R_c : (j + 1) * R_c, :]
+            denom = jnp.where(lvl == 0, x, 0.0)
+            y = x
+            for s in range(1, max_lvl + 1):
+                m = 1 << (s - 1)
+                up = jnp.concatenate([y[m:], y[:m]], axis=0)
+                down = jnp.concatenate([y[-m:], y[:-m]], axis=0)
+                bit = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (R_c, LANES), 0
+                    ) & m
+                ) != 0
+                # partner rows never cross an aligned 2^s block, so the
+                # circular wrap rows are never selected
+                y = y + jnp.where(bit, down, up)
+                denom = jnp.where(lvl == s, y, denom)
+            scale = jnp.where(denom > thresh, 1.0 / denom, 0.0)
+            xs = x * scale
+            if has_mult:
+                xs = xs * mult_ref[j * R_c : (j + 1) * R_c, :]
+            out_ref[j * R_q : (j + 1) * R_q, :] = _stage_apply(
+                xs, b_r1[j], None if b_src is None else b_src[j],
+                b_row[j], b_r2[j], None, H_c, H_q,
+            )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "R_q", "R_c", "thresh", "max_lvl"),
+)
+def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
+                      b_r1, b_src, b_row, b_r2, n_chunks, R_q, R_c,
+                      thresh, max_lvl, mult=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .gather_pallas import _interpret
+
+    H_q = R_q // LANES
+    H_c = R_c // LANES
+    has_mult = mult is not None
+    esize = y2.dtype.itemsize
+    per_chunk = (
+        2 * R_q * LANES * esize  # y2 + out
+        + R_c * LANES * esize * (1 if has_mult else 0)
+        + 3 * R_c * LANES * esize  # pyramid cur/down/denom intermediates
+        + (R_q + R_c) * LANES * 2  # r1/r2 tables both stages (i8)
+        + (H_c + H_q) * 2 * LANES * LANES  # src/row tables (i8)
+        + R_c * LANES * (1 + 4)  # mask (i8) + lvl (i32)
+    )
+    cap = 4 if H_q * H_c <= 8 else 2
+    cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
+
+    def chunked(shape_tail):
+        return pl.BlockSpec(
+            (cpp,) + shape_tail,
+            lambda i: (i,) + (0,) * len(shape_tail),
+            memory_space=pltpu.VMEM,
+        )
+
+    specs = [
+        pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cpp * R_c, LANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        chunked((R_q, LANES)),
+    ]
+    args = [y2, lvl, a_r1]
+    if H_q > 1:
+        specs.append(chunked((H_c, LANES, LANES)))
+        args.append(a_src)
+    specs.append(chunked((H_c, LANES, LANES)))
+    args.append(a_row)
+    specs.append(chunked((R_c, LANES)))
+    args.append(a_r2)
+    specs.append(chunked((R_c, LANES)))
+    args.append(a_mask)
+    specs.append(chunked((R_c, LANES)))
+    args.append(b_r1)
+    if H_c > 1:
+        specs.append(chunked((H_q, LANES, LANES)))
+        args.append(b_src)
+    specs.append(chunked((H_q, LANES, LANES)))
+    args.append(b_row)
+    specs.append(chunked((R_q, LANES)))
+    args.append(b_r2)
+    if has_mult:
+        specs.append(
+            pl.BlockSpec((cpp * R_c, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mult)
+    return pl.pallas_call(
+        _make_middle_kernel(H_q, H_c, cpp, has_mult, thresh, max_lvl),
+        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * R_q, LANES), y2.dtype),
+        grid=(n_chunks // cpp,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(*args)
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["s1_r1", "s1_src", "s1_row", "s1_r2", "s3_r1", "s3_src",
@@ -721,6 +882,47 @@ class GlobalRoutePlan:
     R3: int
     chunk_rows: int  # CR: 128-lane rows per chunk (CR*128 elements)
 
+    def _pad(self, v: jax.Array) -> jax.Array:
+        npad = self.n_src * self.chunk_rows * LANES
+        if v.shape[0] == npad:
+            return v
+        if v.shape[0] > npad:
+            return v[:npad]
+        return jnp.zeros(npad, v.dtype).at[: v.shape[0]].set(v)
+
+    def expand(self, x: jax.Array,
+               mul: Optional[jax.Array] = None) -> jax.Array:
+        """Stage 1 + quota exchange: chunk space -> post-transpose quota
+        tensor [n_dst * R3, 128] (dst-chunk major). The chunk counts are
+        padded so n_dst*Q == R1*128 and n_src*Q == R3*128 EXACTLY — the
+        all-to-all is one pure reshape/transpose/reshape, no slice and
+        no zero-pad materialization (saves ~0.7 ms/route at A=6M; see
+        scripts/exchange_microbench.py)."""
+        n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
+        CR = self.chunk_rows
+        x_pad = self._pad(x).reshape(n_src * CR, LANES)
+        mul_pad = None if mul is None else self._pad(mul).reshape(
+            n_src * CR, LANES
+        )
+        y1 = _run_route_stage(
+            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
+            None, n_src, CR, self.R1, False, mul=mul_pad,
+        )
+        zg = jnp.transpose(
+            y1.reshape(n_src, n_dst, Q), (1, 0, 2)
+        )
+        return zg.reshape(n_dst * self.R3, LANES)
+
+    def reduce(self, zg: jax.Array, sliced: bool = True) -> jax.Array:
+        """Stage 3: post-transpose quota tensor -> chunk space (data
+        slots populated, everything else zero)."""
+        y3 = _run_route_stage(
+            zg, self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
+            self.s3_mask, self.n_dst, self.R3, self.chunk_rows, True,
+        )
+        out = y3.reshape(-1)
+        return out[: self.n_out] if sliced else out
+
     def __call__(self, x: jax.Array, mul: Optional[jax.Array] = None,
                  sliced: bool = True) -> jax.Array:
         """Route `x` (elementwise-multiplied by `mul` inside the expand
@@ -728,40 +930,7 @@ class GlobalRoutePlan:
         With `sliced=False` the full padded output is returned (the tail
         past `n_out` is zero); callers that index absolute slot ranges
         can skip the slice copy."""
-        n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
-        CR = self.chunk_rows
-        npad = n_src * CR * LANES
-
-        def pad(v):
-            if v.shape[0] == npad:
-                return v
-            if v.shape[0] > npad:
-                return v[:npad]
-            return jnp.zeros(npad, v.dtype).at[: v.shape[0]].set(v)
-
-        x_pad = pad(x).reshape(n_src * CR, LANES)
-        mul_pad = None if mul is None else pad(mul).reshape(
-            n_src * CR, LANES
-        )
-        y1 = _run_route_stage(
-            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
-            None, n_src, CR, self.R1, False, mul=mul_pad,
-        )
-        # quota exchange: chunk counts are padded so n_dst*Q == R1*128
-        # and n_src*Q == R3*128 EXACTLY — the all-to-all is one pure
-        # reshape/transpose/reshape, no slice and no zero-pad
-        # materialization (saves ~0.7 ms/route at A=6M; see
-        # scripts/exchange_microbench.py).
-        zg = jnp.transpose(
-            y1.reshape(n_src, n_dst, Q), (1, 0, 2)
-        )
-        y3 = _run_route_stage(
-            zg.reshape(n_dst * self.R3, LANES),
-            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
-            self.s3_mask, n_dst, self.R3, CR, True,
-        )
-        out = y3.reshape(-1)
-        return out[: self.n_out] if sliced else out
+        return self.reduce(self.expand(x, mul), sliced=sliced)
 
 
 def _build_stage_tables(in_row, in_lane, out_row, out_lane, R_in, R_out,

@@ -160,7 +160,8 @@ def _v4_numpy_m_step(dbg, data, prev):
     denom = _row_sums(contrib_r, data.read_shapes, data.read_starts, xp=np)
     scale = np.where(denom > EM_DENOM_THRESH,
                      1.0 / np.where(denom > 0, denom, 1.0), 0.0)
-    scale_slots = _row_broadcast(scale, data.read_shapes, xp=np)
+    scale_slots = _row_broadcast(scale, data.read_shapes, xp=np,
+                                 starts=data.read_starts)
     inc_r = contrib_r * scale_slots
     it_full = np.zeros(dbg["NPAD"])
     it_full[dbg["txp_slot_of_aln"]] = inc_r[dbg["slot_of_aln"]]
@@ -320,3 +321,31 @@ def test_global_route_pure_transpose_invariant(n_ch):
     want = np.zeros(n, np.float32)
     want[out_idx] = x[in_idx]
     np.testing.assert_array_equal(got, want)
+
+
+def test_v4_fused_middle_matches_unfused(monkeypatch):
+    """The fused middle kernel (route-A reduce + denominator segment
+    sums + scaling + route-B expand in one pallas program) must agree
+    with the unfused HBM-round-trip path, with and without replicate
+    multiplicities."""
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_v4 import EmV4Data, _m_step_v4
+
+    rng = np.random.default_rng(16)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=150_000, T=2_500, max_k=5
+    )
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    assert data.seg_id is not None, "fused middle should be available"
+    prev = jnp.asarray(rng.uniform(0.5, 2.0, size=T), dtype=jnp.float32)
+    mult = jnp.asarray(
+        rng.multinomial(R, np.full(R, 1.0 / R))[np.asarray(order)],
+        dtype=jnp.float32,
+    )
+    for m in (None, mult):
+        monkeypatch.delenv("OARFISH_V4_NO_MIDDLE", raising=False)
+        fused = np.asarray(_m_step_v4(data, prev, m))
+        monkeypatch.setenv("OARFISH_V4_NO_MIDDLE", "1")
+        plain = np.asarray(_m_step_v4(data, prev, m))
+        np.testing.assert_allclose(fused, plain, rtol=2e-5, atol=1e-6)
