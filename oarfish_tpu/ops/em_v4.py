@@ -620,6 +620,8 @@ def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
             )
     else:
         mfs = lay_or_maxflows
+    import os
+
     best = None
     for CR, mf in mfs.items():
         CHR = CR * LANES
@@ -635,7 +637,24 @@ def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
             best = (cost, CR, npad_r, (npd, Q))
     if best is None:
         raise ValueError("no feasible route geometry at any chunk size")
-    return best[1], best[2], best[3]
+    CR, npad_r, (npd, Q) = best[1], best[2], best[3]
+    # Transpose-free upgrade: round Q to whole lane tiles so the quota
+    # exchange needs no transpose (strided BlockSpec reads instead).
+    # Measured at A=6M: +33% quota area but -11% end-to-end
+    # (scripts/strided_ab_bench.py: 2.20 -> 1.96 ms/iter); adopt while
+    # the area growth stays near that break-even. OARFISH_ROUTE_Q128
+    # forces it on (1) or off (0) for A/B.
+    force = os.environ.get("OARFISH_ROUTE_Q128")
+    if force != "0" and Q % LANES != 0:
+        npd128, Q128 = select_route_geometry(
+            npad_r // (CR * LANES), mfs[CR], q128=True
+        )
+        R1 = npd128 * Q128 // LANES
+        ok = R1 % LANES == 0 and R1 // LANES <= 16
+        if ok and (force == "1"
+                   or npd128 * Q128 <= 1.35 * npd * Q):
+            npd, Q = npd128, Q128
+    return CR, npad_r, (npd, Q)
 
 
 def _read_lvl_ids(read_shapes, read_starts, n_chunks: int,
@@ -801,7 +820,13 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
     )
     if middle:
         pa, pb = data.p_a, data.p_b
-        zg = pa.expand(prev_slots, mul=data.w_txp.astype(dt))
+        # transpose-free exchanges when the quota is whole lane tiles:
+        # stage 1 emits the src-major quota tensor and both consumers
+        # read their dst-chunk column slab via strided BlockSpec DMAs
+        strided = (
+            pa.Q % LANES == 0
+            and os.environ.get("OARFISH_V4_NO_STRIDED") != "1"
+        )
         mult_slots = None
         if multiplicity is not None:
             mult_slots = _row_broadcast(
@@ -812,17 +837,27 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
             (int(K).bit_length() - 1 for _rp, K in data.read_shapes),
             default=0,
         )
+        if strided:
+            y1 = pa.expand_y1(prev_slots, mul=data.w_txp.astype(dt))
+            qr = pa.Q // LANES
+            zg = y1.reshape(pa.n_src, pa.n_dst, qr, LANES)
+        else:
+            zg = pa.expand(prev_slots, mul=data.w_txp.astype(dt))
+            qr = 0
         y1b = _run_middle_stage(
             zg, data.seg_id, pa.s3_r1, pa.s3_src, pa.s3_row, pa.s3_r2,
             pa.s3_mask, pb.s1_r1, pb.s1_src, pb.s1_row, pb.s1_r2,
             n_chunks=pa.n_dst, R_q=pa.R3, R_c=pa.chunk_rows,
             thresh=float(EM_DENOM_THRESH), max_lvl=max_lvl,
-            mult=mult_slots,
+            mult=mult_slots, strided_qr=qr,
         )
-        zgb = jnp.transpose(
-            y1b.reshape(pb.n_src, pb.n_dst, pb.Q), (1, 0, 2)
-        ).reshape(pb.n_dst * pb.R3, LANES)
-        inc_t = pb.reduce(zgb, sliced=False)
+        if strided:
+            inc_t = pb.reduce_strided(y1b, sliced=False)
+        else:
+            zgb = jnp.transpose(
+                y1b.reshape(pb.n_src, pb.n_dst, pb.Q), (1, 0, 2)
+            ).reshape(pb.n_dst * pb.R3, LANES)
+            inc_t = pb.reduce(zgb, sliced=False)
     else:
         if fuse:
             contrib_r = data.p_a(prev_slots, mul=data.w_txp.astype(dt),

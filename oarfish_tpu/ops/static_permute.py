@@ -508,19 +508,29 @@ def route_maxflow(out_idx: np.ndarray, in_idx: np.ndarray,
     return max(int(flows.max()), 1)
 
 
-def select_route_geometry(n_ch: int, maxflow: int) -> Tuple[int, int]:
+def select_route_geometry(n_ch: int, maxflow: int,
+                          q128: bool = False) -> Tuple[int, int]:
     """(chunk-pad, Q) selection: require n_chunks * Q % 16384 == 0 on
     BOTH sides so the quota exchange in __call__ is a pure
     reshape/transpose/reshape (no slice, no zero-pad set — the glue
     otherwise costs ~0.7 ms/route at A=6M). Padding the chunk count up
     legalizes finer Q granularity; minimize grid area n_pad*Q,
-    tie-broken toward fewer chunks."""
+    tie-broken toward fewer chunks.
+
+    With `q128` the quota is additionally rounded to a multiple of 128
+    (whole lane tiles): the exchange then needs no transpose at all —
+    stage 3 (and the fused middle) read their dst-chunk column slab
+    straight out of the src-major quota tensor via strided BlockSpecs
+    (`reduce_strided`). Costs quota area; `route_config` applies the
+    measured break-even rule."""
     import math as _math
 
     best = None
     for gran in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024):
         npd = _roundup(n_ch, gran)
         q_step = (LANES * LANES) // _math.gcd(LANES * LANES, npd)
+        if q128:
+            q_step = q_step * LANES // _math.gcd(q_step, LANES)
         q = _roundup(maxflow, q_step)
         if best is None or (npd * q, npd) < (best[0], best[1]):
             best = (npd * q, npd, q)
@@ -595,8 +605,12 @@ def _stage_apply(x, r1, src, row_t, r2, mask, H_in, H_out):
 
 
 def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
-                       has_mask: bool):
-    """Gather-network stage kernel over cpp chunks per grid program."""
+                       has_mask: bool, strided_qr: int = 0):
+    """Gather-network stage kernel over cpp chunks per grid program.
+    With `strided_qr` the value operand arrives as the STRIDED quota
+    view [n_other, cpp*Qr, 128] (dst-chunk columns across every source
+    chunk, Qr = Q/128) instead of a contiguous [cpp*R_in, 128] block —
+    the transpose-free exchange (see GlobalRoutePlan.reduce_strided)."""
     R_in = H_in * LANES
     R_out = H_out * LANES
 
@@ -611,7 +625,10 @@ def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
         mask_ref = next(it) if has_mask else None
         out_ref = next(it)
         for j in range(cpp):
-            x = x_ref[j * R_in : (j + 1) * R_in, :]
+            if strided_qr:
+                x = x_ref[:, j, :, :].reshape(R_in, LANES)
+            else:
+                x = x_ref[j * R_in : (j + 1) * R_in, :]
             if has_mul:
                 x = x * y_ref[j * R_in : (j + 1) * R_in, :]
             out_ref[j * R_out : (j + 1) * R_out, :] = _stage_apply(
@@ -629,10 +646,12 @@ def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_chunks", "R_in", "R_out", "has_mask")
+    jax.jit,
+    static_argnames=("n_chunks", "R_in", "R_out", "has_mask",
+                     "strided_qr"),
 )
 def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
-                     has_mask, mul=None):
+                     has_mask, mul=None, strided_qr=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -641,6 +660,7 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
     H_in = R_in // LANES
     H_out = R_out // LANES
     has_mul = mul is not None
+    assert not (has_mul and strided_qr)
     esize = x.dtype.itemsize
     per_chunk = (
         R_in * LANES * esize * (2 if has_mul else 1)  # x (+ mul)
@@ -655,10 +675,20 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
     # cap the batching by body weight as well as VMEM
     cap = 8 if H_in * H_out <= 8 else 4
     cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
-    specs = [
-        pl.BlockSpec((cpp * R_in, LANES), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if strided_qr:
+        # x arrives as the 4D quota view [n_other, n_chunks, Qr, 128];
+        # the block for grid step i is its dst-chunk column slab (the
+        # last two dims are whole blocks — a Pallas TPU requirement)
+        specs = [
+            pl.BlockSpec((x.shape[0], cpp, strided_qr, LANES),
+                         lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        specs = [
+            pl.BlockSpec((cpp * R_in, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     args = [x]
     if has_mul:
         specs.append(
@@ -695,7 +725,8 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
         )
         args.append(mask)
     return pl.pallas_call(
-        _make_route_kernel(H_in, H_out, cpp, has_mul, has_mask),
+        _make_route_kernel(H_in, H_out, cpp, has_mul, has_mask,
+                           strided_qr),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_chunks * R_out, LANES), x.dtype),
         grid=(n_chunks // cpp,),
@@ -706,7 +737,8 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
 
 
 def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
-                        thresh: float, max_lvl: int):
+                        thresh: float, max_lvl: int,
+                        strided_qr: int = 0):
     """Fused EM middle: per read chunk, gather the (post-transpose)
     quota tensor into chunk space (route A's reduce stage), compute the
     per-read denominators, turn them into guarded reciprocal scales,
@@ -745,7 +777,10 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
         mult_ref = next(it) if has_mult else None
         out_ref = next(it)
         for j in range(cpp):
-            y = y_ref[j * R_q : (j + 1) * R_q, :]
+            if strided_qr:
+                y = y_ref[:, j, :, :].reshape(R_q, LANES)
+            else:
+                y = y_ref[j * R_q : (j + 1) * R_q, :]
             x = _stage_apply(
                 y, a_r1[j], None if a_src is None else a_src[j],
                 a_row[j], a_r2[j], a_mask[j], H_q, H_c,
@@ -780,11 +815,12 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_chunks", "R_q", "R_c", "thresh", "max_lvl"),
+    static_argnames=("n_chunks", "R_q", "R_c", "thresh", "max_lvl",
+                     "strided_qr"),
 )
 def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
                       b_r1, b_src, b_row, b_r2, n_chunks, R_q, R_c,
-                      thresh, max_lvl, mult=None):
+                      thresh, max_lvl, mult=None, strided_qr=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -812,9 +848,17 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
             memory_space=pltpu.VMEM,
         )
 
+    if strided_qr:
+        y_spec = pl.BlockSpec(
+            (y2.shape[0], cpp, strided_qr, LANES),
+            lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        y_spec = pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
     specs = [
-        pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        y_spec,
         pl.BlockSpec((cpp * R_c, LANES), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         chunked((R_q, LANES)),
@@ -845,7 +889,8 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
         )
         args.append(mult)
     return pl.pallas_call(
-        _make_middle_kernel(H_q, H_c, cpp, has_mult, thresh, max_lvl),
+        _make_middle_kernel(H_q, H_c, cpp, has_mult, thresh, max_lvl,
+                            strided_qr),
         interpret=_interpret(),
         out_shape=jax.ShapeDtypeStruct((n_chunks * R_q, LANES), y2.dtype),
         grid=(n_chunks // cpp,),
@@ -890,6 +935,21 @@ class GlobalRoutePlan:
             return v[:npad]
         return jnp.zeros(npad, v.dtype).at[: v.shape[0]].set(v)
 
+    def expand_y1(self, x: jax.Array,
+                  mul: Optional[jax.Array] = None) -> jax.Array:
+        """Stage 1 only: chunk space -> PRE-exchange quota tensor
+        [n_src * R1, 128] (src-chunk major)."""
+        n_src = self.n_src
+        CR = self.chunk_rows
+        x_pad = self._pad(x).reshape(n_src * CR, LANES)
+        mul_pad = None if mul is None else self._pad(mul).reshape(
+            n_src * CR, LANES
+        )
+        return _run_route_stage(
+            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
+            None, n_src, CR, self.R1, False, mul=mul_pad,
+        )
+
     def expand(self, x: jax.Array,
                mul: Optional[jax.Array] = None) -> jax.Array:
         """Stage 1 + quota exchange: chunk space -> post-transpose quota
@@ -899,15 +959,7 @@ class GlobalRoutePlan:
         no zero-pad materialization (saves ~0.7 ms/route at A=6M; see
         scripts/exchange_microbench.py)."""
         n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
-        CR = self.chunk_rows
-        x_pad = self._pad(x).reshape(n_src * CR, LANES)
-        mul_pad = None if mul is None else self._pad(mul).reshape(
-            n_src * CR, LANES
-        )
-        y1 = _run_route_stage(
-            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
-            None, n_src, CR, self.R1, False, mul=mul_pad,
-        )
+        y1 = self.expand_y1(x, mul)
         zg = jnp.transpose(
             y1.reshape(n_src, n_dst, Q), (1, 0, 2)
         )
@@ -919,6 +971,26 @@ class GlobalRoutePlan:
         y3 = _run_route_stage(
             zg, self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
             self.s3_mask, self.n_dst, self.R3, self.chunk_rows, True,
+        )
+        out = y3.reshape(-1)
+        return out[: self.n_out] if sliced else out
+
+    def reduce_strided(self, y1: jax.Array,
+                       sliced: bool = True) -> jax.Array:
+        """Stage 3 consuming the PRE-exchange quota tensor
+        [n_src * R1, 128] directly via a strided BlockSpec (each grid
+        step DMAs its dst-chunk's Qr-row column slab from every source
+        chunk) — no transpose materializes. Requires Q % 128 == 0, so
+        the slab is whole lane tiles; the in-VMEM layout is then
+        bit-identical to the post-transpose chunk, and the stage tables
+        apply unchanged."""
+        assert self.Q % LANES == 0, "strided exchange needs Q % 128 == 0"
+        qr = self.Q // LANES
+        y3 = _run_route_stage(
+            y1.reshape(self.n_src, self.n_dst, qr, LANES),
+            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
+            self.s3_mask, self.n_dst, self.R3, self.chunk_rows, True,
+            strided_qr=qr,
         )
         out = y3.reshape(-1)
         return out[: self.n_out] if sliced else out

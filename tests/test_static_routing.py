@@ -349,3 +349,37 @@ def test_v4_fused_middle_matches_unfused(monkeypatch):
         monkeypatch.setenv("OARFISH_V4_NO_MIDDLE", "1")
         plain = np.asarray(_m_step_v4(data, prev, m))
         np.testing.assert_allclose(fused, plain, rtol=2e-5, atol=1e-6)
+
+
+def test_v4_strided_exchange_matches_transpose(monkeypatch):
+    """With Q forced to whole lane tiles (OARFISH_ROUTE_Q128), the
+    transpose-free strided exchange (expand_y1 -> strided middle ->
+    reduce_strided) must agree with the explicit-transpose path and
+    with the unfused baseline."""
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_v4 import EmV4Data, _m_step_v4
+
+    monkeypatch.setenv("OARFISH_ROUTE_Q128", "1")
+    rng = np.random.default_rng(17)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=150_000, T=2_500, max_k=5
+    )
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    assert data.seg_id is not None
+    assert data.p_a.Q % 128 == 0
+    prev = jnp.asarray(rng.uniform(0.5, 2.0, size=T), dtype=jnp.float32)
+    mult = jnp.asarray(
+        rng.multinomial(R, np.full(R, 1.0 / R))[np.asarray(order)],
+        dtype=jnp.float32,
+    )
+    for m in (None, mult):
+        monkeypatch.delenv("OARFISH_V4_NO_STRIDED", raising=False)
+        strided = np.asarray(_m_step_v4(data, prev, m))
+        monkeypatch.setenv("OARFISH_V4_NO_STRIDED", "1")
+        transposed = np.asarray(_m_step_v4(data, prev, m))
+        monkeypatch.setenv("OARFISH_V4_NO_MIDDLE", "1")
+        plain = np.asarray(_m_step_v4(data, prev, m))
+        monkeypatch.delenv("OARFISH_V4_NO_MIDDLE", raising=False)
+        np.testing.assert_array_equal(strided, transposed)
+        np.testing.assert_allclose(strided, plain, rtol=2e-5, atol=1e-6)
