@@ -43,6 +43,47 @@ struct CandClass {
   std::vector<int32_t> groups; // member group ids, fill order
 };
 
+// classes per bucket + group -> class index map (shared by the greedy
+// placer and the repair pass; the footprint-equivalence keying must
+// match exactly)
+void build_classes(int64_t n_buckets, const int64_t* bucket_start,
+                   const int64_t* bucket_K,
+                   const int64_t* bucket_ngroups, int64_t CHR,
+                   std::vector<std::vector<CandClass>>& classes,
+                   std::vector<std::vector<int32_t>>* gclass) {
+  classes.assign(n_buckets, {});
+  if (gclass) gclass->assign(n_buckets, {});
+  for (int64_t b = 0; b < n_buckets; b++) {
+    auto& cls = classes[b];
+    std::unordered_map<int64_t, int32_t> key_of;  // (d0*CHR+off) -> idx
+    const int64_t K = bucket_K[b];
+    const int64_t start = bucket_start[b];
+    const int64_t span = K << 7;  // slots per 128-row group
+    if (gclass) (*gclass)[b].resize(bucket_ngroups[b]);
+    for (int64_t g = 0; g < bucket_ngroups[b]; g++) {
+      const int64_t base = start + g * span;
+      const int64_t d0 = base / CHR;
+      const int64_t off = base % CHR;
+      // groups that sit inside one chunk are interchangeable regardless
+      // of their offset; straddling / multi-chunk groups key on it
+      const int64_t key =
+          (off + span <= CHR) ? (d0 * CHR) : (d0 * CHR + off + 1);
+      auto it = key_of.find(key);
+      int32_t ci;
+      if (it == key_of.end()) {
+        ci = (int32_t)cls.size();
+        key_of.emplace(key, ci);
+        cls.push_back(CandClass{base, 128, 0, 0, {(int32_t)g}});
+      } else {
+        ci = it->second;
+        cls[ci].capacity += 128;
+        cls[ci].groups.push_back((int32_t)g);
+      }
+      if (gclass) (*gclass)[b][g] = ci;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -72,31 +113,9 @@ int64_t oarfish_balance_greedy(
     const int64_t* bucket_ngroups, int64_t CHR, int32_t n_dst,
     int32_t n_src, const int64_t* order, int32_t* F, int64_t* out_row) {
   // ---- candidate classes per bucket
-  std::vector<std::vector<CandClass>> classes(n_buckets);
-  for (int64_t b = 0; b < n_buckets; b++) {
-    auto& cls = classes[b];
-    std::unordered_map<int64_t, int32_t> key_of;  // (d0*CHR+off) -> idx
-    const int64_t K = bucket_K[b];
-    const int64_t start = bucket_start[b];
-    const int64_t span = K << 7;  // slots per 128-row group
-    for (int64_t g = 0; g < bucket_ngroups[b]; g++) {
-      const int64_t base = start + g * span;
-      const int64_t d0 = base / CHR;
-      const int64_t off = base % CHR;
-      // groups that sit inside one chunk are interchangeable regardless
-      // of their offset; straddling / multi-chunk groups key on it
-      const int64_t key =
-          (off + span <= CHR) ? (d0 * CHR) : (d0 * CHR + off + 1);
-      auto it = key_of.find(key);
-      if (it == key_of.end()) {
-        key_of.emplace(key, (int32_t)cls.size());
-        cls.push_back(CandClass{base, 128, 0, 0, {(int32_t)g}});
-      } else {
-        cls[it->second].capacity += 128;
-        cls[it->second].groups.push_back((int32_t)g);
-      }
-    }
-  }
+  std::vector<std::vector<CandClass>> classes;
+  build_classes(n_buckets, bucket_start, bucket_K, bucket_ngroups, CHR,
+                classes, nullptr);
 
   // d-choice candidate sampling: evaluating every class costs
   // O(n_classes * item_size) per item, which dominates the build at
@@ -176,6 +195,124 @@ int64_t oarfish_balance_greedy(
   for (int64_t i = 0; i < ncells; i++)
     if (F[i] > mx) mx = F[i];
   return mx;
+}
+
+// Local-search repair: re-place items whose footprint touches a cell
+// with load > target, choosing the class minimizing (max, sum) by an
+// EXHAUSTIVE class scan (repairs touch few items; the d-choice shortcut
+// is what left the tail hot in the first place). `F` and `out_row`
+// carry the incumbent placement in/out; the repair granularity CHR may
+// differ from the greedy pass's (repair at the SELECTED route chunk so
+// `target` is the actual quota boundary). Returns the final max cell.
+int64_t oarfish_balance_repair(
+    int64_t n_items, const int64_t* item_off, const int32_t* src_cell,
+    const int32_t* item_bucket, int64_t n_buckets,
+    const int64_t* bucket_start, const int64_t* bucket_K,
+    const int64_t* bucket_ngroups, int64_t CHR, int32_t n_dst,
+    int32_t n_src, int64_t target, int64_t max_rounds, int32_t* F,
+    int64_t* out_row) {
+  std::vector<std::vector<CandClass>> classes;
+  std::vector<std::vector<int32_t>> gclass;
+  build_classes(n_buckets, bucket_start, bucket_K, bucket_ngroups, CHR,
+                classes, &gclass);
+  // free-row stacks per class: member-local row id = pos_in_groups*128
+  // + row127; replay the incumbent assignment to mark used rows
+  struct Free {
+    std::vector<int32_t> rows;  // free member-local row ids
+  };
+  std::vector<std::vector<Free>> freerows(n_buckets);
+  std::vector<std::vector<std::vector<uint8_t>>> used(n_buckets);
+  // member position of group g within its class's `groups` (flat per
+  // bucket — per-class arrays would be O(n_classes * n_groups))
+  std::vector<std::vector<int32_t>> gpos(n_buckets);
+  for (int64_t b = 0; b < n_buckets; b++) {
+    freerows[b].resize(classes[b].size());
+    used[b].resize(classes[b].size());
+    gpos[b].assign(bucket_ngroups[b], -1);
+    for (size_t c = 0; c < classes[b].size(); c++) {
+      used[b][c].assign(classes[b][c].groups.size() << 7, 0);
+      for (size_t p = 0; p < classes[b][c].groups.size(); p++)
+        gpos[b][classes[b][c].groups[p]] = (int32_t)p;
+    }
+  }
+  for (int64_t it = 0; it < n_items; it++) {
+    if (item_off[it + 1] == item_off[it]) continue;
+    const int64_t b = item_bucket[it];
+    const int32_t g = (int32_t)(out_row[it] >> 7);
+    const int32_t c = gclass[b][g];
+    used[b][c][(gpos[b][g] << 7) | (out_row[it] & 127)] = 1;
+  }
+  for (int64_t b = 0; b < n_buckets; b++)
+    for (size_t c = 0; c < classes[b].size(); c++)
+      for (int32_t r = (int32_t)used[b][c].size() - 1; r >= 0; r--)
+        if (!used[b][c][r]) freerows[b][c].rows.push_back(r);
+
+  int64_t mx_out = 0;
+  for (int64_t round = 0; round < max_rounds; round++) {
+    int64_t moved = 0;
+    for (int64_t it = 0; it < n_items; it++) {
+      const int64_t j0 = item_off[it], j1 = item_off[it + 1];
+      const int64_t sz = j1 - j0;
+      if (sz == 0) continue;
+      const int64_t b = item_bucket[it];
+      const int64_t K = bucket_K[b];
+      const int64_t old_base = bucket_start[b] + (out_row[it] >> 7) * (K << 7);
+      bool hot = false;
+      for (int64_t j = j0; j < j1 && !hot; j++) {
+        const int64_t d = (old_base + ((j - j0) << 7)) / CHR;
+        hot = F[(int64_t)src_cell[j] * n_dst + d] > target;
+      }
+      if (!hot) continue;
+      // remove the item, free its row
+      for (int64_t j = j0; j < j1; j++) {
+        const int64_t d = (old_base + ((j - j0) << 7)) / CHR;
+        F[(int64_t)src_cell[j] * n_dst + d] -= 1;
+      }
+      const int32_t old_g = (int32_t)(out_row[it] >> 7);
+      const int32_t old_c = gclass[b][old_g];
+      freerows[b][old_c].rows.push_back(
+          (gpos[b][old_g] << 7) | (int32_t)(out_row[it] & 127));
+      // exhaustive best-class scan
+      auto& cls = classes[b];
+      int32_t best = -1;
+      int64_t best_max = INT64_MAX, best_sum = INT64_MAX;
+      for (int32_t cur = 0; cur < (int32_t)cls.size(); cur++) {
+        if (freerows[b][cur].rows.empty()) continue;
+        const int64_t base = cls[cur].base;
+        int64_t m = 0, sum = 0;
+        for (int64_t j = j0; j < j1; j++) {
+          const int64_t d = (base + ((j - j0) << 7)) / CHR;
+          const int64_t v = F[(int64_t)src_cell[j] * n_dst + d];
+          sum += v;
+          if (v > m) m = v;
+        }
+        if (m < best_max || (m == best_max && sum < best_sum)) {
+          best_max = m;
+          best_sum = sum;
+          best = cur;
+        }
+      }
+      // place (best is never -1: the item's own row was just freed)
+      const int32_t lr = freerows[b][best].rows.back();
+      freerows[b][best].rows.pop_back();
+      const int64_t new_g = cls[best].groups[lr >> 7];
+      const int64_t new_base =
+          bucket_start[b] + new_g * (K << 7);
+      for (int64_t j = j0; j < j1; j++) {
+        const int64_t d = (new_base + ((j - j0) << 7)) / CHR;
+        F[(int64_t)src_cell[j] * n_dst + d] += 1;
+      }
+      const int64_t new_row = (new_g << 7) | (lr & 127);
+      if (best != old_c) moved++;
+      out_row[it] = new_row;
+    }
+    mx_out = 0;
+    const int64_t ncells = (int64_t)n_src * n_dst;
+    for (int64_t i = 0; i < ncells; i++)
+      if (F[i] > mx_out) mx_out = F[i];
+    if (mx_out <= target || moved == 0) break;
+  }
+  return mx_out;
 }
 
 }  // extern "C"

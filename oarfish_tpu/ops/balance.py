@@ -66,6 +66,12 @@ def get_lib():
         i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p,
         i32p, i64p,
     ]
+    lib.oarfish_balance_repair.restype = ctypes.c_int64
+    lib.oarfish_balance_repair.argtypes = [
+        ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64, i64p, i64p,
+        i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, i32p, i64p,
+    ]
     _lib = lib
     return lib
 
@@ -110,4 +116,41 @@ def greedy_place(
     )
     if mx < 0:
         raise RuntimeError("balance_greedy: insufficient bucket capacity")
+    return out_row[:n_items], int(mx), F.reshape(n_src, n_dst)
+
+
+def repair_place(
+    item_off: np.ndarray,
+    src_cell: np.ndarray,
+    item_bucket: np.ndarray,
+    buckets: List[Tuple[int, int, int]],
+    n_dst: int,
+    n_src: int,
+    row_within: np.ndarray,
+    F: np.ndarray,
+    target: int,
+    chunk: int,
+    max_rounds: int = 4,
+) -> Tuple[np.ndarray, int, np.ndarray]:
+    """Local-search repair of an incumbent placement: re-place items
+    touching cells with load > `target` (exhaustive class scan). The
+    repair granularity `chunk` is the SELECTED route chunk, so `target`
+    is an actual quota boundary. Returns (rows, max, F) like
+    `greedy_place`; `row_within` and `F` are updated copies."""
+    lib = get_lib()
+    assert lib is not None
+    n_items = len(item_off) - 1
+    item_off = np.ascontiguousarray(item_off, dtype=np.int64)
+    src_cell = np.ascontiguousarray(src_cell, dtype=np.int32)
+    item_bucket = np.ascontiguousarray(item_bucket, dtype=np.int32)
+    starts = np.ascontiguousarray([b[0] for b in buckets], dtype=np.int64)
+    ks = np.ascontiguousarray([b[1] for b in buckets], dtype=np.int64)
+    ngs = np.ascontiguousarray([b[2] for b in buckets], dtype=np.int64)
+    out_row = np.ascontiguousarray(row_within, dtype=np.int64).copy()
+    F = np.ascontiguousarray(F.reshape(-1), dtype=np.int32).copy()
+    mx = lib.oarfish_balance_repair(
+        n_items, item_off, src_cell, item_bucket, len(buckets), starts,
+        ks, ngs, chunk, np.int32(n_dst), np.int32(n_src),
+        np.int64(target), np.int64(max_rounds), F, out_row,
+    )
     return out_row[:n_items], int(mx), F.reshape(n_src, n_dst)

@@ -243,7 +243,19 @@ class EmV4Data:
         `compute_envelope`/`merge_envelopes`) forces the bucket/t-space
         static shapes and `geometry` the route (chunk-pad, Q) — both are
         required to be shard-uniform for the sharded v4 path."""
+        import os as _os
+
         lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope)
+        if (
+            envelope is None
+            and geometry is None
+            and _os.environ.get("OARFISH_NO_RECT") != "1"
+        ):
+            lay2 = _try_rect_rebuild(
+                txp_id, weights, boundaries, num_txps, lay
+            )
+            if lay2 is not None:
+                lay = lay2
         data = _v4_finish(lay, geometry)
         if debug:
             return data, lay["read_order"], lay["dbg"]
@@ -256,6 +268,7 @@ def _v4_layout(
     boundaries: np.ndarray,
     num_txps: int,
     envelope: Optional[dict] = None,
+    rect_hint: Optional[Tuple[int, int, int, int]] = None,
 ) -> dict:
     """Phase 1 of the v4 build: bucket layouts, slot maps, and the tiny
     T-space tile permutes — everything except the two GlobalRoutes (whose
@@ -320,15 +333,29 @@ def _v4_layout(
         else np.empty(0, np.int64)
     )
     n_big_rows = int(big_chunks.sum())
-    big_rows_pad = _pad128(n_big_rows)
+    # big-region dilution (bp/bq > 1): interleave bp-bq dead rows per bq
+    # real rows so fixed big-txp slots don't pack chunks 100% full (a
+    # full chunk's row sum is CHR -> per-cell mean CHR/n_dst, which
+    # pins the route quota; see _try_dilated_rebuild). Physical row of
+    # logical row r is (r//bq)*bp + r%bq; offsets are stored in
+    # PHYSICAL units — the m-step's cumsum-difference spans dead rows
+    # harmlessly (their slots stay all-zero).
+    bp, bq = (envelope.get("big_pq", (1, 1)) if envelope else (1, 1))
+
+    def _bphys(r):
+        return (r // bq) * bp + r % bq
+
+    n_big_rows_phys = int(_bphys(n_big_rows - 1)) + 1 if n_big_rows else 0
+    big_rows_pad = _pad128(n_big_rows_phys)
     if envelope:
         big_rows_pad = max(big_rows_pad, envelope["big_rows_pad"])
-    big_row_offsets = np.zeros(n_big + 1, dtype=np.int64)
-    np.cumsum(big_chunks, out=big_row_offsets[1 : n_big_real + 1])
-    big_row_offsets[n_big_real + 1 :] = big_row_offsets[n_big_real]
+    big_off_log = np.zeros(n_big + 1, dtype=np.int64)
+    np.cumsum(big_chunks, out=big_off_log[1 : n_big_real + 1])
+    big_off_log[n_big_real + 1 :] = big_off_log[n_big_real]
+    big_row_offsets = _bphys(big_off_log)
     big_row_of_txp = np.zeros(big_rows_pad, dtype=np.int64)
     if n_big_real:
-        big_row_of_txp[:n_big_rows] = np.repeat(
+        big_row_of_txp[_bphys(np.arange(n_big_rows))] = np.repeat(
             np.arange(n_big_real), big_chunks
         )
     big_start = n_small_slots
@@ -351,7 +378,7 @@ def _v4_layout(
         big_index = np.full(T, -1, dtype=np.int64)
         big_index[big_txps] = np.arange(n_big_real)
         bi = big_index[txp_id[big_aln]]
-        row = big_row_offsets[bi] + rank[big_aln] // CAPK
+        row = _bphys(big_off_log[bi] + rank[big_aln] // CAPK)
         txp_slot_of_aln[big_aln] = _colmajor_slot(
             big_start, CAPK, row, rank[big_aln] % CAPK
         )
@@ -486,16 +513,21 @@ def _v4_layout(
     # their slots are all-zero so any multiplicity routed there is inert)
     read_order = np.zeros(row_space_r, dtype=np.int64)
     slot_of_aln = np.zeros(A, dtype=np.int64)
-    if len(items_r):
-        read_order[rb_flat_base[ib_r] + row_within_r] = items_r
-        Kv = np.asarray([K for _, K in read_shapes], dtype=np.int64)
-        stv = np.asarray(read_starts, dtype=np.int64)
-        slot_of_aln[aln_idx_r] = _colmajor_slot(
-            np.repeat(stv[ib_r], sizes_r),
-            np.repeat(Kv[ib_r], sizes_r),
-            np.repeat(row_within_r, sizes_r),
-            col_r,
-        )
+
+    def _apply_reads(row_within):
+        if len(items_r):
+            read_order[:] = 0
+            read_order[rb_flat_base[ib_r] + row_within] = items_r
+            Kv = np.asarray([K for _, K in read_shapes], dtype=np.int64)
+            stv = np.asarray(read_starts, dtype=np.int64)
+            slot_of_aln[aln_idx_r] = _colmajor_slot(
+                np.repeat(stv[ib_r], sizes_r),
+                np.repeat(Kv[ib_r], sizes_r),
+                np.repeat(row_within, sizes_r),
+                col_r,
+            )
+
+    _apply_reads(row_within_r)
 
     # ---- pass 3: re-place small transcripts against the chosen read
     # layout (transposed flow matrix, big flows preloaded)
@@ -519,6 +551,150 @@ def _v4_layout(
         row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
 
     NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
+
+    # ---- pass 4: targeted repair at the SELECTED route granularity.
+    # The greedy passes balance at the finest grain; the quota, though,
+    # is rounded up to the next legal step (128 with the strided
+    # exchange), so only crossing a boundary pays. Re-place items
+    # touching over-target cells (exhaustive class scan) at the chosen
+    # CR, walking the target down 128 at a time while it sticks.
+    import os as _os
+
+    rect_maxflow = None
+    if (
+        use_balance
+        and len(items_r)
+        and _os.environ.get("OARFISH_NO_REPAIR") != "1"
+    ):
+        from .static_permute import route_maxflow
+
+        if rect_hint is not None:
+            # rectangular target from _try_rect_rebuild: nT txp chunks
+            # (src), nR read chunks (dst, diluted), fixed quota target
+            CRsel, nT, nR, Q_target = rect_hint
+            CHR_sel = CRsel * LANES
+        else:
+            def _mfs():
+                out = {}
+                for CR in _CR_CANDIDATES:
+                    CHR_c = CR * LANES
+                    npad_c = ((NPAD + CHR_c - 1) // CHR_c) * CHR_c
+                    out[CR] = route_maxflow(
+                        slot_of_aln, txp_slot_of_aln, npad_c,
+                        chunk=CHR_c,
+                    )
+                return out
+
+            CRsel, npad_sel, _geo_sel = route_config(_mfs(), NPAD)
+            CHR_sel = CRsel * LANES
+            nT = nR = npad_sel // CHR_sel
+            Q_target = None
+        idx_t2 = np.repeat(run_start[items_t], sizes_t) + (
+            np.arange(int(off_t[-1]))
+            - np.repeat(off_t[:-1], sizes_t)
+        )
+        aln_t = ord2[idx_t2]  # alignment ids in txp-item CSR order
+        import logging
+
+        _rlog = logging.getLogger("oarfish_tpu")
+
+        def _flows():
+            """[read chunk, txp chunk] loads of the full layout."""
+            Fx = np.zeros((nR, nT), dtype=np.int32)
+            np.add.at(
+                Fx,
+                (slot_of_aln // CHR_sel, txp_slot_of_aln // CHR_sel),
+                1,
+            )
+            return Fx
+
+        def _big_F():
+            """[read chunk, txp chunk] loads of the FIXED big-txp rows."""
+            Fb = np.zeros((nR, nT), dtype=np.int32)
+            if n_big_real:
+                np.add.at(
+                    Fb,
+                    (slot_of_aln[big_aln] // CHR_sel,
+                     txp_slot_of_aln[big_aln] // CHR_sel),
+                    1,
+                )
+            return Fb
+
+        mf = int(_flows().max())
+        _rlog.debug("repair: CR=%d nT=%d nR=%d maxflow=%d mean=%.0f",
+                    CRsel, nT, nR, mf, A / (nT * nR))
+
+        # re-run the greedy at the SELECTED granularity (the 16K-grain
+        # passes above optimize finer cells; the quota is the max over
+        # the CHOSEN CR's cells), then local-search repair toward each
+        # successive 128 boundary
+        rw_t, rw_r = row_within_t, row_within_r
+        row_r2, _, _ = _balance.greedy_place(
+            off_r,
+            (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(np.int32),
+            ib_r, buckets_r, nR, nT, order_r,
+            np.ascontiguousarray(_big_F().T), chunk=CHR_sel,
+        )
+        row_within_r = row_r2
+        _apply_reads(row_within_r)
+        if len(items_t):
+            F3s = _big_F()
+            src_t = (slot_of_aln[aln_t] // CHR_sel).astype(np.int32)
+            row_t2, mx_t, _ = _balance.greedy_place(
+                off_t, src_t, ib_t, buckets_t, nT, nR, order_t,
+                F3s, chunk=CHR_sel,
+            )
+            row_within_t = row_t2
+            row_of_small_txp, small_txp_row_pos = _apply_small(
+                row_within_t
+            )
+        mf2 = int(_flows().max())
+        _rlog.debug("repair: re-greedy at CR -> maxflow=%d", mf2)
+        if mf2 > mf:
+            # coarse-grain re-placement lost: restore the 16K placement
+            row_within_t, row_within_r = rw_t, rw_r
+            row_of_small_txp, small_txp_row_pos = _apply_small(
+                row_within_t
+            )
+            _apply_reads(row_within_r)
+            mf2 = mf
+        mf = mf2
+        if Q_target is not None:
+            target = Q_target
+        else:
+            target = ((mf - 1) // LANES) * LANES
+        while target >= LANES:
+            Ff = _flows()
+            row_t2, mx_t, Ff = _balance.repair_place(
+                off_t, (slot_of_aln[aln_t] // CHR_sel).astype(np.int32),
+                ib_t, buckets_t, nT, nR, row_within_t, Ff,
+                target, CHR_sel, max_rounds=8,
+            )
+            row_within_t = row_t2
+            row_of_small_txp, small_txp_row_pos = _apply_small(
+                row_within_t
+            )
+            if mx_t > target:
+                F2 = np.ascontiguousarray(Ff.T)
+                row_r2, mx_r, _ = _balance.repair_place(
+                    off_r,
+                    (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(
+                        np.int32
+                    ),
+                    ib_r, buckets_r, nR, nT, row_within_r, F2,
+                    target, CHR_sel, max_rounds=8,
+                )
+                row_within_r = row_r2
+                _apply_reads(row_within_r)
+                mf = mx_r
+            else:
+                mf = mx_t
+            _rlog.debug("repair: target=%d -> txp=%d read-side=%d",
+                        target, mx_t, mf)
+            if mf > target:
+                break
+            target -= LANES
+        rect_maxflow = mf
 
     # ---- tiny T-space tile permutes
     t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
@@ -582,6 +758,7 @@ def _v4_layout(
         "t_space": t_space,
         "num_reads": R,
         "num_txps": T,
+        "rect_maxflow": rect_maxflow,
         "dbg": {
             "perm_in": perm_in,
             "perm_out": perm_out,
@@ -594,6 +771,94 @@ def _v4_layout(
 
 
 _CR_CANDIDATES = (128, 256, 512)  # route chunk sizes (128-lane rows)
+
+
+def _try_rect_rebuild(txp_id, weights, boundaries, num_txps, lay):
+    """Rectangular-geometry rebuild. The square route geometry ties the
+    read and transcript chunk counts together; quota boundaries then
+    sit near or below the per-cell mean whenever chunks are packed full
+    (a full txp chunk's row carries CHR alignments -> row mean CHR/npd;
+    at the A=6M bench the big-transcript region pins exactly this and
+    repair stalls at ~165 vs the 128 boundary). Instead: keep the txp
+    side at its natural chunk count and DILUTE only the read side —
+    inflate the read buckets' rows_pad so reads spread over nR > nT
+    chunks. Both exchange-legality conditions (n*Q % 16384 == 0) are
+    per side, so n_src != n_dst is fine; with Q=128 the strided
+    transpose-free exchange applies. Smaller quota area AND smaller
+    gather networks; read chunk space exists only transiently in VMEM
+    (the one HBM cost is the lvl table and bootstrap multiplicities).
+    Returns the rebuilt lay (with lay['rect']) or None."""
+    import logging
+    import math
+
+    log2 = logging.getLogger("oarfish_tpu")
+    CR, _npad0, (npd, Q) = route_config(lay, lay["NPAD"])
+    CHR = CR * LANES
+    A = len(txp_id)
+    area0 = npd * npd * Q
+    n_ch_t = -(-lay["n_slots_t"] // CHR)
+    n_ch_r = -(-lay["n_slots_r"] // CHR)
+    best = None
+    for Qc in (LANES, 2 * LANES):
+        step = (LANES * LANES) // math.gcd(LANES * LANES, Qc)
+        nT = -(-n_ch_t // step) * step
+        # read chunks needed: 1.45x placement headroom over the mean
+        # cell AND full-txp-chunk rows (sum CHR) at <= 0.8*Q mean
+        need = max(
+            int(np.ceil(1.45 * A / (Qc * max(n_ch_t, 1)))),
+            int(np.ceil(CHR / (0.8 * Qc))),
+            n_ch_r + 1,
+        )
+        nR = -(-need // step) * step
+        R1 = nR * Qc // LANES
+        R3 = nT * Qc // LANES
+        if R1 % LANES or R3 % LANES or max(R1, R3) // LANES > 16:
+            continue
+        if nR * CHR > 3 * lay["n_slots_r"]:
+            continue  # read-space inflation cap
+        area = nT * nR * Qc
+        if best is None or area < best[0]:
+            best = (area, Qc, nT, nR)
+    if best is None:
+        return None
+    area, Qc, nT, nR = best
+    if area > 0.85 * area0:
+        return None
+
+    def inflate(shapes, budget, cur_total):
+        # 0.97: rows_pad rounding + group-alignment gaps must not push
+        # the read slot space past nR*CHR
+        f = 0.97 * budget / max(cur_total, 1)
+        if f <= 1.0:
+            return None
+        return tuple(
+            (K, int(np.ceil(rp * f / LANES)) * LANES)
+            for rp, K in shapes
+        )
+
+    read_b = inflate(lay["read_shapes"], nR * CHR, lay["n_slots_r"])
+    if read_b is None:
+        return None
+    env = {
+        "read_buckets": read_b,
+        "small_buckets": tuple(
+            (K, rp) for rp, K in lay["small_shapes"]
+        ),
+        "big_rows_pad": lay["big_rows_pad"],
+        "n_big": lay["n_big"],
+        "t_rows": lay["t_space"] // LANES,
+    }
+    lay2 = _v4_layout(txp_id, weights, boundaries, num_txps, env,
+                      rect_hint=(CR, nT, nR, Qc))
+    mf2 = lay2.get("rect_maxflow")
+    log2.debug("rect: CR=%d nT=%d nR=%d Q=%d achieved=%s area %d->%d",
+               CR, nT, nR, Qc, mf2, area0, area)
+    if mf2 is None or mf2 > Qc:
+        return None
+    if lay2["n_slots_t"] > nT * CHR or lay2["n_slots_r"] > nR * CHR:
+        return None
+    lay2["rect"] = (CR, nT, nR, Qc)
+    return lay2
 
 
 def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
@@ -693,20 +958,36 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
     device state. The routes over the unified rounded space are partial
     injective maps: uncovered outputs — the bucket pads — come out
     ZERO, which is exactly the invariant both row-sum stages need."""
-    if geometry is None:
-        CR, NPAD, geo = route_config(lay, lay["NPAD"])
+    if geometry is None and "rect" in lay:
+        # rectangular geometry from _try_rect_rebuild: txp side at its
+        # natural chunk count, read side diluted to n_dst chunks
+        CR, n_src, n_dst, Q = lay["rect"]
+        CHR = CR * LANES
+        p_a = GlobalRoute(
+            lay["slot_of_aln"], lay["txp_slot_of_aln"], n_src * CHR,
+            n_pad_out=n_dst * CHR,
+            force_geometry=(n_src, n_dst, Q), chunk_rows=CR,
+        ).plan
+        p_b = GlobalRoute(
+            lay["txp_slot_of_aln"], lay["slot_of_aln"], n_dst * CHR,
+            n_pad_out=n_src * CHR,
+            force_geometry=(n_dst, n_src, Q), chunk_rows=CR,
+        ).plan
     else:
-        CR, NPAD, geo = geometry
-    p_a = GlobalRoute(
-        lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
-        force_geometry=geo, chunk_rows=CR,
-    ).plan
-    p_b = GlobalRoute(
-        lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
-        force_geometry=geo, chunk_rows=CR,
-    ).plan
+        if geometry is None:
+            CR, NPAD, geo = route_config(lay, lay["NPAD"])
+        else:
+            CR, NPAD, geo = geometry
+        p_a = GlobalRoute(
+            lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
+            force_geometry=geo, chunk_rows=CR,
+        ).plan
+        p_b = GlobalRoute(
+            lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
+            force_geometry=geo, chunk_rows=CR,
+        ).plan
     seg_id = _read_lvl_ids(
-        lay["read_shapes"], lay["read_starts"], p_a.n_src, CR
+        lay["read_shapes"], lay["read_starts"], p_a.n_dst, CR
     )
     # weights stored at the route's padded length so the fused-mul
     # expand kernel takes them without a pad copy per iteration
@@ -784,7 +1065,10 @@ def _row_broadcast(values, shapes, xp=jnp, total=None, starts=None):
 def _m_step_v4(data: EmV4Data, prev, multiplicity):
     T = data.num_txps
     dt = prev.dtype
+    # src (transcript-layout) and dst (read-layout) padded spaces — they
+    # differ under rectangular route geometry (read side diluted)
     npad = data.p_a.n_src * data.p_a.chunk_rows * LANES
+    npad_r = data.p_a.n_dst * data.p_a.chunk_rows * LANES
     # 1. deliver prev to transcript rows (tiny static tile permute)
     ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
     pr = data.t_in(ext)
@@ -830,7 +1114,7 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
         mult_slots = None
         if multiplicity is not None:
             mult_slots = _row_broadcast(
-                multiplicity.astype(dt), data.read_shapes, total=npad,
+                multiplicity.astype(dt), data.read_shapes, total=npad_r,
                 starts=data.read_starts,
             ).reshape(-1, LANES)
         max_lvl = max(
@@ -869,7 +1153,8 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
         scale = jnp.where(denom > EM_DENOM_THRESH, 1.0 / denom, 0.0)
         if multiplicity is not None:
             scale = scale * multiplicity.astype(dt)
-        scale_slots = _row_broadcast(scale, data.read_shapes, total=npad,
+        scale_slots = _row_broadcast(scale, data.read_shapes,
+                                     total=npad_r,
                                      starts=data.read_starts)
         if fuse:
             inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)

@@ -494,12 +494,15 @@ class GlobalPermute:
 
 
 def route_maxflow(out_idx: np.ndarray, in_idx: np.ndarray,
-                  n_pad: int, chunk: int = CH) -> int:
+                  n_pad: int, chunk: int = CH,
+                  n_pad_out: Optional[int] = None) -> int:
     """Max per-(src,dst)-chunk flow of the partial map — the quota Q a
     GlobalRoute needs. Exposed so shard-uniform plans can take the max
-    over shards before forcing a common geometry."""
-    n_ch = n_pad // chunk
-    flows = np.zeros((n_ch, n_ch), dtype=np.int64)
+    over shards before forcing a common geometry. `n_pad_out` sizes the
+    dst space when it differs from the src space (rectangular routes)."""
+    n_src = n_pad // chunk
+    n_dst = (n_pad if n_pad_out is None else n_pad_out) // chunk
+    flows = np.zeros((n_src, n_dst), dtype=np.int64)
     np.add.at(
         flows,
         (np.asarray(in_idx) // chunk, np.asarray(out_idx) // chunk),
@@ -1045,27 +1048,44 @@ class GlobalRoute:
 
     def __init__(self, out_idx: np.ndarray, in_idx: np.ndarray, n_pad: int,
                  n_out: Optional[int] = None,
-                 force_geometry: Optional[Tuple[int, int]] = None,
-                 chunk_rows: int = LANES):
+                 force_geometry: Optional[Tuple[int, ...]] = None,
+                 chunk_rows: int = LANES,
+                 n_pad_out: Optional[int] = None):
         out_idx = np.asarray(out_idx, dtype=np.int64)
         in_idx = np.asarray(in_idx, dtype=np.int64)
         CR = int(chunk_rows)
         assert CR % LANES == 0
         CHR = CR * LANES  # elements per chunk
         assert n_pad % CHR == 0, (n_pad, CHR)
+        if n_pad_out is None:
+            n_pad_out = n_pad
+        assert n_pad_out % CHR == 0, (n_pad_out, CHR)
         n_ch = n_pad // CHR
+        n_ch_out = n_pad_out // CHR
         d_of = out_idx // CHR
         s_of = in_idx // CHR
-        maxflow = route_maxflow(out_idx, in_idx, n_pad, chunk=CHR)
+        maxflow = route_maxflow(out_idx, in_idx, n_pad, chunk=CHR,
+                                n_pad_out=n_pad_out)
         if force_geometry is not None:
             # shared geometry across shard-uniform plans (sharded v4):
-            # every shard's routing arrays must have identical shapes
-            npd, Q = force_geometry
-            assert npd >= n_ch and Q >= maxflow, (npd, Q, n_ch, maxflow)
-            assert npd * Q % (LANES * LANES) == 0
+            # every shard's routing arrays must have identical shapes.
+            # (npd, Q) for square plans; (n_src, n_dst, Q) rectangular.
+            if len(force_geometry) == 2:
+                npd, Q = force_geometry
+                n_src = n_dst = npd
+            else:
+                n_src, n_dst, Q = force_geometry
+            assert n_src >= n_ch and n_dst >= n_ch_out and Q >= maxflow, (
+                n_src, n_dst, Q, n_ch, n_ch_out, maxflow
+            )
+            assert n_src * Q % (LANES * LANES) == 0
+            assert n_dst * Q % (LANES * LANES) == 0
         else:
+            assert n_pad_out == n_pad, (
+                "rectangular routes require force_geometry"
+            )
             npd, Q = select_route_geometry(n_ch, maxflow)
-        n_src = n_dst = npd
+            n_src = n_dst = npd
         R1 = n_dst * Q // LANES  # stage-1 quota rows per chunk
         R3 = n_src * Q // LANES
         assert R1 % LANES == 0 and R3 % LANES == 0
@@ -1075,7 +1095,7 @@ class GlobalRoute:
                 f"(Q={Q}, n_chunks={n_src}); use a plain gather instead"
             )
         self.n_in = n_pad
-        self.n_out = n_out if n_out is not None else n_pad
+        self.n_out = n_out if n_out is not None else n_pad_out
         self.n_src, self.n_dst, self.Q = n_src, n_dst, Q
         self.R1, self.R3 = R1, R3
         self.chunk_rows = CR
