@@ -383,3 +383,76 @@ def test_v4_strided_exchange_matches_transpose(monkeypatch):
         monkeypatch.delenv("OARFISH_V4_NO_MIDDLE", raising=False)
         np.testing.assert_array_equal(strided, transposed)
         np.testing.assert_allclose(strided, plain, rtol=2e-5, atol=1e-6)
+
+
+def test_global_route_rect_device():
+    """Rectangular GlobalRoute (n_pad_out != n_pad): out[out_idx] =
+    x[in_idx] with a dst space larger than the src space, forced
+    geometry, on the real kernel path."""
+    from oarfish_tpu.ops.static_permute import GlobalRoute, route_maxflow
+
+    rng = np.random.default_rng(15)
+    n_in, n_out = 16 * CH, 48 * CH
+    n_data = int(n_in * 0.7)
+    out_idx = np.sort(rng.choice(n_out, size=n_data, replace=False))
+    in_idx = rng.permutation(n_in)[:n_data]
+    mf = route_maxflow(out_idx, in_idx, n_in, chunk=CH, n_pad_out=n_out)
+    # per-side legality: n*Q % LANES^2 == 0 for both 16 and 48 chunks
+    step = LANES * LANES // np.gcd(LANES * LANES, 16)
+    Q = int(-(-mf // step) * step)
+    gr = GlobalRoute(out_idx, in_idx, n_in, n_pad_out=n_out,
+                     force_geometry=(16, 48, Q))
+    assert (gr.plan.n_src, gr.plan.n_dst) == (16, 48)
+    x = rng.normal(size=n_in).astype(np.float32)
+    got = np.asarray(gr.plan(jnp.asarray(x)))
+    want = np.zeros(n_out, np.float32)
+    want[out_idx] = x[in_idx]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_v4_rect_geometry_em_vs_oracle():
+    """The v4 EM under a FORCED rectangular route geometry (read space
+    padded to more chunks than the transcript space) against the NumPy
+    oracle — exercises the npad_r != npad m-step path end-to-end. The
+    organic trigger (`_try_rect_rebuild`) needs multi-million-alignment
+    shapes; here the geometry is forced onto a small layout."""
+    import os
+
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_oracle import do_em_oracle
+    from oarfish_tpu.ops.em_v4 import (
+        EmV4Data, _v4_finish, _v4_layout, make_runner,
+    )
+    from oarfish_tpu.ops.static_permute import route_maxflow
+
+    rng = np.random.default_rng(16)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=30_000, T=2_000, max_k=4
+    )
+    os.environ["OARFISH_NO_REPAIR"] = "1"
+    try:
+        lay = _v4_layout(txp_id, w, boundaries, T)
+    finally:
+        os.environ.pop("OARFISH_NO_REPAIR", None)
+    CR = 128
+    CHR = CR * LANES
+    n_src = -(-lay["n_slots_t"] // CHR)
+    n_dst = 2 * -(-lay["n_slots_r"] // CHR) + 1  # rect + odd on purpose
+    mf = route_maxflow(lay["slot_of_aln"], lay["txp_slot_of_aln"],
+                       n_src * CHR, chunk=CHR, n_pad_out=n_dst * CHR)
+    qs = LANES * LANES // np.gcd(LANES * LANES, np.gcd(n_src, n_dst))
+    Q = int(-(-mf // qs) * qs)
+    lay["rect"] = (CR, n_src, n_dst, Q)
+    data = _v4_finish(lay)
+    assert data.p_a.n_src == n_src and data.p_a.n_dst == n_dst
+    assert n_src != n_dst
+    runner = make_runner(data)
+    init = jnp.full(T, R / T, dtype=jnp.float32)
+    counts, niter = runner(init, 60, 5e-3)
+    want = do_em_oracle(txp_id, w, boundaries, T, max_iter=60,
+                        convergence_thresh=5e-3)
+    got = np.asarray(counts, dtype=np.float64)
+    assert abs(got.sum() - R) / R < 1e-4
+    l1 = np.abs(got - want).sum() / R
+    assert l1 < 2e-3, f"L1/read {l1}"
