@@ -246,10 +246,15 @@ class EmV4Data:
         import os as _os
 
         lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope)
+        # rect rebuild is OPT-IN: the same-process A/B at the bench
+        # shape (scripts/rect_ab_bench.py, 2026-08-17) has the square
+        # Q=256 strided exchange at 1.76 ms/iter vs rect 256x384 Q=128
+        # at 1.99 — the halved quota does not pay for the 1.5x larger
+        # read space the row-sum/expand stages must traverse.
         if (
             envelope is None
             and geometry is None
-            and _os.environ.get("OARFISH_NO_RECT") != "1"
+            and _os.environ.get("OARFISH_RECT") == "1"
         ):
             lay2 = _try_rect_rebuild(
                 txp_id, weights, boundaries, num_txps, lay
@@ -624,77 +629,87 @@ def _v4_layout(
         _rlog.debug("repair: CR=%d nT=%d nR=%d maxflow=%d mean=%.0f",
                     CRsel, nT, nR, mf, A / (nT * nR))
 
+        # only a crossed 128 boundary changes the rounded quota; local
+        # search moves the max by a few units per round, so bail when
+        # the gap is beyond striking distance (saves ~2/3 of the layout
+        # build at the 6M-alignment bench shape, where mf=188 vs 128)
+        gap = mf - ((mf - 1) // LANES) * LANES
+        skip_repair = rect_hint is None and gap > 40
+        if skip_repair:
+            _rlog.debug("repair: gap %d to the next boundary, skipping",
+                        gap)
         # re-run the greedy at the SELECTED granularity (the 16K-grain
         # passes above optimize finer cells; the quota is the max over
         # the CHOSEN CR's cells), then local-search repair toward each
         # successive 128 boundary
-        rw_t, rw_r = row_within_t, row_within_r
-        row_r2, _, _ = _balance.greedy_place(
-            off_r,
-            (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(np.int32),
-            ib_r, buckets_r, nR, nT, order_r,
-            np.ascontiguousarray(_big_F().T), chunk=CHR_sel,
-        )
-        row_within_r = row_r2
-        _apply_reads(row_within_r)
-        if len(items_t):
-            F3s = _big_F()
-            src_t = (slot_of_aln[aln_t] // CHR_sel).astype(np.int32)
-            row_t2, mx_t, _ = _balance.greedy_place(
-                off_t, src_t, ib_t, buckets_t, nT, nR, order_t,
-                F3s, chunk=CHR_sel,
+        if not skip_repair:
+            rw_t, rw_r = row_within_t, row_within_r
+            row_r2, _, _ = _balance.greedy_place(
+                off_r,
+                (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(np.int32),
+                ib_r, buckets_r, nR, nT, order_r,
+                np.ascontiguousarray(_big_F().T), chunk=CHR_sel,
             )
-            row_within_t = row_t2
-            row_of_small_txp, small_txp_row_pos = _apply_small(
-                row_within_t
-            )
-        mf2 = int(_flows().max())
-        _rlog.debug("repair: re-greedy at CR -> maxflow=%d", mf2)
-        if mf2 > mf:
-            # coarse-grain re-placement lost: restore the 16K placement
-            row_within_t, row_within_r = rw_t, rw_r
-            row_of_small_txp, small_txp_row_pos = _apply_small(
-                row_within_t
-            )
+            row_within_r = row_r2
             _apply_reads(row_within_r)
-            mf2 = mf
-        mf = mf2
-        if Q_target is not None:
-            target = Q_target
-        else:
-            target = ((mf - 1) // LANES) * LANES
-        while target >= LANES:
-            Ff = _flows()
-            row_t2, mx_t, Ff = _balance.repair_place(
-                off_t, (slot_of_aln[aln_t] // CHR_sel).astype(np.int32),
-                ib_t, buckets_t, nT, nR, row_within_t, Ff,
-                target, CHR_sel, max_rounds=8,
-            )
-            row_within_t = row_t2
-            row_of_small_txp, small_txp_row_pos = _apply_small(
-                row_within_t
-            )
-            if mx_t > target:
-                F2 = np.ascontiguousarray(Ff.T)
-                row_r2, mx_r, _ = _balance.repair_place(
-                    off_r,
-                    (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(
-                        np.int32
-                    ),
-                    ib_r, buckets_r, nR, nT, row_within_r, F2,
+            if len(items_t):
+                F3s = _big_F()
+                src_t = (slot_of_aln[aln_t] // CHR_sel).astype(np.int32)
+                row_t2, mx_t, _ = _balance.greedy_place(
+                    off_t, src_t, ib_t, buckets_t, nT, nR, order_t,
+                    F3s, chunk=CHR_sel,
+                )
+                row_within_t = row_t2
+                row_of_small_txp, small_txp_row_pos = _apply_small(
+                    row_within_t
+                )
+            mf2 = int(_flows().max())
+            _rlog.debug("repair: re-greedy at CR -> maxflow=%d", mf2)
+            if mf2 > mf:
+                # coarse-grain re-placement lost: restore the 16K placement
+                row_within_t, row_within_r = rw_t, rw_r
+                row_of_small_txp, small_txp_row_pos = _apply_small(
+                    row_within_t
+                )
+                _apply_reads(row_within_r)
+                mf2 = mf
+            mf = mf2
+            if Q_target is not None:
+                target = Q_target
+            else:
+                target = ((mf - 1) // LANES) * LANES
+            while target >= LANES:
+                Ff = _flows()
+                row_t2, mx_t, Ff = _balance.repair_place(
+                    off_t, (slot_of_aln[aln_t] // CHR_sel).astype(np.int32),
+                    ib_t, buckets_t, nT, nR, row_within_t, Ff,
                     target, CHR_sel, max_rounds=8,
                 )
-                row_within_r = row_r2
-                _apply_reads(row_within_r)
-                mf = mx_r
-            else:
-                mf = mx_t
-            _rlog.debug("repair: target=%d -> txp=%d read-side=%d",
-                        target, mx_t, mf)
-            if mf > target:
-                break
-            target -= LANES
-        rect_maxflow = mf
+                row_within_t = row_t2
+                row_of_small_txp, small_txp_row_pos = _apply_small(
+                    row_within_t
+                )
+                if mx_t > target:
+                    F2 = np.ascontiguousarray(Ff.T)
+                    row_r2, mx_r, _ = _balance.repair_place(
+                        off_r,
+                        (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(
+                            np.int32
+                        ),
+                        ib_r, buckets_r, nR, nT, row_within_r, F2,
+                        target, CHR_sel, max_rounds=8,
+                    )
+                    row_within_r = row_r2
+                    _apply_reads(row_within_r)
+                    mf = mx_r
+                else:
+                    mf = mx_t
+                _rlog.debug("repair: target=%d -> txp=%d read-side=%d",
+                            target, mx_t, mf)
+                if mf > target:
+                    break
+                target -= LANES
+            rect_maxflow = mf
 
     # ---- tiny T-space tile permutes
     t_rows = _tile_rows(max(T, row_space_s + n_big, 1))

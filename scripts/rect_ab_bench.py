@@ -1,5 +1,5 @@
 """Same-process A/B at the bench shape: square Q=256 strided geometry
-(OARFISH_NO_RECT=1) vs the rectangular rebuild (txp 256 x read 384
+(the default) vs the rectangular rebuild (OARFISH_RECT=1) (txp 256 x read 384
 chunks, Q=128). Each variant builds its own EmV4Data; fns compiled once
 under the variant's env, timed interleaved."""
 
@@ -21,8 +21,8 @@ from oarfish_tpu.ops.em_v4 import EmV4Data, _m_step_v4
 N1, N2 = 20, 120
 
 VARIANTS = [
-    ("A square Q256 strided", {"OARFISH_NO_RECT": "1"}),
-    ("B rect 256x384 Q128", {}),
+    ("A square Q256 strided", {}),
+    ("B rect 256x384 Q128", {"OARFISH_RECT": "1"}),
 ]
 
 
@@ -43,7 +43,7 @@ def main():
     init = jnp.full(T, 10.0, dtype=jnp.float32)
     built = []
     for label, env in VARIANTS:
-        os.environ.pop("OARFISH_NO_RECT", None)
+        os.environ.pop("OARFISH_RECT", None)
         os.environ.update(env)
         t0 = time.perf_counter()
         data, _ = EmV4Data.build(txp_id, w, boundaries, T)
