@@ -29,16 +29,16 @@ def test_sharded_v4_vs_oracle(num_shards):
 
     rng = np.random.default_rng(21)
     txp_id, w, boundaries, read_id, R, T = _skewed_csr(
-        rng, R=100_000, T=2_000, max_k=4
+        rng, R=50_000, T=2_000, max_k=4
     )
     init = np.full(T, R / T)
     counts, niter = sharded_v4_em(
         txp_id, w, boundaries, T, init,
-        max_iter=40, convergence_thresh=5e-3,
+        max_iter=12, convergence_thresh=5e-3,
         dtype=jnp.float64, num_shards=num_shards,
     )
     want = do_em_oracle(
-        txp_id, w, boundaries, T, max_iter=40, convergence_thresh=5e-3
+        txp_id, w, boundaries, T, max_iter=12, convergence_thresh=5e-3
     )
     assert abs(counts.sum() - want.sum()) < 1e-6 * R
     # f64 exact semantics; only summation ORDER differs (per-shard row
@@ -90,7 +90,7 @@ def test_sharded_v4_bootstrap_batch_matches_single():
 
     sh, mesh = build_sharded_v4(txp_id, w, boundaries, T, num_shards=4)
     breps = sharded_v4_bootstrap(
-        sh, mesh, init, mult, max_iter=20, convergence_thresh=5e-3,
+        sh, mesh, init, mult, max_iter=8, convergence_thresh=5e-3,
         dtype=jnp.float64, batch=2,  # exercises the padded last batch
     )
     assert breps.shape == (B, T)
@@ -99,7 +99,7 @@ def test_sharded_v4_bootstrap_batch_matches_single():
     runner = make_runner(data)
     for b in range(B):
         counts_1, _ = runner(
-            jnp.asarray(init, dtype=jnp.float64), 20, 5e-3,
+            jnp.asarray(init, dtype=jnp.float64), 8, 5e-3,
             multiplicity=jnp.asarray(mult[b][order], dtype=jnp.float64),
         )
         np.testing.assert_allclose(
@@ -122,14 +122,14 @@ def test_sharded_v4_multiplicity_matches_single():
 
     counts_sh, niter_sh = sharded_v4_em(
         txp_id, w, boundaries, T, init,
-        max_iter=25, convergence_thresh=5e-3,
+        max_iter=10, convergence_thresh=5e-3,
         dtype=jnp.float64, num_shards=4, multiplicity=mult,
     )
 
     data, order = EmV4Data.build(txp_id, w, boundaries, T)
     runner = make_runner(data)
     counts_1, niter_1 = runner(
-        jnp.asarray(init, dtype=jnp.float64), 25, 5e-3,
+        jnp.asarray(init, dtype=jnp.float64), 10, 5e-3,
         multiplicity=jnp.asarray(mult[order], dtype=jnp.float64),
     )
     np.testing.assert_allclose(
