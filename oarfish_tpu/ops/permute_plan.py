@@ -91,19 +91,35 @@ def _get_color_lib():
 
     csrc = Path(__file__).resolve().parent.parent.parent / "csrc"
     so = csrc / "liboarfish_color.so"
-    if not so.exists():
+
+    def build() -> bool:
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 str(csrc / "euler_color.cpp"), "-o", str(so)],
+                 str(csrc / "euler_color.cpp"), "-o", str(so),
+                 "-pthread"],
                 check=True, capture_output=True, timeout=120,
             )
+            return True
         except Exception:  # noqa: BLE001
-            return None
+            return False
+
+    if not so.exists() and not build():
+        return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
+    if not hasattr(lib, "oarfish_edge_color_batch"):
+        # stale library from before the batched entry point: rebuild
+        del lib
+        so.unlink(missing_ok=True)
+        if not build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
     lib.oarfish_edge_color.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
@@ -113,6 +129,17 @@ def _get_color_lib():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.oarfish_edge_color_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.oarfish_edge_color_batch.restype = ctypes.c_int64
     _color_lib = lib
     return lib
 
@@ -154,6 +181,67 @@ def edge_color_bipartite(
         stack.append((lo, c // 2))
         stack.append((hi, c // 2))
     return color
+
+
+def edge_color_batch(
+    src: np.ndarray,
+    dst: np.ndarray,
+    offsets: np.ndarray,
+    n_nodes: int,
+    colors: int,
+    threads: int = 0,
+) -> np.ndarray:
+    """Color many independent irregular bipartite multigraphs: graph g's
+    DATA edges are `src/dst[offsets[g]:offsets[g+1]]` over `n_nodes`
+    nodes per side with max degree <= colors; each graph is padded to
+    `colors`-regular internally (Konig) and the graphs run in parallel
+    (C++ thread pool). Returns per-edge colors (int32); empty graphs
+    contribute nothing. This is the GlobalRoute layout-build hot path."""
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.zeros(len(src), dtype=np.int32)
+    n_graphs = len(offsets) - 1
+    if n_graphs <= 0 or len(src) == 0:
+        return out
+    lib = _get_color_lib()
+    s32 = np.ascontiguousarray(src, dtype=np.int32)
+    d32 = np.ascontiguousarray(dst, dtype=np.int32)
+    if lib is not None:
+        import ctypes
+
+        rc = lib.oarfish_edge_color_batch(
+            s32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            d32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_graphs,
+            int(n_nodes),
+            int(colors),
+            int(threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise ValueError(
+                f"edge_color_batch: graph {rc - 1} violates the "
+                f"degree<={colors} / node-id<{n_nodes} contract"
+            )
+        return out
+    # pure-python fallback: regularize + color per graph
+    res = np.zeros(len(src), dtype=np.int32)
+    for g in range(n_graphs):
+        lo, hi = int(offsets[g]), int(offsets[g + 1])
+        if hi <= lo:
+            continue
+        sg, dg = s32[lo:hi], d32[lo:hi]
+        deg_l = np.bincount(sg, minlength=n_nodes)
+        deg_r = np.bincount(dg, minlength=n_nodes)
+        extra_l = np.repeat(np.arange(n_nodes), colors - deg_l)
+        extra_r = np.repeat(np.arange(n_nodes), colors - deg_r)
+        col = edge_color_bipartite(
+            np.concatenate([sg, extra_l]),
+            np.concatenate([dg, extra_r]),
+            colors,
+        )
+        res[lo:hi] = col[: hi - lo]
+    return res
 
 
 @dataclass(frozen=True)

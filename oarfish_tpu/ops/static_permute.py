@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .permute_plan import LANES, TilePermutePlan, edge_color_bipartite
+from .permute_plan import (
+    LANES,
+    TilePermutePlan,
+    edge_color_batch,
+    edge_color_bipartite,
+)
 
 
 @dataclass(frozen=True)
@@ -541,21 +546,6 @@ def select_route_geometry(n_ch: int, maxflow: int,
     return npd, Q
 
 
-def _color_channels(src_row, dst_row, n_left, n_right):
-    """Proper 128-edge-coloring of an irregular bipartite multigraph by
-    padding it to 128-regular with dummy edges."""
-    n = max(int(n_left), int(n_right))
-    degL = np.bincount(src_row, minlength=n)
-    degR = np.bincount(dst_row, minlength=n)
-    extraL = np.repeat(np.arange(n), LANES - degL)
-    extraR = np.repeat(np.arange(n), LANES - degR)
-    assert len(extraL) == len(extraR)
-    src_all = np.concatenate([src_row, extraL])
-    dst_all = np.concatenate([dst_row, extraR])
-    color = edge_color_bipartite(src_all, dst_all, LANES)
-    return color[: len(src_row)]
-
-
 def _chunks_per_program(n_chunks: int, bytes_per_chunk: int,
                         budget: int = 4 << 20, cap: int = 8) -> int:
     """Batch several chunks into one grid program to amortize per-program
@@ -1008,30 +998,6 @@ class GlobalRoutePlan:
         return self.reduce(self.expand(x, mul), sliced=sliced)
 
 
-def _build_stage_tables(in_row, in_lane, out_row, out_lane, R_in, R_out,
-                        need_mask):
-    """Static routing tables of one gather-network stage for one chunk:
-    elements enter at (in_row, in_lane) of the [R_in,128] input tile and
-    leave at (out_row, out_lane) of the [R_out,128] output tile. Channel
-    assignment = proper 128-edge-coloring of the (in_row, out_row)
-    bipartite multigraph (Konig: max degree 128 on both sides)."""
-    H_out = R_out // LANES
-    c = _color_channels(in_row, out_row, R_in, R_out)
-    r1 = np.zeros((R_in, LANES), dtype=np.int8)
-    src = np.zeros((H_out, LANES, LANES), dtype=np.int8)
-    row = np.zeros((H_out, LANES, LANES), dtype=np.int8)
-    r2 = np.zeros((R_out, LANES), dtype=np.int8)
-    r1[in_row, c] = in_lane
-    src[out_row // LANES, c, out_row % LANES] = in_row // LANES
-    row[out_row // LANES, c, out_row % LANES] = in_row % LANES
-    r2[out_row, out_lane] = c
-    if not need_mask:
-        return r1, src, row, r2, None
-    mask = np.zeros((R_out, LANES), dtype=np.int8)
-    mask[out_row, out_lane] = 1
-    return r1, src, row, r2, mask
-
-
 class GlobalRoute:
     """out[out_idx[k]] = x[in_idx[k]] for a static partial injective map
     over [0, n_pad); all other outputs are ZERO. No pad routing, no
@@ -1100,9 +1066,10 @@ class GlobalRoute:
         self.R1, self.R3 = R1, R3
         self.chunk_rows = CR
 
-        # rank within each (s,d) flow
+        # rank within each (s,d) flow (stable argsort on the combined
+        # key == lexsort by (s_of, d_of, position), ~3x cheaper)
         E = len(out_idx)
-        order = np.lexsort((np.arange(E), d_of, s_of))
+        order = np.argsort(s_of * n_dst + d_of, kind="stable")
         sd = s_of[order] * n_dst + d_of[order]
         starts = np.concatenate([[0], np.nonzero(np.diff(sd))[0] + 1])
         gid = np.zeros(E, dtype=np.int64)
@@ -1131,43 +1098,47 @@ class GlobalRoute:
         s3_r2 = np.zeros((n_dst, CR, LANES), dtype=np.int8)
         s3_mask = np.zeros((n_dst, CR, LANES), dtype=np.int8)
 
-        so = np.argsort(s_of, kind="stable")
-        sb = np.searchsorted(s_of[so], np.arange(n_src + 1))
-        for s in range(n_src):
-            sel = so[sb[s] : sb[s + 1]]
-            if len(sel) == 0:
-                continue
-            r1, src, row, r2, _ = _build_stage_tables(
-                (in_idx[sel] % CHR) // LANES,
-                in_idx[sel] % LANES,
-                q_slot[sel] // LANES,
-                q_slot[sel] % LANES,
-                CR, R1, need_mask=False,
-            )
-            s1_r1[s] = r1
-            if H_in_gt1:
-                s1_src[s] = src
-            s1_row[s] = row
-            s1_r2[s] = r2
+        # Batched channel coloring (one C++ thread-pool call per stage)
+        # + flat-index table scatters: one advanced-index assignment per
+        # table on the raveled array (the 4-D index form materializes
+        # several 6M-element int64 temporaries per scatter). `order` is
+        # already grouped by src chunk, so it is the stage-1 batch order.
+        # All flat indices fit int32 (tables are < 2^31 elements).
+        H1 = R1 // LANES
+        sb = np.searchsorted(s_of[order], np.arange(n_src + 1))
+        cid = s_of[order].astype(np.int32)
+        io = in_idx[order].astype(np.int32)
+        in_row = (io % CHR) // LANES
+        qo = q_slot[order].astype(np.int32)
+        q_row = qo // LANES
+        q_rm = q_row % LANES
+        c1 = edge_color_batch(in_row, q_row, sb, max(CR, R1), LANES)
+        s1_r1.reshape(-1)[(cid * CR + in_row) * LANES + c1] = io % LANES
+        mid1 = ((cid * H1 + q_row // LANES) * LANES + c1) * LANES + q_rm
+        if H_in_gt1:
+            s1_src.reshape(-1)[mid1] = in_row // LANES
+        s1_row.reshape(-1)[mid1] = in_row % LANES
+        s1_r2.reshape(-1)[(cid * R1 + q_row) * LANES + qo % LANES] = c1
 
+        H3 = CR // LANES
         do = np.argsort(d_of, kind="stable")
         db = np.searchsorted(d_of[do], np.arange(n_dst + 1))
-        for d in range(n_dst):
-            sel = do[db[d] : db[d + 1]]
-            if len(sel) == 0:
-                continue
-            r1, src, row, r2, mask = _build_stage_tables(
-                q3_slot[sel] // LANES,
-                q3_slot[sel] % LANES,
-                (out_idx[sel] % CHR) // LANES,
-                out_idx[sel] % LANES,
-                R3, CR, need_mask=True,
-            )
-            s3_r1[d] = r1
-            s3_src[d] = src
-            s3_row[d] = row
-            s3_r2[d] = r2
-            s3_mask[d] = mask
+        did = d_of[do].astype(np.int32)
+        q3o = q3_slot[do].astype(np.int32)
+        q3_row = q3o // LANES
+        oo = out_idx[do].astype(np.int32)
+        o_row = (oo % CHR) // LANES
+        o_flat = (did * CR + o_row) * LANES + oo % LANES
+        c3 = edge_color_batch(q3_row, o_row, db, max(R3, CR), LANES)
+        s3_r1.reshape(-1)[(did * R3 + q3_row) * LANES + c3] = q3o % LANES
+        mid3 = (
+            ((did * H3 + o_row // LANES) * LANES + c3) * LANES
+            + o_row % LANES
+        )
+        s3_src.reshape(-1)[mid3] = q3_row // LANES
+        s3_row.reshape(-1)[mid3] = q3_row % LANES
+        s3_r2.reshape(-1)[o_flat] = c3
+        s3_mask.reshape(-1)[o_flat] = 1
 
         self.plan = GlobalRoutePlan(
             s1_r1=jnp.asarray(s1_r1),
