@@ -208,4 +208,160 @@ int64_t oarfish_edge_color_batch(const int32_t* src, const int32_t* dst,
   return bad.load();
 }
 
+// Full GlobalRoute table build (see oarfish_tpu/ops/static_permute.py
+// GlobalRoute.__init__ for the geometry contract). Given the static
+// partial injective map out_idx[k] <- in_idx[k] over chunked tiles of
+// CR*128 elements, computes per-edge (src chunk, dst chunk, rank within
+// flow) by stable counting sort, 128-edge-colors each chunk's channel
+// graph (stage 1: in_row -> quota row; stage 3: quota row -> out_row),
+// and scatters the nine int8 routing tables. Tables must arrive
+// ZEROED; only data positions are written. Layouts (C-contiguous):
+//   s1_r1  [n_src, CR, 128]        s1_src/s1_row [n_src, R1/128, 128, 128]
+//   s1_r2  [n_src, R1, 128]        s3_r1 [n_dst, R3, 128]
+//   s3_src/s3_row [n_dst, CR/128, 128, 128]
+//   s3_r2/s3_mask [n_dst, CR, 128]
+// where R1 = n_dst*Q/128, R3 = n_src*Q/128. s1_src may be null when
+// CR == 128. Returns 0 on success; 1 = chunk id out of range, 2 = a
+// (src,dst) flow exceeds Q, 3 = coloring contract violation.
+int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
+                             int64_t E, int32_t CR, int32_t n_src,
+                             int32_t n_dst, int32_t Q, int32_t n_threads,
+                             int8_t* s1_r1, int8_t* s1_src, int8_t* s1_row,
+                             int8_t* s1_r2, int8_t* s3_r1, int8_t* s3_src,
+                             int8_t* s3_row, int8_t* s3_r2,
+                             int8_t* s3_mask) {
+  const int64_t L = 128;
+  const int64_t CHR = int64_t(CR) * L;
+  const int64_t R1 = int64_t(n_dst) * Q / L;
+  const int64_t R3 = int64_t(n_src) * Q / L;
+  const int64_t H1 = R1 / L;
+
+  std::vector<int32_t> s_of(E), d_of(E), rank(E);
+  for (int64_t i = 0; i < E; i++) {
+    int64_t s = in_idx[i] / CHR, d = out_idx[i] / CHR;
+    if (in_idx[i] < 0 || out_idx[i] < 0 || s >= n_src || d >= n_dst)
+      return 1;
+    s_of[i] = int32_t(s);
+    d_of[i] = int32_t(d);
+  }
+  {
+    std::vector<int32_t> run(size_t(n_src) * n_dst, 0);
+    for (int64_t i = 0; i < E; i++) {
+      int32_t r = run[size_t(s_of[i]) * n_dst + d_of[i]]++;
+      if (r >= Q) return 2;
+      rank[i] = r;
+    }
+  }
+  // group edges by src chunk / by dst chunk (original order within)
+  std::vector<int64_t> s_off(n_src + 1, 0), d_off(n_dst + 1, 0);
+  for (int64_t i = 0; i < E; i++) {
+    s_off[s_of[i] + 1]++;
+    d_off[d_of[i] + 1]++;
+  }
+  for (int32_t s = 0; s < n_src; s++) s_off[s + 1] += s_off[s];
+  for (int32_t d = 0; d < n_dst; d++) d_off[d + 1] += d_off[d];
+  std::vector<int64_t> s_ord(E), d_ord(E);
+  {
+    std::vector<int64_t> sp(s_off.begin(), s_off.end() - 1);
+    std::vector<int64_t> dp(d_off.begin(), d_off.end() - 1);
+    for (int64_t i = 0; i < E; i++) {
+      s_ord[sp[s_of[i]]++] = i;
+      d_ord[dp[d_of[i]]++] = i;
+    }
+  }
+
+  int nt = n_threads > 0 ? n_threads
+                         : int(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  int64_t n_tasks = int64_t(n_src) + n_dst;
+  if (nt > n_tasks) nt = int(n_tasks);
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> bad{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&] {
+      ColorCore core;
+      std::vector<int32_t> a_row, b_row, col;
+      int64_t task;
+      while ((task = next.fetch_add(1)) < n_tasks) {
+        if (bad.load(std::memory_order_relaxed)) return;
+        if (task < n_src) {
+          // stage 1, src chunk s: in_row -> quota row
+          int32_t s = int32_t(task);
+          int64_t lo = s_off[s], m = s_off[s + 1] - lo;
+          if (m == 0) continue;
+          a_row.resize(m);
+          b_row.resize(m);
+          col.resize(m);
+          for (int64_t j = 0; j < m; j++) {
+            int64_t i = s_ord[lo + j];
+            a_row[j] = int32_t((in_idx[i] % CHR) / L);
+            b_row[j] =
+                int32_t((int64_t(d_of[i]) * Q + rank[i]) / L);
+          }
+          int64_t n_nodes = CR > R1 ? CR : R1;
+          if (!core.color_padded(a_row.data(), b_row.data(), m, n_nodes,
+                                 int32_t(L), col.data())) {
+            int64_t expect = 0;
+            bad.compare_exchange_strong(expect, 3);
+            return;
+          }
+          for (int64_t j = 0; j < m; j++) {
+            int64_t i = s_ord[lo + j];
+            int64_t irow = a_row[j], ilane = in_idx[i] % L;
+            int64_t q = int64_t(d_of[i]) * Q + rank[i];
+            int64_t qrow = b_row[j], qlane = q % L;
+            int64_t c = col[j];
+            s1_r1[(int64_t(s) * CR + irow) * L + c] = int8_t(ilane);
+            int64_t mid =
+                ((int64_t(s) * H1 + qrow / L) * L + c) * L + qrow % L;
+            if (s1_src) s1_src[mid] = int8_t(irow / L);
+            s1_row[mid] = int8_t(irow % L);
+            s1_r2[(int64_t(s) * R1 + qrow) * L + qlane] = int8_t(c);
+          }
+        } else {
+          // stage 3, dst chunk d: quota row (post-exchange) -> out_row
+          int32_t d = int32_t(task - n_src);
+          int64_t lo = d_off[d], m = d_off[d + 1] - lo;
+          if (m == 0) continue;
+          a_row.resize(m);
+          b_row.resize(m);
+          col.resize(m);
+          for (int64_t j = 0; j < m; j++) {
+            int64_t i = d_ord[lo + j];
+            a_row[j] =
+                int32_t((int64_t(s_of[i]) * Q + rank[i]) / L);
+            b_row[j] = int32_t((out_idx[i] % CHR) / L);
+          }
+          int64_t n_nodes = CR > R3 ? CR : R3;
+          if (!core.color_padded(a_row.data(), b_row.data(), m, n_nodes,
+                                 int32_t(L), col.data())) {
+            int64_t expect = 0;
+            bad.compare_exchange_strong(expect, 3);
+            return;
+          }
+          const int64_t H3 = CR / L;
+          for (int64_t j = 0; j < m; j++) {
+            int64_t i = d_ord[lo + j];
+            int64_t q3 = int64_t(s_of[i]) * Q + rank[i];
+            int64_t q3row = a_row[j], q3lane = q3 % L;
+            int64_t orow = b_row[j], olane = out_idx[i] % L;
+            int64_t c = col[j];
+            s3_r1[(int64_t(d) * R3 + q3row) * L + c] = int8_t(q3lane);
+            int64_t mid =
+                ((int64_t(d) * H3 + orow / L) * L + c) * L + orow % L;
+            s3_src[mid] = int8_t(q3row / L);
+            s3_row[mid] = int8_t(q3row % L);
+            int64_t of = (int64_t(d) * CR + orow) * L + olane;
+            s3_r2[of] = int8_t(c);
+            s3_mask[of] = 1;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return bad.load();
+}
+
 }  // extern "C"

@@ -110,8 +110,8 @@ def _get_color_lib():
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
-    if not hasattr(lib, "oarfish_edge_color_batch"):
-        # stale library from before the batched entry point: rebuild
+    if not hasattr(lib, "oarfish_route_tables"):
+        # stale library from before the newest entry point: rebuild
         del lib
         so.unlink(missing_ok=True)
         if not build():
@@ -140,8 +140,56 @@ def _get_color_lib():
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.oarfish_edge_color_batch.restype = ctypes.c_int64
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.oarfish_route_tables.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),  # out_idx
+        ctypes.POINTER(ctypes.c_int64),  # in_idx
+        ctypes.c_int64,                  # E
+        ctypes.c_int32,                  # CR
+        ctypes.c_int32,                  # n_src
+        ctypes.c_int32,                  # n_dst
+        ctypes.c_int32,                  # Q
+        ctypes.c_int32,                  # n_threads
+        i8p, i8p, i8p, i8p,              # s1 tables (s1_src nullable)
+        i8p, i8p, i8p, i8p, i8p,         # s3 tables
+    ]
+    lib.oarfish_route_tables.restype = ctypes.c_int64
     _color_lib = lib
     return lib
+
+
+def route_tables_native(out_idx, in_idx, CR, n_src, n_dst, Q, tables):
+    """Fill GlobalRoute's nine int8 routing tables in one threaded C++
+    call (counting-sort flow ranks + per-chunk 128-edge-coloring + table
+    scatters); `tables` is the (s1_r1, s1_src|None, s1_row, s1_r2,
+    s3_r1, s3_src, s3_row, s3_r2, s3_mask) tuple of ZEROED C-contiguous
+    int8 arrays. Returns False when the native library is unavailable
+    (caller falls back to the NumPy path); raises on contract
+    violations (flow > Q / chunk id out of range)."""
+    lib = _get_color_lib()
+    if lib is None or not hasattr(lib, "oarfish_route_tables"):
+        return False
+    import ctypes
+
+    i8p = ctypes.POINTER(ctypes.c_int8)
+
+    def p8(a):
+        return None if a is None else a.ctypes.data_as(i8p)
+
+    oi = np.ascontiguousarray(out_idx, dtype=np.int64)
+    ii = np.ascontiguousarray(in_idx, dtype=np.int64)
+    rc = lib.oarfish_route_tables(
+        oi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ii.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(oi), int(CR), int(n_src), int(n_dst), int(Q), 0,
+        *[p8(t) for t in tables],
+    )
+    if rc != 0:
+        raise ValueError(
+            f"route_tables_native: contract violation (code {rc}): "
+            f"geometry n_src={n_src} n_dst={n_dst} Q={Q} CR={CR}"
+        )
+    return True
 
 
 def edge_color_bipartite(

@@ -30,6 +30,7 @@ from .permute_plan import (
     TilePermutePlan,
     edge_color_batch,
     edge_color_bipartite,
+    route_tables_native,
 )
 
 
@@ -1066,21 +1067,6 @@ class GlobalRoute:
         self.R1, self.R3 = R1, R3
         self.chunk_rows = CR
 
-        # rank within each (s,d) flow (stable argsort on the combined
-        # key == lexsort by (s_of, d_of, position), ~3x cheaper)
-        E = len(out_idx)
-        order = np.argsort(s_of * n_dst + d_of, kind="stable")
-        sd = s_of[order] * n_dst + d_of[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(sd))[0] + 1])
-        gid = np.zeros(E, dtype=np.int64)
-        gid[starts] = 1
-        gid = np.cumsum(gid) - 1
-        rank = np.zeros(E, dtype=np.int64)
-        rank[order] = np.arange(E) - starts[gid]
-
-        q_slot = d_of * Q + rank  # within src chunk quota space
-        q3_slot = s_of * Q + rank  # within dst chunk (post-transpose)
-
         H_in_gt1 = CR > LANES
         s1_r1 = np.zeros((n_src, CR, LANES), dtype=np.int8)
         s1_src = (
@@ -1098,47 +1084,79 @@ class GlobalRoute:
         s3_r2 = np.zeros((n_dst, CR, LANES), dtype=np.int8)
         s3_mask = np.zeros((n_dst, CR, LANES), dtype=np.int8)
 
-        # Batched channel coloring (one C++ thread-pool call per stage)
-        # + flat-index table scatters: one advanced-index assignment per
-        # table on the raveled array (the 4-D index form materializes
-        # several 6M-element int64 temporaries per scatter). `order` is
-        # already grouped by src chunk, so it is the stage-1 batch order.
-        # All flat indices fit int32 (tables are < 2^31 elements).
-        H1 = R1 // LANES
-        sb = np.searchsorted(s_of[order], np.arange(n_src + 1))
-        cid = s_of[order].astype(np.int32)
-        io = in_idx[order].astype(np.int32)
-        in_row = (io % CHR) // LANES
-        qo = q_slot[order].astype(np.int32)
-        q_row = qo // LANES
-        q_rm = q_row % LANES
-        c1 = edge_color_batch(in_row, q_row, sb, max(CR, R1), LANES)
-        s1_r1.reshape(-1)[(cid * CR + in_row) * LANES + c1] = io % LANES
-        mid1 = ((cid * H1 + q_row // LANES) * LANES + c1) * LANES + q_rm
-        if H_in_gt1:
-            s1_src.reshape(-1)[mid1] = in_row // LANES
-        s1_row.reshape(-1)[mid1] = in_row % LANES
-        s1_r2.reshape(-1)[(cid * R1 + q_row) * LANES + qo % LANES] = c1
+        # Fast path: the ENTIRE table build (flow ranks by counting
+        # sort, per-chunk 128-edge-coloring on a thread pool, table
+        # scatters) in one native call — the NumPy fallback below
+        # spends seconds on argsorts and 6M-element index temporaries
+        # at the A=6M bench shape.
+        if not route_tables_native(
+            out_idx, in_idx, CR, n_src, n_dst, Q,
+            (s1_r1, s1_src, s1_row, s1_r2,
+             s3_r1, s3_src, s3_row, s3_r2, s3_mask),
+        ):
+            # rank within each (s,d) flow (stable argsort on the
+            # combined key == lexsort by (s_of, d_of, position))
+            E = len(out_idx)
+            order = np.argsort(s_of * n_dst + d_of, kind="stable")
+            sd = s_of[order] * n_dst + d_of[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(sd))[0] + 1]
+            )
+            gid = np.zeros(E, dtype=np.int64)
+            gid[starts] = 1
+            gid = np.cumsum(gid) - 1
+            rank = np.zeros(E, dtype=np.int64)
+            rank[order] = np.arange(E) - starts[gid]
+            q_slot = d_of * Q + rank  # within src chunk quota space
+            q3_slot = s_of * Q + rank  # within dst chunk (post-exch.)
 
-        H3 = CR // LANES
-        do = np.argsort(d_of, kind="stable")
-        db = np.searchsorted(d_of[do], np.arange(n_dst + 1))
-        did = d_of[do].astype(np.int32)
-        q3o = q3_slot[do].astype(np.int32)
-        q3_row = q3o // LANES
-        oo = out_idx[do].astype(np.int32)
-        o_row = (oo % CHR) // LANES
-        o_flat = (did * CR + o_row) * LANES + oo % LANES
-        c3 = edge_color_batch(q3_row, o_row, db, max(R3, CR), LANES)
-        s3_r1.reshape(-1)[(did * R3 + q3_row) * LANES + c3] = q3o % LANES
-        mid3 = (
-            ((did * H3 + o_row // LANES) * LANES + c3) * LANES
-            + o_row % LANES
-        )
-        s3_src.reshape(-1)[mid3] = q3_row // LANES
-        s3_row.reshape(-1)[mid3] = q3_row % LANES
-        s3_r2.reshape(-1)[o_flat] = c3
-        s3_mask.reshape(-1)[o_flat] = 1
+            # Batched channel coloring + flat-index table scatters
+            # (one advanced-index assignment per table on the raveled
+            # array). `order` is already grouped by src chunk, so it
+            # is the stage-1 batch order. All flat indices fit int32.
+            H1 = R1 // LANES
+            sb = np.searchsorted(s_of[order], np.arange(n_src + 1))
+            cid = s_of[order].astype(np.int32)
+            io = in_idx[order].astype(np.int32)
+            in_row = (io % CHR) // LANES
+            qo = q_slot[order].astype(np.int32)
+            q_row = qo // LANES
+            q_rm = q_row % LANES
+            c1 = edge_color_batch(in_row, q_row, sb, max(CR, R1), LANES)
+            s1_r1.reshape(-1)[
+                (cid * CR + in_row) * LANES + c1
+            ] = io % LANES
+            mid1 = (
+                (cid * H1 + q_row // LANES) * LANES + c1
+            ) * LANES + q_rm
+            if H_in_gt1:
+                s1_src.reshape(-1)[mid1] = in_row // LANES
+            s1_row.reshape(-1)[mid1] = in_row % LANES
+            s1_r2.reshape(-1)[
+                (cid * R1 + q_row) * LANES + qo % LANES
+            ] = c1
+
+            H3 = CR // LANES
+            do = np.argsort(d_of, kind="stable")
+            db = np.searchsorted(d_of[do], np.arange(n_dst + 1))
+            did = d_of[do].astype(np.int32)
+            q3o = q3_slot[do].astype(np.int32)
+            q3_row = q3o // LANES
+            oo = out_idx[do].astype(np.int32)
+            o_row = (oo % CHR) // LANES
+            o_flat = (did * CR + o_row) * LANES + oo % LANES
+            c3 = edge_color_batch(q3_row, o_row, db, max(R3, CR), LANES)
+            s3_r1.reshape(-1)[
+                (did * R3 + q3_row) * LANES + c3
+            ] = q3o % LANES
+            mid3 = (
+                ((did * H3 + o_row // LANES) * LANES + c3) * LANES
+                + o_row % LANES
+            )
+            s3_src.reshape(-1)[mid3] = q3_row // LANES
+            s3_row.reshape(-1)[mid3] = q3_row % LANES
+            s3_r2.reshape(-1)[o_flat] = c3
+            s3_mask.reshape(-1)[o_flat] = 1
 
         self.plan = GlobalRoutePlan(
             s1_r1=jnp.asarray(s1_r1),
