@@ -14,6 +14,7 @@ a different guard).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
@@ -38,6 +39,37 @@ from .writers import (
 )
 
 log = logging.getLogger("oarfish_tpu")
+
+# Below this many alignments the v4/v3 route geometry degenerates (the
+# builder raises and the driver falls back), so auto never tries it.
+V4_MIN_ALNS = 1_000_000
+
+
+def choose_auto_impl(
+    backend: str, num_alignments: int, max_em_iter: int,
+    num_bootstraps: int,
+) -> str:
+    """Pick the EM implementation for `--em-impl auto` on a device
+    backend. The routed v4 iteration is ~20x faster than 'fast' per
+    iteration (PERF_NOTES.md cost table) but pays a host-side route
+    build of a few seconds per million alignments; break-even is ~175
+    EM iterations independent of problem size (both costs scale
+    ~linearly with alignments). So v4 wins whenever the run does real
+    work — bootstraps, or a plain EM allowed past a couple hundred
+    iterations (the reference default caps at 1000, `prog_opts.rs:532`).
+    A failed route build falls back to 'fast' at run time, so the risk
+    of choosing v4 is a few wasted seconds. OARFISH_AUTO_V4=0 pins the
+    old behavior."""
+    if backend == "cpu":
+        return "segsum"
+    expected_iters = min(max_em_iter, 1000) * (1 + num_bootstraps)
+    if (
+        num_alignments >= V4_MIN_ALNS
+        and expected_iters >= 250
+        and os.environ.get("OARFISH_AUTO_V4") != "0"
+    ):
+        return "v4"
+    return "fast"
 
 
 def resolve_em_dtype(em_dtype: str):
@@ -147,7 +179,11 @@ def perform_inference_and_write_output(
             jax.config.update("jax_default_device", cpu)
             impl = "segsum"
     if impl == "auto":
-        impl = "fast" if jax.default_backend() != "cpu" else "segsum"
+        impl = choose_auto_impl(
+            jax.default_backend(), store.num_alignments,
+            args.max_em_iter, args.num_bootstraps,
+        )
+        log.info("em-impl auto -> %s", impl)
     # explicit multi-shard request: read-sharded data-parallel EM. With
     # --em-impl v4 the flagship routed iteration is distributed (one
     # psum per iteration, parallel/sharded_v4.py) and bootstrap

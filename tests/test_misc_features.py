@@ -105,3 +105,24 @@ def test_digest_footer_roundtrip(tmp_path):
     assert seqcol_level1(["a", "b"], [10, 20]) != seqcol_level1(
         ["b", "a"], [10, 20]
     )
+
+
+def test_choose_auto_impl_policy(monkeypatch):
+    """auto picks v4 only on a device backend with enough alignments
+    and enough expected iteration work to amortize the route build."""
+    from oarfish_tpu.quant.bulk import V4_MIN_ALNS, choose_auto_impl
+
+    monkeypatch.delenv("OARFISH_AUTO_V4", raising=False)
+    # CPU backend always uses the segment-sum EM
+    assert choose_auto_impl("cpu", 10 * V4_MIN_ALNS, 1000, 50) == "segsum"
+    # big problem, default iteration budget: v4
+    assert choose_auto_impl("tpu", 6_000_000, 1000, 0) == "v4"
+    # bootstraps multiply the work: v4 even with a small per-run cap
+    assert choose_auto_impl("tpu", 2_000_000, 100, 30) == "v4"
+    # too few alignments for a viable route geometry: fast
+    assert choose_auto_impl("tpu", V4_MIN_ALNS - 1, 1000, 50) == "fast"
+    # capped iterations, no bootstraps: build never amortizes
+    assert choose_auto_impl("tpu", 6_000_000, 100, 0) == "fast"
+    # opt-out pin
+    monkeypatch.setenv("OARFISH_AUTO_V4", "0")
+    assert choose_auto_impl("tpu", 6_000_000, 1000, 50) == "fast"
