@@ -30,6 +30,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -313,6 +314,81 @@ int64_t oarfish_balance_repair(
     if (mx_out <= target || moved == 0) break;
   }
   return mx_out;
+}
+
+// ---- layout slot-fill helpers (the _apply_reads/_apply_small hot
+// paths of em_v4._v4_layout, called repeatedly by the repair loop;
+// the NumPy forms materialize several A-sized int64 temporaries per
+// call). Column-major slot of (row, col) in bucket (start, K):
+//   start + (row>>7)*(K<<7) + (col<<7) + (row&127)
+
+// Read-side: item i (a read) occupies cols [0, off[i+1]-off[i]) of its
+// bucket row; its slots land at slot_out[aln_base[i] + j].
+void oarfish_v4_read_slots(int64_t n_items, const int64_t* off,
+                           const int64_t* aln_base, const int64_t* ib,
+                           const int64_t* bstart, const int64_t* bK,
+                           const int64_t* row, int64_t* slot_out,
+                           int32_t n_threads) {
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      int64_t lo = n_items * t / nt, hi = n_items * (t + 1) / nt;
+      for (int64_t i = lo; i < hi; i++) {
+        const int64_t K = bK[ib[i]];
+        const int64_t base = bstart[ib[i]] + (row[i] >> 7) * (K << 7) +
+                             (row[i] & 127);
+        int64_t* o = slot_out + aln_base[i];
+        const int64_t m = off[i + 1] - off[i];
+        for (int64_t j = 0; j < m; j++) o[j] = base + (j << 7);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Small-transcript side: alignment k of transcript tid[k] sits at
+// column rank[k] of the transcript's bucket row row_of[tid[k]]; the
+// slot is written to slot_out[out_pos[k]].
+void oarfish_v4_small_slots(int64_t n, const int64_t* tid,
+                            const int64_t* rank, const int64_t* out_pos,
+                            const int64_t* bst, const int64_t* bK,
+                            const int64_t* row_of, int64_t* slot_out,
+                            int32_t n_threads) {
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+      for (int64_t k = lo; k < hi; k++) {
+        const int64_t tt = tid[k];
+        const int64_t K = bK[tt], r = row_of[tt];
+        slot_out[out_pos[k]] =
+            bst[tt] + (r >> 7) * (K << 7) + (rank[k] << 7) + (r & 127);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// 2-D flow histogram: F[(a[i]/div)*n_dst + b[i]/div] += 1 over
+// i in idx[0:n_idx] (idx NULL = all of [0, n)). F must arrive zeroed.
+void oarfish_flows2d(int64_t n, const int64_t* a, const int64_t* b,
+                     const int64_t* idx, int64_t n_idx, int64_t div,
+                     int64_t n_src, int64_t n_dst, int32_t* F) {
+  if (idx) {
+    for (int64_t k = 0; k < n_idx; k++) {
+      const int64_t i = idx[k];
+      F[(a[i] / div) * n_dst + b[i] / div] += 1;
+    }
+  } else {
+    for (int64_t i = 0; i < n; i++)
+      F[(a[i] / div) * n_dst + b[i] / div] += 1;
+  }
 }
 
 }  // extern "C"

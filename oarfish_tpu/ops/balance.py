@@ -41,23 +41,38 @@ def get_lib():
         return _lib
     _lib_tried = True
     src = _CSRC / "balance.cpp"
-    if not _LIB_PATH.exists():
+
+    def build() -> bool:
         if not src.exists():
-            return None
+            return False
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", str(src), "-o", str(_LIB_PATH)],
+                 "-fPIC", str(src), "-o", str(_LIB_PATH), "-pthread"],
                 check=True, capture_output=True, timeout=300,
             )
+            return True
         except Exception as e:  # noqa: BLE001
             log.warning("could not build balance library: %s", e)
-            return None
+            return False
+
+    if not _LIB_PATH.exists() and not build():
+        return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:  # pragma: no cover
         log.warning("could not load balance library: %s", e)
         return None
+    if not hasattr(lib, "oarfish_v4_read_slots"):
+        # stale library from before the slot-fill helpers: rebuild
+        del lib
+        _LIB_PATH.unlink(missing_ok=True)
+        if not build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:  # pragma: no cover
+            return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.oarfish_balance_greedy.restype = ctypes.c_int64
@@ -72,12 +87,87 @@ def get_lib():
         i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_int64, i32p, i64p,
     ]
+    lib.oarfish_v4_read_slots.restype = None
+    lib.oarfish_v4_read_slots.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int32,
+    ]
+    lib.oarfish_v4_small_slots.restype = None
+    lib.oarfish_v4_small_slots.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ctypes.c_int32,
+    ]
+    lib.oarfish_flows2d.restype = None
+    lib.oarfish_flows2d.argtypes = [
+        ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p,
+    ]
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return get_lib() is not None
+
+
+def read_slots(off, aln_base, ib, bstart, bK, row, slot_out,
+               threads: int = 0) -> bool:
+    """Native fill of read-side column-major slots: item i's
+    alignments j land at slot_out[aln_base[i]+j]. Returns False when
+    the library is unavailable (caller uses the NumPy form)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.oarfish_v4_read_slots(
+        len(ib), np.ascontiguousarray(off, np.int64),
+        np.ascontiguousarray(aln_base, np.int64),
+        np.ascontiguousarray(ib, np.int64),
+        np.ascontiguousarray(bstart, np.int64),
+        np.ascontiguousarray(bK, np.int64),
+        np.ascontiguousarray(row, np.int64), slot_out, threads,
+    )
+    return True
+
+
+def small_slots(tid, rank, out_pos, bst, bK, row_of, slot_out,
+                threads: int = 0) -> bool:
+    """Native fill of small-transcript slots:
+    slot_out[out_pos[k]] = colmajor(bst[t], bK[t], row_of[t], rank[k])
+    for t = tid[k]. Returns False when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.oarfish_v4_small_slots(
+        len(tid), np.ascontiguousarray(tid, np.int64),
+        np.ascontiguousarray(rank, np.int64),
+        np.ascontiguousarray(out_pos, np.int64),
+        np.ascontiguousarray(bst, np.int64),
+        np.ascontiguousarray(bK, np.int64),
+        np.ascontiguousarray(row_of, np.int64), slot_out, threads,
+    )
+    return True
+
+
+def flows2d(a, b, div, n_src, n_dst, idx=None):
+    """Native 2-D flow histogram F[a//div, b//div] (+1 per element of
+    `idx`, or per position when idx is None). Returns None when the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    F = np.zeros((n_src, n_dst), dtype=np.int32)
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    if idx is None:
+        lib.oarfish_flows2d(len(a), a, b, None, 0, div, n_src, n_dst, F)
+    else:
+        idx = np.ascontiguousarray(idx, np.int64)
+        lib.oarfish_flows2d(
+            len(a), a, b,
+            idx.ctypes.data_as(ctypes.c_void_p), len(idx),
+            div, n_src, n_dst, F,
+        )
+    return F
 
 
 def greedy_place(

@@ -443,25 +443,34 @@ def _v4_layout(
         [[0], np.cumsum([rp for rp, _ in small_shapes])]
     ).astype(np.int64)
 
+    # per-transcript bucket tables and the small-alignment subset are
+    # fixed across repair rounds — hoisted out of _apply_small
+    _bK_t = np.zeros(T, dtype=np.int64)
+    _bst_t = np.zeros(T, dtype=np.int64)
+    for (rows_pad, K), start, rows in zip(
+        small_shapes, small_starts, small_row_parts
+    ):
+        _bK_t[rows] = K
+        _bst_t[rows] = start
+    small_idx = np.nonzero(small_aln)[0]
+    tid_small = txp_id[small_idx]
+    rank_small = rank[small_idx]
+
     def _apply_small(row_within):
         """Small-transcript slot tables from per-item bucket rows; also
         (re)writes the small part of txp_slot_of_aln."""
         row_of = np.full(T, -1, dtype=np.int64)
-        bK = np.zeros(T, dtype=np.int64)
-        bst = np.zeros(T, dtype=np.int64)
         pos = np.full(T, -1, dtype=np.int64)
         if len(items_t):
             row_of[items_t] = row_within
             pos[items_t] = sb_flat_base[ib_t] + row_within
-        for (rows_pad, K), start, rows in zip(
-            small_shapes, small_starts, small_row_parts
+        if len(small_idx) and not _balance.small_slots(
+            tid_small, rank_small, small_idx, _bst_t, _bK_t,
+            row_of, txp_slot_of_aln,
         ):
-            bK[rows] = K
-            bst[rows] = start
-        if small_aln.any():
-            t = txp_id[small_aln]
-            txp_slot_of_aln[small_aln] = _colmajor_slot(
-                bst[t], bK[t], row_of[t], rank[small_aln]
+            t = tid_small
+            txp_slot_of_aln[small_idx] = _colmajor_slot(
+                _bst_t[t], _bK_t[t], row_of[t], rank_small
             )
         return row_of, pos
 
@@ -519,18 +528,24 @@ def _v4_layout(
     read_order = np.zeros(row_space_r, dtype=np.int64)
     slot_of_aln = np.zeros(A, dtype=np.int64)
 
+    Kv_r = np.asarray([K for _, K in read_shapes], dtype=np.int64)
+    stv_r = np.asarray(read_starts, dtype=np.int64)
+    aln_base_r = boundaries[items_r] if len(items_r) else items_r
+
     def _apply_reads(row_within):
         if len(items_r):
             read_order[:] = 0
             read_order[rb_flat_base[ib_r] + row_within] = items_r
-            Kv = np.asarray([K for _, K in read_shapes], dtype=np.int64)
-            stv = np.asarray(read_starts, dtype=np.int64)
-            slot_of_aln[aln_idx_r] = _colmajor_slot(
-                np.repeat(stv[ib_r], sizes_r),
-                np.repeat(Kv[ib_r], sizes_r),
-                np.repeat(row_within, sizes_r),
-                col_r,
-            )
+            if not _balance.read_slots(
+                off_r, aln_base_r, ib_r, stv_r, Kv_r, row_within,
+                slot_of_aln,
+            ):
+                slot_of_aln[aln_idx_r] = _colmajor_slot(
+                    np.repeat(stv_r[ib_r], sizes_r),
+                    np.repeat(Kv_r[ib_r], sizes_r),
+                    np.repeat(row_within, sizes_r),
+                    col_r,
+                )
 
     _apply_reads(row_within_r)
 
@@ -603,18 +618,32 @@ def _v4_layout(
 
         _rlog = logging.getLogger("oarfish_tpu")
 
+        big_idx = np.nonzero(big_aln)[0]
+
         def _flows():
             """[read chunk, txp chunk] loads of the full layout."""
-            Fx = np.zeros((nR, nT), dtype=np.int32)
-            np.add.at(
-                Fx,
-                (slot_of_aln // CHR_sel, txp_slot_of_aln // CHR_sel),
-                1,
+            Fx = _balance.flows2d(
+                slot_of_aln, txp_slot_of_aln, CHR_sel, nR, nT
             )
+            if Fx is None:
+                Fx = np.zeros((nR, nT), dtype=np.int32)
+                np.add.at(
+                    Fx,
+                    (slot_of_aln // CHR_sel,
+                     txp_slot_of_aln // CHR_sel),
+                    1,
+                )
             return Fx
 
         def _big_F():
             """[read chunk, txp chunk] loads of the FIXED big-txp rows."""
+            if n_big_real:
+                Fb = _balance.flows2d(
+                    slot_of_aln, txp_slot_of_aln, CHR_sel, nR, nT,
+                    idx=big_idx,
+                )
+                if Fb is not None:
+                    return Fb
             Fb = np.zeros((nR, nT), dtype=np.int32)
             if n_big_real:
                 np.add.at(

@@ -508,12 +508,16 @@ def route_maxflow(out_idx: np.ndarray, in_idx: np.ndarray,
     dst space when it differs from the src space (rectangular routes)."""
     n_src = n_pad // chunk
     n_dst = (n_pad if n_pad_out is None else n_pad_out) // chunk
-    flows = np.zeros((n_src, n_dst), dtype=np.int64)
-    np.add.at(
-        flows,
-        (np.asarray(in_idx) // chunk, np.asarray(out_idx) // chunk),
-        1,
-    )
+    from .balance import flows2d
+
+    flows = flows2d(in_idx, out_idx, chunk, n_src, n_dst)
+    if flows is None:
+        flows = np.zeros((n_src, n_dst), dtype=np.int64)
+        np.add.at(
+            flows,
+            (np.asarray(in_idx) // chunk, np.asarray(out_idx) // chunk),
+            1,
+        )
     return max(int(flows.max()), 1)
 
 
