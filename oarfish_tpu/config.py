@@ -257,6 +257,7 @@ class Args:
     # the device EM, EM kernel implementation, data-parallel shard count.
     em_dtype: str = "float64"
     em_impl: str = "auto"  # auto | segsum | fast
+    em_accel: str = "none"  # none | squarem
     num_shards: int = 0  # 0 => use all local devices
     seed: int = 0
 

@@ -142,6 +142,119 @@ def run_em(
     return counts, niter
 
 
+def squarem_loop(
+    m_step,
+    init: jax.Array,
+    max_iter: int,
+    convergence_thresh,
+    min_iters: int = 50,
+    batched: bool = False,
+):
+    """Squared-extrapolation EM acceleration (SQUAREM, Varadhan &
+    Roland 2008, scheme S3). A deliberate improvement over the
+    reference (which runs plain EM, `em.rs:144-255`): the EM map F is
+    a fixed-point contraction, and each cycle
+
+        t1 = F(t0); t2 = F(t1)
+        r = t1 - t0; v = (t2 - t1) - r
+        alpha = -|r|/|v|  (clamped to [-ALPHA_MAX, -1])
+        t' = max(t0 - 2 alpha r + alpha^2 v, 0);  t3 = F(t')
+
+    costs 3 m-steps but jumps along the EM trajectory by ~|alpha|
+    iterations, typically reaching the reference's 1e-3 stopping rule
+    in 3-10x fewer m-steps. alpha = -1 reduces exactly to t2 (two
+    plain EM steps), so the safeguarded cycle can never be worse than
+    plain EM; the trailing F() application restores feasibility (the
+    m-step output always carries total read mass) after the clamp.
+    The fixed point — and therefore the quantification — is the same:
+    the EM log-likelihood here is concave, so F has a unique stable
+    fixed point and both iterations converge to it.
+
+    Same loop protocol as `run_em`: returns (counts_before_final,
+    niter) where niter counts m-step applications; the reference's
+    `niter > 50` early-stop guard and the convergence measure
+    (`_rel_diff` between the last consecutive F iterates) carry over.
+    `batched`: leading replicate axis with per-replicate freezing."""
+    convergence_thresh = jnp.asarray(convergence_thresh, dtype=init.dtype)
+    ALPHA_MAX = 64.0
+    tiny = jnp.asarray(np.finfo(init.dtype).tiny, dtype=init.dtype)
+
+    if batched:
+        def dot(a, b):
+            return jnp.sum(a * b, axis=-1, keepdims=True)
+
+        def sel(c, a, b):
+            return jnp.where(c[..., None], a, b)
+    else:
+        def dot(a, b):
+            return jnp.sum(a * b)
+
+        sel = jnp.where
+
+    def cond(state):
+        niter, _t, conv = state
+        return jnp.any((niter < max_iter) & (~conv))
+
+    def body(state):
+        niter, t0, conv = state
+        t1 = m_step(t0)
+        t2 = m_step(t1)
+        r = t1 - t0
+        v = (t2 - t1) - r
+        rr = dot(r, r)
+        vv = dot(v, v)
+        alpha = -jnp.sqrt(rr / jnp.maximum(vv, tiny))
+        alpha = jnp.clip(alpha, -ALPHA_MAX, -1.0)
+        tp = t0 - 2.0 * alpha * r + (alpha * alpha) * v
+        tp = jnp.maximum(tp, 0.0)
+        # degenerate curvature (v ~ 0: consecutive steps identical)
+        # means t2 is already (numerically) the fixed point
+        tp = jnp.where(vv > tiny, tp, t2)
+        t3 = m_step(tp)
+        if batched:
+            rd = jax.vmap(_rel_diff)(tp, t3)
+        else:
+            rd = _rel_diff(tp, t3)
+        niter_new = niter + 3
+        newly = (rd < convergence_thresh) & (niter_new > min_iters)
+        t3 = sel(conv, t0, t3)
+        niter = jnp.where(conv, niter, niter_new)
+        return (niter, t3, conv | newly)
+
+    if batched:
+        B = init.shape[0]
+        state0 = (
+            jnp.zeros(B, jnp.int32), init, jnp.zeros(B, bool),
+        )
+    else:
+        state0 = (
+            jnp.asarray(0, jnp.int32), init, jnp.asarray(False),
+        )
+    niter, t, _ = jax.lax.while_loop(cond, body, state0)
+    return t, niter
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "min_iters")
+)
+def run_em_squarem(
+    data: EmData,
+    init: jax.Array,
+    max_iter: int,
+    convergence_thresh,
+    multiplicity: Optional[jax.Array] = None,
+    min_iters: int = 50,
+):
+    """`run_em` with SQUAREM acceleration (see `squarem_loop`)."""
+    t, niter = squarem_loop(
+        lambda p: _m_step(data, p, multiplicity),
+        init, max_iter, convergence_thresh, min_iters,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    counts = _m_step(data, t, multiplicity)
+    return counts, niter
+
+
 def uniform_init(data: EmData, dtype, total_weight: Optional[float] = None):
     """Uniform length-free initialization `total_reads / T`
     (`em.rs:160-167`)."""
@@ -155,11 +268,13 @@ def em(
     convergence_thresh: float = 1e-3,
     init_abundances: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    accel: str = "none",
 ):
     """Convenience driver: returns (counts ndarray f64, niter)."""
     if init_abundances is not None:
         init = jnp.asarray(init_abundances, dtype=dtype)
     else:
         init = uniform_init(data, dtype)
-    counts, niter = run_em(data, init, max_iter, convergence_thresh)
+    run = run_em_squarem if accel == "squarem" else run_em
+    counts, niter = run(data, init, max_iter, convergence_thresh)
     return np.asarray(counts, dtype=np.float64), int(niter)

@@ -357,3 +357,24 @@ def run_em_fast(
     prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
     counts = _m_step_fast(data, prev, multiplicity)
     return counts, niter
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def run_em_fast_squarem(
+    data: FastEmData,
+    init: jax.Array,
+    max_iter: int,
+    convergence_thresh,
+    multiplicity: Optional[jax.Array] = None,
+    min_iters: int = 50,
+):
+    """`run_em_fast` with SQUAREM acceleration (`em.squarem_loop`)."""
+    from .em import squarem_loop
+
+    t, niter = squarem_loop(
+        lambda p: _m_step_fast(data, p, multiplicity),
+        init, max_iter, convergence_thresh, min_iters,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    counts = _m_step_fast(data, t, multiplicity)
+    return counts, niter

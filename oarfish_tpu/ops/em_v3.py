@@ -275,15 +275,40 @@ def _m_step_v3(data: EmV3Data, prev, multiplicity):
     return ((hi2 - hi1) + (lo2 - lo1)).astype(prev.dtype)
 
 
-def make_runner(data: EmV3Data):
-    """Jitted EM runner; `data` is a pytree argument."""
+def make_runner(data: EmV3Data, accel: str = "none"):
+    """Jitted EM runner; `data` is a pytree argument. `accel="squarem"`
+    runs the squared-extrapolation loop (`em.squarem_loop`)."""
 
-    def run_em_v3(init, max_iter, convergence_thresh, multiplicity=None,
-                  min_iters=50):
-        return _run_em_v3_jit(data, init, max_iter, convergence_thresh,
-                              multiplicity, min_iters)
+    if accel == "squarem":
+        def run_em_v3(init, max_iter, convergence_thresh,
+                      multiplicity=None, min_iters=50):
+            return _run_em_v3_squarem_jit(
+                data, init, max_iter, convergence_thresh,
+                multiplicity, min_iters,
+            )
+    else:
+        def run_em_v3(init, max_iter, convergence_thresh,
+                      multiplicity=None, min_iters=50):
+            return _run_em_v3_jit(
+                data, init, max_iter, convergence_thresh,
+                multiplicity, min_iters,
+            )
 
     return run_em_v3
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def _run_em_v3_squarem_jit(data, init, max_iter, convergence_thresh,
+                           multiplicity=None, min_iters=50):
+    from .em import squarem_loop
+
+    t, niter = squarem_loop(
+        lambda p: _m_step_v3(data, p, multiplicity),
+        init, max_iter, convergence_thresh, min_iters,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    counts = _m_step_v3(data, t, multiplicity)
+    return counts, niter
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))

@@ -1221,15 +1221,62 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
     return data.t_out(vv)[:T]
 
 
-def make_runner(data: EmV4Data):
-    """Jitted EM runner; `data` is a pytree argument."""
+def make_runner(data: EmV4Data, accel: str = "none"):
+    """Jitted EM runner; `data` is a pytree argument. `accel="squarem"`
+    runs the squared-extrapolation loop (`em.squarem_loop`) — same
+    fixed point, typically 3-10x fewer m-steps on slow-mixing data."""
 
-    def run_em_v4(init, max_iter, convergence_thresh, multiplicity=None,
-                  min_iters=50):
-        return _run_em_v4_jit(data, init, max_iter, convergence_thresh,
-                              multiplicity, min_iters)
+    if accel == "squarem":
+        def run_em_v4(init, max_iter, convergence_thresh,
+                      multiplicity=None, min_iters=50):
+            return _run_em_v4_squarem_jit(
+                data, init, max_iter, convergence_thresh,
+                multiplicity, min_iters,
+            )
+    else:
+        def run_em_v4(init, max_iter, convergence_thresh,
+                      multiplicity=None, min_iters=50):
+            return _run_em_v4_jit(
+                data, init, max_iter, convergence_thresh,
+                multiplicity, min_iters,
+            )
 
     return run_em_v4
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def _run_em_v4_squarem_jit(data, init, max_iter, convergence_thresh,
+                           multiplicity=None, min_iters=50):
+    from .em import squarem_loop
+
+    t, niter = squarem_loop(
+        lambda p: _m_step_v4(data, p, multiplicity),
+        init, max_iter, convergence_thresh, min_iters,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    counts = _m_step_v4(data, t, multiplicity)
+    return counts, niter
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+def run_em_v4_batch_squarem(data, init, max_iter, convergence_thresh,
+                            mult, min_iters=50):
+    """`run_em_v4_batch` with per-replicate SQUAREM acceleration."""
+    from .em import squarem_loop
+
+    B = mult.shape[0]
+    init_b = jnp.broadcast_to(init, (B,) + init.shape)
+
+    def m_step_b(prev_b):
+        return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult)
+
+    t, niter = squarem_loop(
+        m_step_b, init_b, max_iter, convergence_thresh, min_iters,
+        batched=True,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    counts = m_step_b(t)
+    return counts, niter
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))

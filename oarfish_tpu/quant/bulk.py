@@ -220,7 +220,7 @@ def perform_inference_and_write_output(
                 store.txp_id, w, store.boundaries, T
             )
             log.info("%s routing built in %.1fs", impl, time.time() - t0)
-            runner = make_runner(v3data)
+            runner = make_runner(v3data, accel=args.em_accel)
             init_j = (
                 jnp.asarray(init, dtype=jnp.float32)
                 if init is not None
@@ -251,14 +251,22 @@ def perform_inference_and_write_output(
                     # vmapped replicate batches (BASELINE north star:
                     # "bootstrap replicates vmapped"); the last chunk is
                     # padded by repetition so one compilation serves all
-                    from ..ops.em_v4 import run_em_v4_batch
+                    from ..ops.em_v4 import (
+                        run_em_v4_batch,
+                        run_em_v4_batch_squarem,
+                    )
 
+                    batch_fn = (
+                        run_em_v4_batch_squarem
+                        if args.em_accel == "squarem"
+                        else run_em_v4_batch
+                    )
                     BB = min(8, args.num_bootstraps)
                     b0 = 0
                     while b0 < args.num_bootstraps:
                         idx = np.arange(b0, b0 + BB)
                         idx = np.minimum(idx, args.num_bootstraps - 1)
-                        cb, _ = run_em_v4_batch(
+                        cb, _ = batch_fn(
                             v3data, init_j, args.max_em_iter,
                             args.convergence_thresh,
                             jnp.asarray(mult[idx], dtype=jnp.float32),
@@ -413,7 +421,14 @@ def perform_inference_and_write_output(
     if impl in ("fast", "pallas"):
         import jax.numpy as jnp
 
-        from ..ops.em_fast import FastEmData, run_em_fast
+        from ..ops.em_fast import (
+            FastEmData,
+            run_em_fast,
+            run_em_fast_squarem,
+        )
+
+        if args.em_accel == "squarem":
+            run_em_fast = run_em_fast_squarem
 
         w = store.as_prob.astype(np.float64)
         if opts.model_coverage:
@@ -446,6 +461,7 @@ def perform_inference_and_write_output(
             convergence_thresh=args.convergence_thresh,
             init_abundances=init,
             dtype=dtype,
+            accel=args.em_accel,
         )
     log.info("EM converged after %d iterations in %.3fs", niter, time.time() - t0)
 

@@ -206,3 +206,21 @@ def test_cli_em_impl_v4_cpu_fallback(sim):
     qn, ql, qc = read_quant(str(out) + ".quant")
     want = oracle_counts(p, lengths)
     np.testing.assert_allclose(qc, want, rtol=1e-9, atol=1e-9)
+
+
+def test_cli_em_accel_squarem(sim):
+    """--em-accel squarem converges to the same quantification as the
+    plain EM (same fixed point; stopping-rule-level tolerance)."""
+    d, p, names, lengths, truth = sim
+    out = d / "squarem" / "q"
+    rc = main([
+        "--alignments", str(p), "-o", str(out), "--em-dtype", "float64",
+        "--em-accel", "squarem", "--num-bootstraps", "3", "--quiet",
+    ])
+    assert rc == 0
+    qn, ql, qc = read_quant(str(out) + ".quant")
+    assert qn == names
+    want = oracle_counts(p, lengths)
+    assert abs(qc.sum() - want.sum()) < 1e-6 * max(want.sum(), 1)
+    np.testing.assert_allclose(qc, want, rtol=5e-3, atol=0.05)
+    assert (Path(str(out) + ".infreps.pq")).exists()

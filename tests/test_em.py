@@ -107,3 +107,82 @@ def test_em_multiplicity_equals_resampled_reads():
     want = do_em_oracle(np.concatenate(t2), np.concatenate(w2), b2, T,
                         max_iter=100)
     np.testing.assert_allclose(counts, want, rtol=1e-8, atol=1e-8)
+
+
+def _slow_mixing_csr(rng, R=8000, T=400):
+    """Clustered multimapping with near-equal weights: slow EM mixing."""
+    sizes = rng.integers(2, 7, size=R)
+    A = int(sizes.sum())
+    boundaries = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(sizes, out=boundaries[1:])
+    base = rng.integers(0, T - 8, size=R)
+    txp_id = (
+        np.repeat(base, sizes)
+        + np.concatenate([np.arange(s) for s in sizes])
+    ).astype(np.int32)
+    w = np.exp(rng.normal(0, 0.05, A))
+    read_id = np.repeat(np.arange(R, dtype=np.int32), sizes)
+    return txp_id, w, boundaries, read_id, R, T
+
+
+def test_squarem_same_fixed_point_fewer_steps():
+    """SQUAREM reaches the same fixed point as plain EM (concave
+    likelihood => unique) in fewer m-steps on slow-mixing data."""
+    from oarfish_tpu.ops.em import run_em_squarem
+
+    rng = np.random.default_rng(11)
+    txp_id, w, boundaries, read_id, R, T = _slow_mixing_csr(rng)
+    data = EmData.build(txp_id, w, read_id, R, T, dtype=jnp.float64)
+    init = uniform_init(data, jnp.float64)
+
+    c_em, n_em = run_em(data, init, 5000, 1e-8)
+    c_sq, n_sq = run_em_squarem(data, init, 5000, 1e-8)
+    c_em, c_sq = np.asarray(c_em), np.asarray(c_sq)
+    # same total mass, same fixed point (the stopping rule bounds step
+    # size, not distance to the optimum, so near-nonidentifiable
+    # transcripts can sit at slightly different spots on a flat ridge —
+    # tolerance is well under one read on a ~20 reads/transcript scale)
+    assert abs(c_sq.sum() - c_em.sum()) < 1e-6 * R
+    np.testing.assert_allclose(c_sq, c_em, rtol=5e-3, atol=0.05)
+    # and materially fewer m-step applications
+    assert int(n_sq) < int(n_em) // 2, (int(n_sq), int(n_em))
+
+
+def test_squarem_v4_batch_matches_single():
+    """Batched (bootstrap) SQUAREM == per-replicate SQUAREM runs."""
+    import jax
+
+    from oarfish_tpu.ops.em_v4 import (
+        EmV4Data,
+        make_runner,
+        run_em_v4_batch_squarem,
+    )
+
+    rng = np.random.default_rng(5)
+    R, T = 30000, 1500
+    sizes = rng.geometric(1 / 3, size=R).clip(1, 12)
+    A = int(sizes.sum())
+    boundaries = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(sizes, out=boundaries[1:])
+    txp_id = rng.integers(0, T, size=A).astype(np.int64)
+    w = np.exp(rng.normal(0, 1, A))
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    init = jnp.full(T, R / T, dtype=jnp.float32)
+    # multiplicities travel in the v4 read-layout row order
+    mult = rng.poisson(1.0, size=(3, R)).astype(np.float32)[:, order]
+
+    runner = make_runner(data, accel="squarem")
+    singles = [
+        np.asarray(
+            runner(init, 200, 1e-3, multiplicity=jnp.asarray(m))[0]
+        )
+        for m in mult
+    ]
+    batch, niter = run_em_v4_batch_squarem(
+        data, init, 200, 1e-3, jnp.asarray(mult)
+    )
+    batch = np.asarray(batch)
+    for b in range(3):
+        np.testing.assert_allclose(
+            batch[b], singles[b], rtol=2e-4, atol=2e-3
+        )
