@@ -106,6 +106,7 @@ def make_sharded_em(
     r_pad: int,
     max_iter: int,
     min_iters: int = 50,
+    accel: str = "none",
 ):
     """Build the pjit-compiled sharded EM. Returns a function
     (shard arrays..., init, conv_thresh) -> (counts, niter)."""
@@ -129,6 +130,18 @@ def make_sharded_em(
         return jax.lax.psum(local, "data")
 
     def em_loop(txp_id, weights, read_id, perm, tsorted, init, conv, mult):
+        if accel == "squarem":
+            from ..ops.em import squarem_loop
+
+            def f(prev):
+                return m_step(
+                    prev, txp_id, weights, read_id, perm, tsorted, mult
+                )
+
+            t, niter = squarem_loop(f, init, max_iter, conv, min_iters)
+            t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+            return f(t), niter
+
         def rel_diff(prev, curr):
             mask = prev > MIN_READ_THRESH
             safe = jnp.where(mask, prev, 1.0)
@@ -189,6 +202,7 @@ def sharded_em(
     dtype=jnp.float32,
     devices=None,
     num_shards: int = 0,
+    accel: str = "none",
 ) -> Tuple[np.ndarray, int]:
     """Host entry: shard the CSR, run the mesh EM, return (counts[T], niter)."""
     if devices is None:
@@ -197,7 +211,7 @@ def sharded_em(
     devices = devices[:D]
     mesh = Mesh(np.array(devices), ("data",))
     sh = ShardedCsr(txp_id, weights, boundaries, num_txps, D)
-    run = make_sharded_em(mesh, num_txps, sh.r_pad, max_iter)
+    run = make_sharded_em(mesh, num_txps, sh.r_pad, max_iter, accel=accel)
     init_p = jnp.concatenate(
         [jnp.asarray(init, dtype=dtype), jnp.zeros(1, dtype=dtype)]
     )

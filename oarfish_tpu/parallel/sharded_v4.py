@@ -163,14 +163,26 @@ class ShardedV4:
         return out
 
 
-def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50):
+def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50,
+                           accel: str = "none"):
     """Jitted shard_map EM: (stacked data, init[T], conv, mult|None) ->
-    (counts[T], niter); one psum per iteration."""
+    (counts[T], niter); one psum per iteration (three per SQUAREM
+    cycle with `accel="squarem"` — the extrapolation itself works on
+    the replicated T-vector, so no extra collectives)."""
 
     def em_local(data, init, conv, mult):
         def m_step(prev):
             local = _m_step_v4(data, prev, mult)
             return jax.lax.psum(local, "data")
+
+        if accel == "squarem":
+            from ..ops.em import squarem_loop
+
+            prev, niter = squarem_loop(
+                m_step, init, max_iter, conv, min_iters
+            )
+            prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
+            return m_step(prev), niter
 
         def cond(state):
             niter, _prev, converged = state
@@ -211,7 +223,7 @@ def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50):
 
 
 def make_sharded_v4_batch_runner(
-    mesh: Mesh, max_iter: int, min_iters: int = 50
+    mesh: Mesh, max_iter: int, min_iters: int = 50, accel: str = "none"
 ):
     """Batched bootstrap-replicate EMs over the mesh: every shard runs
     all B replicates vmapped through its routed m-step (the static
@@ -229,6 +241,16 @@ def make_sharded_v4_batch_runner(
                 prev_b, mult_b
             )
             return jax.lax.psum(local, "data")
+
+        if accel == "squarem":
+            from ..ops.em import squarem_loop
+
+            t, niter = squarem_loop(
+                m_step_b, init_b, max_iter, conv, min_iters,
+                batched=True,
+            )
+            t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+            return m_step_b(t), niter
 
         def cond(state):
             niter, _prev, convg = state
@@ -274,13 +296,14 @@ def sharded_v4_bootstrap(
     convergence_thresh: float = 1e-3,
     dtype=jnp.float32,
     batch: int = 8,
+    accel: str = "none",
 ) -> np.ndarray:
     """Run all replicates of `mult` ([n_boot, R]) through the mesh in
     vmapped batches of `batch` (the last batch padded by repetition so
     one compilation serves all); returns [n_boot, T] f64 counts."""
     n_boot = mult.shape[0]
     BB = min(batch, n_boot)
-    runner = make_sharded_v4_batch_runner(mesh, max_iter)
+    runner = make_sharded_v4_batch_runner(mesh, max_iter, accel=accel)
     init_j = jnp.asarray(init, dtype=dtype)
     conv_j = jnp.asarray(convergence_thresh, dtype=dtype)
     out = []
@@ -327,6 +350,7 @@ def sharded_v4_em(
     devices=None,
     num_shards: int = 0,
     multiplicity: Optional[np.ndarray] = None,
+    accel: str = "none",
 ) -> Tuple[np.ndarray, int]:
     """Host entry: envelope-build the shards, run the mesh EM, return
     (counts[T] f64, niter). Raises ValueError where v4 routing is
@@ -335,7 +359,7 @@ def sharded_v4_em(
         txp_id, weights, boundaries, num_txps,
         devices=devices, num_shards=num_shards,
     )
-    run = make_sharded_v4_runner(mesh, max_iter)
+    run = make_sharded_v4_runner(mesh, max_iter, accel=accel)
     mult = (
         None
         if multiplicity is None

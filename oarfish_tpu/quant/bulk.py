@@ -328,7 +328,9 @@ def perform_inference_and_write_output(
                     store.txp_id, w, store.boundaries, T,
                     num_shards=args.num_shards,
                 )
-                run = make_sharded_v4_runner(mesh, args.max_em_iter)
+                run = make_sharded_v4_runner(
+                    mesh, args.max_em_iter, accel=args.em_accel
+                )
                 counts_j, niter = run(
                     sh.data,
                     jnp.asarray(init_arr, dtype=dtype),
@@ -356,6 +358,7 @@ def perform_inference_and_write_output(
                         max_iter=args.max_em_iter,
                         convergence_thresh=args.convergence_thresh,
                         dtype=dtype,
+                        accel=args.em_accel,
                     )
                     log.info(
                         "%d sharded bootstrap replicates in %.3fs",
@@ -380,6 +383,7 @@ def perform_inference_and_write_output(
                 convergence_thresh=args.convergence_thresh,
                 dtype=dtype,
                 num_shards=args.num_shards,
+                accel=args.em_accel,
             )
             log.info(
                 "sharded EM (%d shards) converged after %d iterations "

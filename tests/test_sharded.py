@@ -72,3 +72,53 @@ def test_global_assembly_path_matches_oracle():
     )
     want = do_em_oracle(txp_id, w, boundaries, T, max_iter=150)
     np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_squarem_matches_unsharded():
+    """SQUAREM over the mesh (segsum + v4) reaches the unsharded
+    accelerated fixed point; per-shard psum summation order makes the
+    trajectories diverge microscopically, so fixed-point tolerance."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from oarfish_tpu.ops.em import EmData, run_em_squarem
+    from oarfish_tpu.parallel.sharded_em import sharded_em
+    from oarfish_tpu.parallel.sharded_v4 import sharded_v4_em
+
+    rng = np.random.default_rng(3)
+    R, T = 20000, 800
+    sizes = rng.integers(2, 7, size=R)
+    A = int(sizes.sum())
+    bd = np.zeros(R + 1, np.int64)
+    np.cumsum(sizes, out=bd[1:])
+    base = rng.integers(0, T - 8, size=R)
+    tid = (
+        np.repeat(base, sizes)
+        + np.concatenate([np.arange(s) for s in sizes])
+    )
+    w = np.exp(rng.normal(0, 0.05, A))
+    read_id = np.repeat(np.arange(R, dtype=np.int32), sizes)
+    init = np.full(T, R / T, np.float64)
+
+    data = EmData.build(tid, w, read_id, R, T, dtype=jnp.float64)
+    c_ref, n_ref = run_em_squarem(data, jnp.asarray(init), 2000, 1e-6)
+    c_sh, n_sh = sharded_em(
+        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        dtype=jnp.float64, num_shards=8, accel="squarem",
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_sh), np.asarray(c_ref), rtol=2e-3, atol=0.01
+    )
+    # plain EM on this slow-mixing problem needs >2x the m-steps
+    c_pl, n_pl = sharded_em(
+        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        dtype=jnp.float64, num_shards=8,
+    )
+    assert int(n_sh) < int(n_pl) // 2, (int(n_sh), int(n_pl))
+    c4, n4 = sharded_v4_em(
+        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        dtype=jnp.float64, num_shards=8, accel="squarem",
+    )
+    np.testing.assert_allclose(
+        np.asarray(c4), np.asarray(c_ref), rtol=2e-3, atol=0.01
+    )
