@@ -150,8 +150,12 @@ class CellBatch:
             num_reads=r_p + 1,
             num_txps=t_p + 1,
         )
+        if args.em_accel == "squarem":
+            from ..ops.em import run_em_squarem as _run
+        else:
+            _run = run_em
         counts, _ = jax.vmap(
-            lambda d, i0: run_em(
+            lambda d, i0: _run(
                 d, i0, args.max_em_iter, args.convergence_thresh
             )
         )(data, jnp.asarray(init, dtype=dtype))

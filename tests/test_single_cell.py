@@ -96,3 +96,20 @@ def test_single_cell_end_to_end(sc_sim, model_coverage):
     # per-cell reads sum ~ to matrix mass
     assert m.sum() == pytest.approx(
         sum(v.sum() for v in oracle.values()), rel=1e-4)
+
+
+def test_single_cell_squarem_matches_plain(sc_sim):
+    """--em-accel squarem on the batched per-cell EMs lands at the
+    same count matrix (fixed-point tolerance)."""
+    d, p, names, lengths = sc_sim
+    out_p = d / "sq_plain" / "sc"
+    out_s = d / "sq_accel" / "sc"
+    for out, accel in [(out_p, "none"), (out_s, "squarem")]:
+        rc = main([
+            "--alignments", str(p), "-o", str(out), "--single-cell",
+            "--em-dtype", "float64", "--em-accel", accel, "--quiet",
+        ])
+        assert rc == 0
+    mp = read_mtx(str(out_p) + ".count.mtx", len(names))
+    ms = read_mtx(str(out_s) + ".count.mtx", len(names))
+    np.testing.assert_allclose(ms, mp, rtol=5e-3, atol=0.05)
