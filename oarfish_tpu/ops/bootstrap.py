@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .em import EmData, run_em, uniform_init
+from .em import EmData, run_em, run_em_squarem, uniform_init
 
 
 def sample_multiplicities(
@@ -39,6 +39,7 @@ def bootstrap(
     init_abundances: Optional[np.ndarray] = None,
     dtype=jnp.float32,
     seed: int = 0,
+    accel: str = "none",
 ) -> np.ndarray:
     """Run `num_boot` replicates; returns [B, T] f64 counts."""
     rng = np.random.default_rng(seed)
@@ -51,8 +52,9 @@ def bootstrap(
         # per-replicate total weight: the multiset size is exactly R
         init = uniform_init(data, dtype)
 
+    run_one = run_em_squarem if accel == "squarem" else run_em
     run = jax.vmap(
-        lambda m: run_em(
+        lambda m: run_one(
             data, init, max_iter, convergence_thresh, multiplicity=m
         )[0]
     )

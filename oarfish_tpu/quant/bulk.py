@@ -412,6 +412,7 @@ def perform_inference_and_write_output(
                     init_abundances=init,
                     dtype=dtype,
                     seed=args.seed,
+                    accel=args.em_accel,
                 )
             write_infrep_file(args.output, np.asarray(breps))
         if args.write_assignment_probs is not None:
@@ -505,6 +506,7 @@ def perform_inference_and_write_output(
                 init_abundances=init,
                 dtype=dtype,
                 seed=args.seed,
+                accel=args.em_accel,
             )
         log.info(
             "%d bootstrap replicates in %.3fs",
