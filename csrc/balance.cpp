@@ -375,6 +375,41 @@ void oarfish_v4_small_slots(int64_t n, const int64_t* tid,
   for (auto& th : pool) th.join();
 }
 
+// CSR ramp fill: out[off[i]+j] = base[i] + j for j in [0, off[i+1]-off[i])
+// — the NumPy `repeat(base, sizes) + (arange(tot) - repeat(off, sizes))`
+// expansion in one pass.
+void oarfish_ramp_fill(int64_t n_items, const int64_t* off,
+                       const int64_t* base, int64_t* out) {
+  for (int64_t i = 0; i < n_items; i++) {
+    int64_t* o = out + off[i];
+    const int64_t m = off[i + 1] - off[i], b = base[i];
+    for (int64_t j = 0; j < m; j++) o[j] = b + j;
+  }
+}
+
+// Stable counting sort by small int key: writes order (positions sorted
+// by (key, position)), per-element rank within its key run (position
+// order), and run_start[T+1] offsets. Replaces an A-sized argsort +
+// cumsum arithmetic. Keys must lie in [0, T); returns nonzero if not.
+int64_t oarfish_rank_by_key(int64_t n, const int64_t* key, int64_t T,
+                            int64_t* order, int64_t* rank,
+                            int64_t* run_start) {
+  for (int64_t i = 0; i < n; i++)
+    if (key[i] < 0 || key[i] >= T) return 1;
+  std::vector<int64_t> cnt(T + 1, 0);
+  for (int64_t i = 0; i < n; i++) cnt[key[i] + 1]++;
+  for (int64_t t = 0; t < T; t++) cnt[t + 1] += cnt[t];
+  memcpy(run_start, cnt.data(), size_t(T + 1) * sizeof(int64_t));
+  std::vector<int64_t> pos(cnt.begin(), cnt.end() - 1);
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t k = key[i];
+    const int64_t p = pos[k]++;
+    order[p] = i;
+    rank[i] = p - run_start[k];
+  }
+  return 0;
+}
+
 // 2-D flow histogram: F[(a[i]/div)*n_dst + b[i]/div] += 1 over
 // i in idx[0:n_idx] (idx NULL = all of [0, n)). F must arrive zeroed.
 void oarfish_flows2d(int64_t n, const int64_t* a, const int64_t* b,

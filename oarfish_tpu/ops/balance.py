@@ -97,6 +97,12 @@ def get_lib():
         ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
         ctypes.c_int32,
     ]
+    lib.oarfish_ramp_fill.restype = None
+    lib.oarfish_ramp_fill.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.oarfish_rank_by_key.restype = ctypes.c_int64
+    lib.oarfish_rank_by_key.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_int64, i64p, i64p, i64p,
+    ]
     lib.oarfish_flows2d.restype = None
     lib.oarfish_flows2d.argtypes = [
         ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int64,
@@ -146,6 +152,37 @@ def small_slots(tid, rank, out_pos, bst, bK, row_of, slot_out,
         np.ascontiguousarray(row_of, np.int64), slot_out, threads,
     )
     return True
+
+
+def ramp_fill(off, base, total: int):
+    """Native CSR expansion out[off[i]+j] = base[i]+j; None when the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(total, dtype=np.int64)
+    lib.oarfish_ramp_fill(
+        len(base), np.ascontiguousarray(off, np.int64),
+        np.ascontiguousarray(base, np.int64), out,
+    )
+    return out
+
+
+def rank_by_key(key, T: int):
+    """Native stable counting sort by small int key: returns
+    (order, rank-within-run, run_start[T+1]) or None when the library
+    is unavailable. Raises on out-of-range keys."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.int64)
+    order = np.empty(len(key), np.int64)
+    rank = np.empty(len(key), np.int64)
+    run_start = np.empty(T + 1, np.int64)
+    rc = lib.oarfish_rank_by_key(len(key), key, T, order, rank, run_start)
+    if rc != 0:
+        raise ValueError(f"rank_by_key: key out of range [0, {T})")
+    return order, rank, run_start
 
 
 def flows2d(a, b, div, n_src, n_dst, idx=None):

@@ -366,13 +366,18 @@ def _v4_layout(
     big_start = n_small_slots
     n_slots_t = n_small_slots + big_rows_pad * CAPK
 
-    # per-alignment rank within its transcript
-    ord2 = np.argsort(txp_id, kind="stable")
-    run_start = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(counts, out=run_start[1:])
-    rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
-    rank = np.zeros(A, dtype=np.int64)
-    rank[ord2] = rank_sorted
+    # per-alignment rank within its transcript (native counting sort;
+    # the NumPy form costs an A-sized stable argsort + 4 more passes)
+    _rk = _balance.rank_by_key(txp_id, T)
+    if _rk is not None:
+        ord2, rank, run_start = _rk
+    else:
+        ord2 = np.argsort(txp_id, kind="stable")
+        run_start = np.zeros(T + 1, dtype=np.int64)
+        np.cumsum(counts, out=run_start[1:])
+        rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
+        rank = np.zeros(A, dtype=np.int64)
+        rank[ord2] = rank_sorted
 
     # ---- big-transcript slots (fixed contiguous rows; their alignment
     # slots smear across many chunks per group, self-decorrelating)
@@ -501,8 +506,14 @@ def _v4_layout(
     off_r = np.zeros(len(items_r) + 1, dtype=np.int64)
     np.cumsum(sizes_r, out=off_r[1:])
     tot_r = int(off_r[-1])
-    col_r = np.arange(tot_r) - np.repeat(off_r[:-1], sizes_r)
-    aln_idx_r = np.repeat(boundaries[items_r], sizes_r) + col_r
+    aln_idx_r = _balance.ramp_fill(off_r, boundaries[items_r], tot_r)
+    if aln_idx_r is None:
+        col_r = np.arange(tot_r) - np.repeat(off_r[:-1], sizes_r)
+        aln_idx_r = np.repeat(boundaries[items_r], sizes_r) + col_r
+    else:
+        # only the NumPy _apply_reads fallback needs col_r, and native
+        # ramp_fill implies the native read_slots path is available
+        col_r = None
     if use_balance and len(items_r):
         p = rng_b.permutation(len(items_r))
         order_r = p[np.argsort(-sizes_r[p], kind="stable")]
@@ -552,10 +563,14 @@ def _v4_layout(
     # ---- pass 3: re-place small transcripts against the chosen read
     # layout (transposed flow matrix, big flows preloaded)
     if use_balance and len(items_t):
-        col_t = np.arange(int(off_t[-1])) - np.repeat(
-            off_t[:-1], sizes_t
+        idx_t = _balance.ramp_fill(
+            off_t, run_start[items_t], int(off_t[-1])
         )
-        idx_t = np.repeat(run_start[items_t], sizes_t) + col_t
+        if idx_t is None:
+            col_t = np.arange(int(off_t[-1])) - np.repeat(
+                off_t[:-1], sizes_t
+            )
+            idx_t = np.repeat(run_start[items_t], sizes_t) + col_t
         src3 = (slot_of_aln[ord2[idx_t]] // BCH).astype(np.int32)
         F3 = np.zeros((n_chk, n_chk), dtype=np.int32)
         if n_big_real:
@@ -609,10 +624,14 @@ def _v4_layout(
             CHR_sel = CRsel * LANES
             nT = nR = npad_sel // CHR_sel
             Q_target = None
-        idx_t2 = np.repeat(run_start[items_t], sizes_t) + (
-            np.arange(int(off_t[-1]))
-            - np.repeat(off_t[:-1], sizes_t)
+        idx_t2 = _balance.ramp_fill(
+            off_t, run_start[items_t], int(off_t[-1])
         )
+        if idx_t2 is None:
+            idx_t2 = np.repeat(run_start[items_t], sizes_t) + (
+                np.arange(int(off_t[-1]))
+                - np.repeat(off_t[:-1], sizes_t)
+            )
         aln_t = ord2[idx_t2]  # alignment ids in txp-item CSR order
         import logging
 
