@@ -128,6 +128,29 @@ def bench_cpu(txp_id, w, boundaries, read_id, iters):
     return (time.perf_counter() - t0) / CPU_ITERS * iters
 
 
+def probe_device(timeout=240):
+    """Fast health check of the TPU tunnel: a trivial jit + host
+    transfer in a subprocess. When the tunnel is degraded (observed:
+    multi-minute hangs on a 256x256 matmul) every full phase would eat
+    its whole multi-minute timeout — the fallback chain then takes ~30
+    minutes to conclude the device is unusable. Probe once, skip
+    straight to the CPU fallback on failure."""
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256)));"
+        "print('PROBE', float(np.asarray(y.sum())))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+            env=dict(os.environ),
+        )
+        return r.returncode == 0 and "PROBE" in r.stdout
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def run_sub(env_extra, timeout):
     env = dict(os.environ, **env_extra)
     try:
@@ -171,18 +194,24 @@ def main():
 
     res = None
     scale = "unset"
-    if not quick:
+    device_ok = probe_device()
+    if not device_ok:
+        sys.stderr.write(
+            "device probe failed (tunnel degraded/unavailable); "
+            "skipping TPU phases\n"
+        )
+    if device_ok and not quick:
         scale = "full-v4"
         res = sub({"OARFISH_BENCH_IMPL": "v4"}, V3_TIMEOUT_S)
         if res is None:
             scale = "full-v3"
             res = sub({"OARFISH_BENCH_IMPL": "v3"}, V3_TIMEOUT_S)
-    if res is None:
+    if res is None and device_ok:
         # quick mode goes straight to fast: the v4/v3 route builds +
         # compiles routinely exceed the quick timeout at quick shape
         scale = "full" if not quick else "quick-fast"
         res = sub({"OARFISH_BENCH_IMPL": "fast"}, FULL_TIMEOUT_S)
-    if res is None:
+    if res is None and device_ok:
         scale = "quick"
         res = run_sub({"OARFISH_BENCH_SCALE": "quick",
                        "OARFISH_BENCH_IMPL": "fast"}, QUICK_TIMEOUT_S)
