@@ -412,18 +412,21 @@ int64_t oarfish_rank_by_key(int64_t n, const int64_t* key, int64_t T,
 
 // 2-D flow histogram: F[(a[i]/div)*n_dst + b[i]/div] += 1 over
 // i in idx[0:n_idx] (idx NULL = all of [0, n)). F must arrive zeroed.
-void oarfish_flows2d(int64_t n, const int64_t* a, const int64_t* b,
-                     const int64_t* idx, int64_t n_idx, int64_t div,
-                     int64_t n_src, int64_t n_dst, int32_t* F) {
-  if (idx) {
-    for (int64_t k = 0; k < n_idx; k++) {
-      const int64_t i = idx[k];
-      F[(a[i] / div) * n_dst + b[i] / div] += 1;
-    }
-  } else {
-    for (int64_t i = 0; i < n; i++)
-      F[(a[i] / div) * n_dst + b[i] / div] += 1;
+// Bounds are CHECKED (the NumPy np.add.at this replaces raised on
+// out-of-range indices; silent heap writes would be strictly worse):
+// returns 0 on success, 1 on an out-of-range element or idx entry.
+int64_t oarfish_flows2d(int64_t n, const int64_t* a, const int64_t* b,
+                        const int64_t* idx, int64_t n_idx, int64_t div,
+                        int64_t n_src, int64_t n_dst, int32_t* F) {
+  const int64_t count = idx ? n_idx : n;
+  for (int64_t k = 0; k < count; k++) {
+    const int64_t i = idx ? idx[k] : k;
+    if (i < 0 || i >= n) return 1;
+    const int64_t r = a[i] / div, c = b[i] / div;
+    if (a[i] < 0 || b[i] < 0 || r >= n_src || c >= n_dst) return 1;
+    F[r * n_dst + c] += 1;
   }
+  return 0;
 }
 
 }  // extern "C"

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 from pathlib import Path
 from typing import List, Optional, Tuple
@@ -43,17 +44,22 @@ def get_lib():
     src = _CSRC / "balance.cpp"
 
     def build() -> bool:
+        """Compile to a temp path and replace atomically on success, so
+        a failed rebuild never destroys a working (if stale) library."""
         if not src.exists():
             return False
+        tmp = _LIB_PATH.with_suffix(".so.new")
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", str(src), "-o", str(_LIB_PATH), "-pthread"],
+                 "-fPIC", str(src), "-o", str(tmp), "-pthread"],
                 check=True, capture_output=True, timeout=300,
             )
+            os.replace(tmp, _LIB_PATH)
             return True
         except Exception as e:  # noqa: BLE001
             log.warning("could not build balance library: %s", e)
+            tmp.unlink(missing_ok=True)
             return False
 
     if not _LIB_PATH.exists() and not build():
@@ -63,10 +69,11 @@ def get_lib():
     except OSError as e:  # pragma: no cover
         log.warning("could not load balance library: %s", e)
         return None
-    if not hasattr(lib, "oarfish_v4_read_slots"):
-        # stale library from before the slot-fill helpers: rebuild
+    if not hasattr(lib, "oarfish_rank_by_key"):
+        # stale library from before the newest helpers: rebuild (the
+        # old .so survives if the rebuild fails, but its entry points
+        # no longer match — treat as unavailable)
         del lib
-        _LIB_PATH.unlink(missing_ok=True)
         if not build():
             return None
         try:
@@ -103,7 +110,7 @@ def get_lib():
     lib.oarfish_rank_by_key.argtypes = [
         ctypes.c_int64, i64p, ctypes.c_int64, i64p, i64p, i64p,
     ]
-    lib.oarfish_flows2d.restype = None
+    lib.oarfish_flows2d.restype = ctypes.c_int64
     lib.oarfish_flows2d.argtypes = [
         ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p,
@@ -196,13 +203,20 @@ def flows2d(a, b, div, n_src, n_dst, idx=None):
     a = np.ascontiguousarray(a, np.int64)
     b = np.ascontiguousarray(b, np.int64)
     if idx is None:
-        lib.oarfish_flows2d(len(a), a, b, None, 0, div, n_src, n_dst, F)
+        rc = lib.oarfish_flows2d(
+            len(a), a, b, None, 0, div, n_src, n_dst, F
+        )
     else:
         idx = np.ascontiguousarray(idx, np.int64)
-        lib.oarfish_flows2d(
+        rc = lib.oarfish_flows2d(
             len(a), a, b,
             idx.ctypes.data_as(ctypes.c_void_p), len(idx),
             div, n_src, n_dst, F,
+        )
+    if rc != 0:
+        raise IndexError(
+            f"flows2d: index out of range for [{n_src}, {n_dst}] "
+            f"grid at div={div}"
         )
     return F
 

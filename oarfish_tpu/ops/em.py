@@ -192,8 +192,10 @@ def squarem_loop(
         sel = jnp.where
 
     def cond(state):
+        # a cycle costs 3 m-steps; max_iter is a HARD cap on m-step
+        # applications (the loop may therefore stop up to 2 short)
         niter, _t, conv = state
-        return jnp.any((niter < max_iter) & (~conv))
+        return jnp.any((niter + 3 <= max_iter) & (~conv))
 
     def body(state):
         niter, t0, conv = state
@@ -234,6 +236,24 @@ def squarem_loop(
     return t, niter
 
 
+def squarem_em(
+    m_step,
+    init: jax.Array,
+    max_iter: int,
+    convergence_thresh,
+    min_iters: int = 50,
+    batched: bool = False,
+):
+    """Full accelerated-EM protocol shared by every impl: SQUAREM loop,
+    zero-below-MIN_READ_THRESH, one final m-step (`em.rs:238-252`)."""
+    t, niter = squarem_loop(
+        m_step, init, max_iter, convergence_thresh, min_iters,
+        batched=batched,
+    )
+    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
+    return m_step(t), niter
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "min_iters")
 )
@@ -246,13 +266,10 @@ def run_em_squarem(
     min_iters: int = 50,
 ):
     """`run_em` with SQUAREM acceleration (see `squarem_loop`)."""
-    t, niter = squarem_loop(
+    return squarem_em(
         lambda p: _m_step(data, p, multiplicity),
         init, max_iter, convergence_thresh, min_iters,
     )
-    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-    counts = _m_step(data, t, multiplicity)
-    return counts, niter
 
 
 def uniform_init(data: EmData, dtype, total_weight: Optional[float] = None):

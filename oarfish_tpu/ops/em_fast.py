@@ -368,13 +368,10 @@ def run_em_fast_squarem(
     multiplicity: Optional[jax.Array] = None,
     min_iters: int = 50,
 ):
-    """`run_em_fast` with SQUAREM acceleration (`em.squarem_loop`)."""
-    from .em import squarem_loop
+    """`run_em_fast` with SQUAREM acceleration (`em.squarem_em`)."""
+    from .em import squarem_em
 
-    t, niter = squarem_loop(
+    return squarem_em(
         lambda p: _m_step_fast(data, p, multiplicity),
         init, max_iter, convergence_thresh, min_iters,
     )
-    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-    counts = _m_step_fast(data, t, multiplicity)
-    return counts, niter

@@ -300,15 +300,12 @@ def make_runner(data: EmV3Data, accel: str = "none"):
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
 def _run_em_v3_squarem_jit(data, init, max_iter, convergence_thresh,
                            multiplicity=None, min_iters=50):
-    from .em import squarem_loop
+    from .em import squarem_em
 
-    t, niter = squarem_loop(
+    return squarem_em(
         lambda p: _m_step_v3(data, p, multiplicity),
         init, max_iter, convergence_thresh, min_iters,
     )
-    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-    counts = _m_step_v3(data, t, multiplicity)
-    return counts, niter
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))

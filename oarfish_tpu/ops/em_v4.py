@@ -1266,22 +1266,19 @@ def make_runner(data: EmV4Data, accel: str = "none"):
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
 def _run_em_v4_squarem_jit(data, init, max_iter, convergence_thresh,
                            multiplicity=None, min_iters=50):
-    from .em import squarem_loop
+    from .em import squarem_em
 
-    t, niter = squarem_loop(
+    return squarem_em(
         lambda p: _m_step_v4(data, p, multiplicity),
         init, max_iter, convergence_thresh, min_iters,
     )
-    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-    counts = _m_step_v4(data, t, multiplicity)
-    return counts, niter
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
 def run_em_v4_batch_squarem(data, init, max_iter, convergence_thresh,
                             mult, min_iters=50):
     """`run_em_v4_batch` with per-replicate SQUAREM acceleration."""
-    from .em import squarem_loop
+    from .em import squarem_em
 
     B = mult.shape[0]
     init_b = jnp.broadcast_to(init, (B,) + init.shape)
@@ -1289,13 +1286,10 @@ def run_em_v4_batch_squarem(data, init, max_iter, convergence_thresh,
     def m_step_b(prev_b):
         return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult)
 
-    t, niter = squarem_loop(
+    return squarem_em(
         m_step_b, init_b, max_iter, convergence_thresh, min_iters,
         batched=True,
     )
-    t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-    counts = m_step_b(t)
-    return counts, niter
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))

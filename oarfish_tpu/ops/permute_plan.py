@@ -93,15 +93,22 @@ def _get_color_lib():
     so = csrc / "liboarfish_color.so"
 
     def build() -> bool:
+        """Compile to a temp path and replace atomically on success, so
+        a failed rebuild never destroys a working (if stale) library."""
+        import os
+
+        tmp = so.with_suffix(".so.new")
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 str(csrc / "euler_color.cpp"), "-o", str(so),
+                 str(csrc / "euler_color.cpp"), "-o", str(tmp),
                  "-pthread"],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, so)
             return True
         except Exception:  # noqa: BLE001
+            tmp.unlink(missing_ok=True)
             return False
 
     if not so.exists() and not build():
@@ -112,8 +119,8 @@ def _get_color_lib():
         return None
     if not hasattr(lib, "oarfish_route_tables"):
         # stale library from before the newest entry point: rebuild
+        # (kept on disk if the rebuild fails, but treated unavailable)
         del lib
-        so.unlink(missing_ok=True)
         if not build():
             return None
         try:

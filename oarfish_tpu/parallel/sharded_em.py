@@ -131,16 +131,14 @@ def make_sharded_em(
 
     def em_loop(txp_id, weights, read_id, perm, tsorted, init, conv, mult):
         if accel == "squarem":
-            from ..ops.em import squarem_loop
+            from ..ops.em import squarem_em
 
             def f(prev):
                 return m_step(
                     prev, txp_id, weights, read_id, perm, tsorted, mult
                 )
 
-            t, niter = squarem_loop(f, init, max_iter, conv, min_iters)
-            t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-            return f(t), niter
+            return squarem_em(f, init, max_iter, conv, min_iters)
 
         def rel_diff(prev, curr):
             mask = prev > MIN_READ_THRESH

@@ -176,13 +176,9 @@ def make_sharded_v4_runner(mesh: Mesh, max_iter: int, min_iters: int = 50,
             return jax.lax.psum(local, "data")
 
         if accel == "squarem":
-            from ..ops.em import squarem_loop
+            from ..ops.em import squarem_em
 
-            prev, niter = squarem_loop(
-                m_step, init, max_iter, conv, min_iters
-            )
-            prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
-            return m_step(prev), niter
+            return squarem_em(m_step, init, max_iter, conv, min_iters)
 
         def cond(state):
             niter, _prev, converged = state
@@ -243,14 +239,12 @@ def make_sharded_v4_batch_runner(
             return jax.lax.psum(local, "data")
 
         if accel == "squarem":
-            from ..ops.em import squarem_loop
+            from ..ops.em import squarem_em
 
-            t, niter = squarem_loop(
+            return squarem_em(
                 m_step_b, init_b, max_iter, conv, min_iters,
                 batched=True,
             )
-            t = jnp.where(t < MIN_READ_THRESH, 0.0, t)
-            return m_step_b(t), niter
 
         def cond(state):
             niter, _prev, convg = state

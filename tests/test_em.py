@@ -146,6 +146,9 @@ def test_squarem_same_fixed_point_fewer_steps():
     np.testing.assert_allclose(c_sq, c_em, rtol=5e-3, atol=0.05)
     # and materially fewer m-step applications
     assert int(n_sq) < int(n_em) // 2, (int(n_sq), int(n_em))
+    # --max-em-iter is a HARD cap on m-step applications
+    _, n_cap = run_em_squarem(data, init, 10, 1e-12, min_iters=0)
+    assert int(n_cap) <= 10, int(n_cap)
 
 
 def test_squarem_v4_batch_matches_single():

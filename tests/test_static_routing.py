@@ -456,3 +456,38 @@ def test_v4_rect_geometry_em_vs_oracle():
     assert abs(got.sum() - R) / R < 1e-4
     l1 = np.abs(got - want).sum() / R
     assert l1 < 2e-3, f"L1/read {l1}"
+
+
+def test_global_route_numpy_fallback_matches_native():
+    """The NumPy table-build fallback (used when the native library is
+    unavailable) routes identically to the native path, at both square
+    and multi-group chunk geometries. Locks in the fallback per the
+    repo's parity rule — every fast path differential-tested."""
+    import jax
+    import numpy as np
+
+    import oarfish_tpu.ops.static_permute as sp
+    from oarfish_tpu.ops.static_permute import GlobalRoute
+
+    rng = np.random.default_rng(17)
+    for n_pad, E, CR in [(1 << 16, 24000, 128), (1 << 17, 70000, 256)]:
+        in_idx = rng.choice(n_pad, size=E, replace=False).astype(np.int64)
+        out_idx = rng.choice(n_pad, size=E, replace=False).astype(
+            np.int64
+        )
+        x = rng.standard_normal(n_pad).astype(np.float32)
+        want = np.zeros(n_pad, np.float32)
+        want[out_idx] = x[in_idx]
+
+        gr_native = GlobalRoute(out_idx, in_idx, n_pad, chunk_rows=CR)
+        y_native = np.asarray(gr_native(jax.numpy.asarray(x)))
+        np.testing.assert_array_equal(y_native, want)
+
+        orig = sp.route_tables_native
+        sp.route_tables_native = lambda *a, **k: False
+        try:
+            gr_np = GlobalRoute(out_idx, in_idx, n_pad, chunk_rows=CR)
+        finally:
+            sp.route_tables_native = orig
+        y_np = np.asarray(gr_np(jax.numpy.asarray(x)))
+        np.testing.assert_array_equal(y_np, want)
