@@ -182,7 +182,11 @@ def pack_bam_fast(
 
     read_names = None
     if keep_names and group_names is not None:
-        read_names = [group_names[g] for g in packed.group_of_read]
+        from .store import NameBlob
+
+        read_names = NameBlob.from_indexed(
+            group_names, packed.group_of_read
+        )
 
     store = AlignmentStore(
         txp_id=packed.txp_id,

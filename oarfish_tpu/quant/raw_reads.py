@@ -22,7 +22,7 @@ from ..config import Args, FilterOpts
 from ..constants import EMPTY_READ_NAME
 from ..host.filters import DiscardTable
 from ..host.mapper import Mapper, index_digest_footer
-from ..host.store import AlignmentStore, TranscriptCoverage
+from ..host.store import AlignmentStore, NameBlob, TranscriptCoverage
 from ..host.vector_filter import RecordColumns, filter_records
 from ..io.fasta import iter_fastx, read_fasta_concat
 from ..utils.digest import digest_result_json
@@ -124,7 +124,7 @@ def quantify_bulk_alignments_raw_reads(args: Args, opts: FilterOpts):
     csr_end: List[np.ndarray] = []
     csr_prob: List[np.ndarray] = []
     csr_sizes: List[np.ndarray] = []
-    names_out: Optional[List[str]] = [] if keep_names else None
+    names_out = NameBlob() if keep_names else None
     num_unique = 0
     n_reads_total = 0
 
