@@ -143,34 +143,61 @@ def write_out_prob(
             "cannot write assignment probabilities without read names"
         )
 
-    lines: List[str] = [f"{len(txps_name)}\t{store.num_reads}"]
-    lines.extend(txps_name)
+    # Fully vectorized over alignments (a per-read Python loop costs
+    # minutes at 5M reads): posterior math as flat array passes, number
+    # formatting via np.char (C printf), and line assembly as one
+    # object-token array joined once.
+    R = store.num_reads
+    read_id = store.read_ids()
+    probs = store.as_prob.astype(np.float64)
+    if model_coverage:
+        probs = probs * store.cov_prob
+    w = counts[store.txp_id] * probs
+    # per-read denominators summed sequentially (bincount), matching the
+    # reference's in-order f64 accumulation (`write_function.rs:262-270`)
+    denom = np.bincount(read_id, weights=w, minlength=R)
+    d = denom[read_id]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nprob = np.where(
+            d != 0.0,
+            np.clip(np.divide(w, np.where(d != 0.0, d, 1.0)), 0.0, 1.0),
+            np.nan,
+        )
+    keep = nprob >= display_thresh  # NaN compares False, like Rust
+    kept_rid = read_id[keep]
+    kept_t = store.txp_id[keep]
+    kept_p = nprob[keep]
+    k = np.bincount(kept_rid, minlength=R)
+    denom2 = np.bincount(kept_rid, weights=kept_p, minlength=R)
+    d2 = denom2[kept_rid]
+    kept_p = np.where(d2 != 0.0, kept_p / np.where(d2 != 0.0, d2, 1.0),
+                      kept_p)
 
-    cov = store.cov_prob if model_coverage else None
-    for r in range(store.num_reads):
-        s, e = int(store.boundaries[r]), int(store.boundaries[r + 1])
-        tids = store.txp_id[s:e]
-        probs = store.as_prob[s:e].astype(np.float64)
-        if cov is not None:
-            probs = probs * cov[s:e]
-        w = counts[tids] * probs
-        denom = float(w.sum())
-        nprob = np.clip(w / denom, 0.0, 1.0) if denom != 0.0 else w * np.nan
-        keep = nprob >= display_thresh  # NaN compares False, like Rust
-        kept_t = tids[keep]
-        kept_p = nprob[keep]
-        denom2 = float(kept_p.sum())
-        if denom2 != 0:
-            kept_p = kept_p / denom2
-        name = names[r].rstrip("\x00")
-        ids = "\t".join(str(int(t)) for t in kept_t)
-        pvals = "\t".join(f"{p:.{decimals}f}" for p in kept_p)
-        # exact reference line shape (`write_function.rs:296,330`):
-        # "<name>\t<k>\t<ids...>\t<probs...>" — the two joins are written
-        # even when empty, leaving trailing tabs for k == 0
-        lines.append(f"{name}\t{len(kept_t)}\t{ids}\t{pvals}")
+    # exact reference line shape (`write_function.rs:296,330`):
+    # "<name>\t<k>\t<ids...>\t<probs...>" — the two tab-joins are
+    # written even when empty, leaving trailing tabs for k == 0
+    id_tok = np.char.mod("\t%d", kept_t.astype(np.int64))
+    pv_tok = np.char.mod(f"\t%.{decimals}f", kept_p)
+    K = int(k.sum())
+    starts = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(1 + 2 * k, out=starts[1:])
+    koff = np.zeros(R + 1, dtype=np.int64)
+    np.cumsum(k, out=koff[1:])
+    within = np.arange(K) - np.repeat(koff[:-1], k)
+    tok = np.empty(int(starts[-1]), dtype=object)
+    tok[starts[:-1]] = [
+        (
+            f"\n{names[r].rstrip(chr(0))}\t{k[r]}"
+            if k[r]
+            else f"\n{names[r].rstrip(chr(0))}\t0\t\t"
+        )
+        for r in range(R)
+    ]
+    tok[np.repeat(starts[:-1] + 1, k) + within] = id_tok
+    tok[np.repeat(starts[:-1] + 1 + k, k) + within] = pv_tok
 
-    payload = ("\n".join(lines) + "\n").encode()
+    header = "\n".join([f"{len(txps_name)}\t{R}", *txps_name])
+    payload = (header + "".join(tok.tolist()) + "\n").encode()
     if compressed:
         with open(_with_extension(output, ".prob.lz4"), "wb") as fh:
             fh.write(lz4f.compress_frame(payload))

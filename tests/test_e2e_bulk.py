@@ -224,3 +224,72 @@ def test_cli_em_accel_squarem(sim):
     assert abs(qc.sum() - want.sum()) < 1e-6 * max(want.sum(), 1)
     np.testing.assert_allclose(qc, want, rtol=5e-3, atol=0.05)
     assert (Path(str(out) + ".infreps.pq")).exists()
+
+
+def test_write_out_prob_matches_scalar_oracle(tmp_path):
+    """The vectorized .prob writer reproduces a scalar transliteration
+    of the reference's write_out_prob (`write_function.rs:226-340`)
+    byte-for-byte, including k=0 trailing tabs and NaN-denominator
+    reads."""
+    from oarfish_tpu.host.filters import DiscardTable
+    from oarfish_tpu.host.store import AlignmentStore, NameBlob
+    from oarfish_tpu.quant.writers import (
+        prob_display_decimals,
+        write_out_prob,
+    )
+
+    rng = np.random.default_rng(9)
+    R, T = 400, 12
+    sizes = rng.integers(1, 6, R)
+    bd = np.zeros(R + 1, np.int64)
+    np.cumsum(sizes, out=bd[1:])
+    A = int(bd[-1])
+    tid = rng.integers(0, T, A).astype(np.int32)
+    prob = rng.random(A).astype(np.float32)
+    counts = rng.random(T) * 50
+    counts[3] = 0.0  # some zero-count transcripts
+    names = NameBlob()
+    for r in range(R):
+        names.append(f"rd{r}\x00" if r % 7 == 0 else f"rd{r}")
+    store = AlignmentStore(
+        txp_id=tid, start=np.ones(A, np.int64), end=np.ones(A, np.int64),
+        as_prob=prob, cov_prob=np.ones(A), boundaries=bd,
+        discard=DiscardTable(), read_names=names,
+    )
+    # make a few reads have denom == 0 (all their transcripts at 0)
+    z = rng.choice(R, 5, replace=False)
+    for r in z:
+        tid[bd[r] : bd[r + 1]] = 3
+
+    thresh = 1e-4
+    out = tmp_path / "v"
+    write_out_prob(out, store, counts, [f"t{i}" for i in range(T)],
+                   thresh, False, compressed=False)
+    got = (tmp_path / "v.prob").read_bytes()
+
+    # scalar transliteration (sequential f64 sums like the reference)
+    decimals = prob_display_decimals(thresh)
+    lines = [f"{T}\t{R}"] + [f"t{i}" for i in range(T)]
+    for r in range(R):
+        s, e = int(bd[r]), int(bd[r + 1])
+        den = 0.0
+        ws = []
+        for a in range(s, e):
+            wv = float(counts[tid[a]]) * float(np.float64(prob[a]))
+            ws.append(wv)
+            den += wv
+        kt, kp = [], []
+        for a, wv in zip(range(s, e), ws):
+            np_v = min(max(wv / den, 0.0), 1.0) if den != 0.0 else float("nan")
+            if np_v >= thresh:
+                kt.append(int(tid[a]))
+                kp.append(np_v)
+        d2 = sum(kp)
+        if d2 != 0:
+            kp = [p / d2 for p in kp]
+        nm = names[r].rstrip("\x00")
+        ids = "\t".join(str(t) for t in kt)
+        pv = "\t".join(f"{p:.{decimals}f}" for p in kp)
+        lines.append(f"{nm}\t{len(kt)}\t{ids}\t{pv}")
+    want = ("\n".join(lines) + "\n").encode()
+    assert got == want
