@@ -174,10 +174,11 @@ def decode_bam(
         header = BamHeader(text, ref_names, [int(x) for x in ref_lengths])
         group_names = None
         if keep_names and d.group_names_len:
+            from .store import NameBlob
+
             blob = ctypes.string_at(d.group_names, d.group_names_len)
-            group_names = blob.decode(errors="replace").split("\x00")[
-                : int(d.n_groups)
-            ]
+            # NUL-separated blob wrapped without a per-name Python list
+            group_names = NameBlob.from_nul_blob(blob, int(d.n_groups))
         dup = d.dup_name.decode() if d.dup_name else None
         cb_id = None
         barcodes = None

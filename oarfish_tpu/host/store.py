@@ -205,13 +205,19 @@ class NameBlob:
 
     def __init__(self, buf: bytes = b"", off: Optional[np.ndarray] = None):
         self._buf = bytearray(buf)
-        self._off = (
-            list(off) if off is not None else [0]
-        )  # plain list while appending; finalized lazily
+        # int64 ndarray when built vectorized; plain list while appending
+        if off is None:
+            self._off = [0]
+        elif isinstance(off, np.ndarray):
+            self._off = off
+        else:
+            self._off = list(off)
 
     def append(self, name) -> None:
         if isinstance(name, str):
             name = name.encode()
+        if isinstance(self._off, np.ndarray):
+            self._off = self._off.tolist()
         self._buf += name
         self._off.append(len(self._buf))
 
@@ -239,10 +245,51 @@ class NameBlob:
         return NotImplemented
 
     @staticmethod
+    def from_nul_blob(blob: bytes, n: int) -> "NameBlob":
+        """Wrap a NUL-separated name blob (the native decoder's output
+        format) without materializing a Python list: offsets from the
+        separator positions, names exclude the separators."""
+        b = np.frombuffer(blob, np.uint8)
+        seps = np.nonzero(b == 0)[0][:n]
+        g_off = np.zeros(n + 1, np.int64)
+        if len(seps) == n:
+            g_off[1:] = seps + 1  # start of the NEXT name (past the NUL)
+        else:
+            # last name is not NUL-terminated
+            assert len(seps) == n - 1, (len(seps), n)
+            g_off[1:n] = seps + 1
+            g_off[n] = len(blob)
+        nb = NameBlob.__new__(NameBlob)
+        nb._buf = bytearray(blob)
+        nb._off = g_off  # note: entries include the trailing NULs
+        # rebuild as exclusive-of-NUL blob: gather once
+        return nb.take(np.arange(n))
+
+    def take(self, idx: np.ndarray) -> "NameBlob":
+        """Vectorized `NameBlob([self[i] for i in idx])`: gather the
+        name bytes through a ramp index instead of a Python loop."""
+        g_off = np.asarray(self._off, dtype=np.int64)
+        buf = np.frombuffer(bytes(self._buf), np.uint8)
+        idx = np.asarray(idx, dtype=np.int64)
+        starts = g_off[idx]
+        lens = g_off[idx + 1] - starts
+        # exclude a trailing NUL separator if present (from_nul_blob)
+        has_nul = lens > 0
+        last = np.where(has_nul, starts + lens - 1, 0)
+        lens = lens - (has_nul & (buf[last] == 0))
+        off = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        src = np.repeat(starts, lens) + (
+            np.arange(int(off[-1])) - np.repeat(off[:-1], lens)
+        )
+        return NameBlob(buf[src].tobytes(), off)
+
+    @staticmethod
     def from_indexed(names, idx: np.ndarray) -> "NameBlob":
-        """Vectorized build of per-read names as `names[idx[r]]`:
-        gather the group-name blob bytes through a ramp index instead
-        of a Python loop over reads."""
+        """Vectorized build of per-read names as `names[idx[r]]`. Accepts
+        a NameBlob or any sequence of str/bytes."""
+        if isinstance(names, NameBlob):
+            return names.take(idx)
         enc = [
             n if isinstance(n, (bytes, bytearray)) else n.encode()
             for n in names
