@@ -86,7 +86,7 @@ def test_sharded_squarem_matches_unsharded():
     from oarfish_tpu.parallel.sharded_v4 import sharded_v4_em
 
     rng = np.random.default_rng(3)
-    R, T = 20000, 800
+    R, T = 8000, 400
     sizes = rng.integers(2, 7, size=R)
     A = int(sizes.sum())
     bd = np.zeros(R + 1, np.int64)
@@ -101,9 +101,9 @@ def test_sharded_squarem_matches_unsharded():
     init = np.full(T, R / T, np.float64)
 
     data = EmData.build(tid, w, read_id, R, T, dtype=jnp.float64)
-    c_ref, n_ref = run_em_squarem(data, jnp.asarray(init), 2000, 1e-6)
+    c_ref, n_ref = run_em_squarem(data, jnp.asarray(init), 800, 1e-5)
     c_sh, n_sh = sharded_em(
-        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        tid, w, bd, T, init, max_iter=800, convergence_thresh=1e-5,
         dtype=jnp.float64, num_shards=8, accel="squarem",
     )
     np.testing.assert_allclose(
@@ -111,12 +111,12 @@ def test_sharded_squarem_matches_unsharded():
     )
     # plain EM on this slow-mixing problem needs >2x the m-steps
     c_pl, n_pl = sharded_em(
-        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        tid, w, bd, T, init, max_iter=800, convergence_thresh=1e-5,
         dtype=jnp.float64, num_shards=8,
     )
     assert int(n_sh) < int(n_pl) // 2, (int(n_sh), int(n_pl))
     c4, n4 = sharded_v4_em(
-        tid, w, bd, T, init, max_iter=2000, convergence_thresh=1e-6,
+        tid, w, bd, T, init, max_iter=800, convergence_thresh=1e-5,
         dtype=jnp.float64, num_shards=8, accel="squarem",
     )
     np.testing.assert_allclose(
