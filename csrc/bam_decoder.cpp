@@ -71,19 +71,26 @@ bool scan_blocks(const uint8_t* data, size_t n, std::vector<Block>& blocks,
     uint16_t xlen;
     memcpy(&xlen, data + pos + 10, 2);
     size_t xpos = pos + 12, xend = xpos + xlen;
+    if (xend > n) {
+      err = "truncated BGZF FEXTRA field";
+      return false;
+    }
     size_t bsize = 0;
     while (xpos + 4 <= xend) {
       uint8_t si1 = data[xpos], si2 = data[xpos + 1];
       uint16_t slen;
       memcpy(&slen, data + xpos + 2, 2);
-      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+      if (si1 == 'B' && si2 == 'C' && slen == 2 && xpos + 6 <= xend) {
         uint16_t bs;
         memcpy(&bs, data + xpos + 4, 2);
         bsize = size_t(bs) + 1;
       }
       xpos += 4 + slen;
     }
-    if (!bsize || pos + bsize > n) {
+    // the compressed payload sits between the FEXTRA field and the
+    // 8-byte CRC/ISIZE trailer: bsize must cover header + trailer or
+    // the inflate-side length arithmetic underflows
+    if (!bsize || pos + bsize > n || bsize < 12 + size_t(xlen) + 8) {
       err = "BGZF block missing/invalid BC subfield";
       return false;
     }
@@ -329,6 +336,14 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
           const uint8_t* r = p + rec_offs[ri] + 4;
           int32_t block_size;
           memcpy(&block_size, p + rec_offs[ri], 4);
+          // within-record bounds: the offset scan only validated that
+          // the record fits the buffer; a corrupt record must become a
+          // clean parse error, never an out-of-bounds read
+          if (block_size < 33) {  // 32 fixed bytes + >=1 name byte
+            pt.parse_error = true;
+            return;
+          }
+          const size_t rec_end = size_t(block_size);
           int32_t ref_id, pos_, l_seq;
           memcpy(&ref_id, r, 4);
           memcpy(&pos_, r + 4, 4);
@@ -338,6 +353,11 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
           memcpy(&flag_, r + 14, 2);
           memcpy(&l_seq, r + 16, 4);
           const char* name = reinterpret_cast<const char*>(r + 32);
+          if (l_read_name == 0 || l_seq < 0 ||
+              32 + size_t(l_read_name) > rec_end) {
+            pt.parse_error = true;
+            return;
+          }
           size_t name_len = size_t(l_read_name) - 1;
 
           if (flag_ & 0x4) {
@@ -346,27 +366,38 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
           }
 
           size_t cig_off = 32 + l_read_name;
+          size_t tag_off = cig_off + 4 * size_t(n_cigar) +
+                           (size_t(l_seq) + 1) / 2 + size_t(l_seq);
+          if (cig_off + 4 * size_t(n_cigar) > rec_end ||
+              tag_off > rec_end) {
+            pt.parse_error = true;
+            return;
+          }
           int64_t span = 0;
           for (uint16_t i = 0; i < n_cigar; i++) {
             uint32_t cv;
             memcpy(&cv, r + cig_off + 4 * size_t(i), 4);
             if (consumes_ref(cv & 0xF)) span += cv >> 4;
           }
-
-          size_t tag_off = cig_off + 4 * size_t(n_cigar) +
-                           (size_t(l_seq) + 1) / 2 + size_t(l_seq);
-          size_t rec_end = size_t(block_size);
           int64_t score = 0;
           bool has_score = false;
           int64_t cb = -1;
-          while (tag_off + 3 <= rec_end) {
+          bool tag_bad = false;
+          auto fits = [&](size_t k) {
+            if (tag_off + k <= rec_end) return true;
+            tag_bad = true;
+            return false;
+          };
+          while (!tag_bad && tag_off + 3 <= rec_end) {
             uint8_t t0 = r[tag_off], t1 = r[tag_off + 1], vt = r[tag_off + 2];
             tag_off += 3;
             switch (vt) {
               case 'A':
+                if (!fits(1)) break;
                 tag_off += 1;
                 break;
               case 'c': {
+                if (!fits(1)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   score = *reinterpret_cast<const int8_t*>(r + tag_off);
                   has_score = true;
@@ -375,6 +406,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'C': {
+                if (!fits(1)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   score = r[tag_off];
                   has_score = true;
@@ -383,6 +415,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 's': {
+                if (!fits(2)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   int16_t v;
                   memcpy(&v, r + tag_off, 2);
@@ -393,6 +426,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'S': {
+                if (!fits(2)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   uint16_t v;
                   memcpy(&v, r + tag_off, 2);
@@ -403,6 +437,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'i': {
+                if (!fits(4)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   int32_t v;
                   memcpy(&v, r + tag_off, 4);
@@ -413,6 +448,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'I': {
+                if (!fits(4)) break;
                 if (t0 == 'A' && t1 == 'S') {
                   uint32_t v;
                   memcpy(&v, r + tag_off, 4);
@@ -423,6 +459,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'f':
+                if (!fits(4)) break;
                 tag_off += 4;
                 break;
               case 'Z':
@@ -445,19 +482,34 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
                 break;
               }
               case 'B': {
+                if (!fits(5)) break;
                 uint8_t sub = r[tag_off];
                 uint32_t count;
                 memcpy(&count, r + tag_off + 1, 4);
-                size_t esz = (sub == 'c' || sub == 'C') ? 1
-                             : (sub == 's' || sub == 'S') ? 2
-                                                          : 4;
-                tag_off += 5 + esz * count;
+                size_t esz;
+                switch (sub) {
+                  case 'c': case 'C': esz = 1; break;
+                  case 's': case 'S': esz = 2; break;
+                  case 'i': case 'I': case 'f': esz = 4; break;
+                  default:
+                    pt.parse_error = true;
+                    return;
+                }
+                if (size_t(count) > (rec_end - tag_off - 5) / esz) {
+                  tag_bad = true;
+                  break;
+                }
+                tag_off += 5 + esz * size_t(count);
                 break;
               }
               default:
                 pt.parse_error = true;
                 return;
             }
+          }
+          if (tag_bad) {
+            pt.parse_error = true;
+            return;
           }
 
           bool same = have_prev && prev_name.size() == name_len &&
@@ -490,25 +542,30 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
   }
   tm.mark("scan");
   for (auto& pt : parts)
-    if (pt.parse_error) return make_error("unknown tag value type");
+    if (pt.parse_error)
+      return make_error(
+          "corrupt BAM record (bad field bounds or unknown tag type)");
 
   // --- merge: group-id bases with boundary stitching, global barcode
   // remap (first-seen order across ranges), collation check over the
   // first `sort_check_num` group names
-  Columns c;
-  {
-    size_t tot = 0;
-    for (auto& pt : parts) tot += pt.c.flag.size();
-    c.group_id.reserve(tot);
-    c.flag.reserve(tot);
-    c.ref_id.reserve(tot);
-    c.pos.reserve(tot);
-    c.ref_span.reserve(tot);
-    c.seq_len.reserve(tot);
-    c.score.reserve(tot);
-    c.has_score.reserve(tot);
-    if (want_barcodes) c.cb_id.reserve(tot);
-  }
+  // merge DIRECTLY into the final malloc'd output buffers (sizes are
+  // known from the part sizes): appending into intermediate vectors and
+  // then steal()-copying doubled both the peak RSS and the memory
+  // passes over the full column set
+  size_t tot = 0;
+  for (auto& pt : parts) tot += pt.c.flag.size();
+  auto* out_group_id = static_cast<int64_t*>(malloc(tot * 8));
+  auto* out_flag = static_cast<uint16_t*>(malloc(tot * 2));
+  auto* out_ref_id = static_cast<int32_t*>(malloc(tot * 4));
+  auto* out_pos = static_cast<int64_t*>(malloc(tot * 8));
+  auto* out_ref_span = static_cast<int64_t*>(malloc(tot * 8));
+  auto* out_seq_len = static_cast<int64_t*>(malloc(tot * 8));
+  auto* out_score = static_cast<int64_t*>(malloc(tot * 8));
+  auto* out_has_score = static_cast<uint8_t*>(malloc(tot));
+  auto* out_cb_id =
+      want_barcodes ? static_cast<int64_t*>(malloc(tot * 8)) : nullptr;
+  size_t rec_off = 0;
   std::string group_names;
   std::vector<std::string> barcode_order;
   std::unordered_map<std::string, int64_t> bc_lookup;
@@ -557,41 +614,40 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
         bc_map[i] = it->second;
       }
     }
-    for (size_t i = 0; i < pt.c.group_id.size(); i++)
-      c.group_id.push_back(pt.c.group_id[i] + group_base);
-    c.flag.insert(c.flag.end(), pt.c.flag.begin(), pt.c.flag.end());
-    c.ref_id.insert(c.ref_id.end(), pt.c.ref_id.begin(), pt.c.ref_id.end());
-    c.pos.insert(c.pos.end(), pt.c.pos.begin(), pt.c.pos.end());
-    c.ref_span.insert(c.ref_span.end(), pt.c.ref_span.begin(),
-                      pt.c.ref_span.end());
-    c.seq_len.insert(c.seq_len.end(), pt.c.seq_len.begin(),
-                     pt.c.seq_len.end());
-    c.score.insert(c.score.end(), pt.c.score.begin(), pt.c.score.end());
-    c.has_score.insert(c.has_score.end(), pt.c.has_score.begin(),
-                       pt.c.has_score.end());
+    const size_t m = pt.c.flag.size();
+    for (size_t i = 0; i < m; i++)
+      out_group_id[rec_off + i] = pt.c.group_id[i] + group_base;
+    memcpy(out_flag + rec_off, pt.c.flag.data(), m * 2);
+    memcpy(out_ref_id + rec_off, pt.c.ref_id.data(), m * 4);
+    memcpy(out_pos + rec_off, pt.c.pos.data(), m * 8);
+    memcpy(out_ref_span + rec_off, pt.c.ref_span.data(), m * 8);
+    memcpy(out_seq_len + rec_off, pt.c.seq_len.data(), m * 8);
+    memcpy(out_score + rec_off, pt.c.score.data(), m * 8);
+    memcpy(out_has_score + rec_off, pt.c.has_score.data(), m);
     if (want_barcodes)
-      for (size_t i = 0; i < pt.c.cb_id.size(); i++)
-        c.cb_id.push_back(pt.c.cb_id[i] < 0 ? -1
-                                            : bc_map[size_t(pt.c.cb_id[i])]);
+      for (size_t i = 0; i < m; i++)
+        out_cb_id[rec_off + i] =
+            pt.c.cb_id[i] < 0 ? -1 : bc_map[size_t(pt.c.cb_id[i])];
+    rec_off += m;
     pt = Part();  // release
   }
   std::string barcodes_blob;
   tm.mark("merge");
 
   auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
-  d->n_records = int64_t(c.flag.size());
+  d->n_records = int64_t(tot);
   d->n_groups = group + 1;
   d->n_refs = n_ref;
   d->num_unmapped = num_unmapped;
-  d->group_id = steal(c.group_id);
-  d->flag = steal(c.flag);
-  d->ref_id = steal(c.ref_id);
-  d->pos = steal(c.pos);
-  d->ref_span = steal(c.ref_span);
-  d->seq_len = steal(c.seq_len);
-  d->score = steal(c.score);
-  d->has_score = steal(c.has_score);
-  d->cb_id = want_barcodes ? steal(c.cb_id) : nullptr;
+  d->group_id = out_group_id;
+  d->flag = out_flag;
+  d->ref_id = out_ref_id;
+  d->pos = out_pos;
+  d->ref_span = out_ref_span;
+  d->seq_len = out_seq_len;
+  d->score = out_score;
+  d->has_score = out_has_score;
+  d->cb_id = out_cb_id;
   d->header_text = static_cast<char*>(malloc(header_text.size()));
   memcpy(d->header_text, header_text.data(), header_text.size());
   d->header_text_len = int64_t(header_text.size());

@@ -44,9 +44,12 @@ void oarfish_coverage_add(const int64_t* tid, const int64_t* start,
         for (int64_t i = c; i < hi; i++) {
           int64_t ti = tid[i];
           tw[size_t(ti)] += 1.0;
+          // EXACT oracle semantics (store.py add_intervals):
+          // s = min(start, end); e = max(s, end) — a reversed interval
+          // collapses to the point `end`, it is NOT swapped to the
+          // full span
           double s = double(std::min(start[i], end[i]));
-          double e = double(std::max(start[i], end[i]));
-          if (e < s) e = s;
+          double e = std::max(s, double(end[i]));
           double tl = lenf[ti];
           double nb = double(nbins[ti]);
           int64_t start_bin = int64_t(std::floor(s / tl * nb));

@@ -71,9 +71,12 @@ void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   uint64_t fwd = 0, rev = 0;
   int l = 0;
-  // ring buffer of window candidates
+  // ring buffer of window candidates (thread-local: this runs once
+  // per read on every worker thread — a fresh len-sized malloc per
+  // call would dominate the minimizer pass)
   struct Cand { uint64_t key; uint32_t pos; uint8_t strand; };
-  std::vector<Cand> win;
+  static thread_local std::vector<Cand> win;
+  win.clear();
   win.reserve(len);
   size_t last_emitted = SIZE_MAX;
   for (size_t i = 0; i < len; i++) {
@@ -90,7 +93,8 @@ void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
   }
   // sliding-window minima over win with window w
   if (win.empty()) return;
-  std::vector<size_t> deque;
+  static thread_local std::vector<size_t> deque;
+  deque.clear();
   deque.reserve(64);
   size_t head = 0;
   for (size_t i = 0; i < win.size(); i++) {
@@ -421,7 +425,9 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
   const int32_t MAX_QGAP = 5000;
   const int32_t MIN_INTRON = 30;
   size_t n = abuf.size();
-  std::vector<int32_t> dp(n), pre(n);
+  static thread_local std::vector<int32_t> dp, pre;
+  dp.resize(n);
+  pre.resize(n);
   size_t run_start = 0;
   const int k = idx.k;
   for (size_t s = 0; s <= n; s++) {
@@ -693,7 +699,7 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
         map_one(idx, reinterpret_cast<const uint8_t*>(seqs) + offsets[i],
                 size_t(offsets[i + 1] - offsets[i]), best_n, hits, mbuf,
                 abuf, spliced != 0, rescore != 0);
-        per_read[i] = hits;
+        per_read[i] = std::move(hits);  // map_one clears it on entry
       }
     });
   }
@@ -817,7 +823,10 @@ int oarfish_index_save(void* hptr, const char* path) {
   auto& idx = static_cast<IndexHandle*>(hptr)->idx;
   FILE* f = fopen(path, "wb");
   if (!f) return -1;
-  auto W = [&](const void* p, size_t nbytes) { fwrite(p, 1, nbytes, f); };
+  bool werr = false;
+  auto W = [&](const void* p, size_t nbytes) {
+    if (fwrite(p, 1, nbytes, f) != nbytes) werr = true;
+  };
   const char magic[8] = {'O', 'T', 'M', 'I', '\x01', 0, 0, 0};
   W(magic, 8);
   int32_t kw[2] = {idx.k, idx.w};
@@ -844,7 +853,11 @@ int oarfish_index_save(void* hptr, const char* path) {
   W(&np, 8);
   W(idx.postings.data(), np * 8);
   W(&idx.max_occ, 4);
-  fclose(f);
+  if (fclose(f) != 0) werr = true;
+  if (werr) {
+    remove(path);  // never leave a truncated index behind
+    return -2;
+  }
   return 0;
 }
 
@@ -862,41 +875,61 @@ void* oarfish_index_load(const char* path) {
     delete h;
     return nullptr;
   }
+  // every read checked: a truncated/corrupt index must return nullptr
+  // (ctypes turns that into a clean Python error), never feed garbage
+  // sizes into resize() or leave fields uninitialized. Size fields are
+  // sanity-bounded by the remaining file length.
+  auto fail = [&]() {
+    fclose(f);
+    delete h;
+    return nullptr;
+  };
+  long here = ftell(f);
+  fseek(f, 0, SEEK_END);
+  long fend = ftell(f);
+  fseek(f, here, SEEK_SET);
+  const uint64_t remaining = uint64_t(fend - here);
   int32_t kw[2];
-  R(kw, 8);
+  if (!R(kw, 8)) return fail();
   idx.k = kw[0];
   idx.w = kw[1];
   uint64_t nt;
-  R(&nt, 8);
+  if (!R(&nt, 8)) return fail();
+  if (nt > remaining) return fail();
   idx.n_targets = uint32_t(nt);
   for (uint64_t i = 0; i < nt; i++) {
     uint32_t l;
-    R(&l, 4);
+    if (!R(&l, 4)) return fail();
+    if (uint64_t(l) > remaining) return fail();
     std::string s(l, 0);
-    R(s.data(), l);
+    if (!R(s.data(), l)) return fail();
     idx.names.push_back(std::move(s));
   }
   idx.lengths.resize(nt);
-  R(idx.lengths.data(), nt * 4);
+  if (!R(idx.lengths.data(), nt * 4)) return fail();
   uint64_t so;
-  R(&so, 8);
+  if (!R(&so, 8)) return fail();
+  if (so > remaining / 8) return fail();
   idx.seq_off.resize(so);
-  R(idx.seq_off.data(), so * 8);
+  if (!R(idx.seq_off.data(), so * 8)) return fail();
   uint64_t sl;
-  R(&sl, 8);
+  if (!R(&sl, 8)) return fail();
+  if (sl > remaining) return fail();
   idx.seqs.resize(sl);
-  R(idx.seqs.data(), sl);
+  if (!R(idx.seqs.data(), sl)) return fail();
   uint64_t nk;
-  R(&nk, 8);
+  if (!R(&nk, 8)) return fail();
+  if (nk > remaining / 8) return fail();
   idx.keys.resize(nk);
-  R(idx.keys.data(), nk * 8);
+  if (!R(idx.keys.data(), nk * 8)) return fail();
   idx.key_off.resize(nk + 1);
-  R(idx.key_off.data(), (nk + 1) * 8);
+  if (!R(idx.key_off.data(), (nk + 1) * 8)) return fail();
   uint64_t np;
-  R(&np, 8);
+  if (!R(&np, 8)) return fail();
+  if (np > remaining / 8) return fail();
   idx.postings.resize(np);
-  R(idx.postings.data(), np * 8);
-  R(&idx.max_occ, 4);
+  if (!R(idx.postings.data(), np * 8)) return fail();
+  if (!R(&idx.max_occ, 4)) return fail();
   fclose(f);
   return h;
 }

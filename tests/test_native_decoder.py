@@ -151,3 +151,64 @@ def test_decoder_error_paths(tmp_path):
     p.write_bytes(b"this is not a bam file")
     with pytest.raises(ValueError):
         native.decode_bam(p)
+
+
+def test_corrupt_bam_clean_errors(tmp_path, fixture_bam):
+    """Corrupt/truncated inputs must raise clean errors, never crash
+    or return garbage columns (bounds hardening in bam_decoder.cpp)."""
+    import gzip
+
+    from oarfish_tpu.host import native
+
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+
+    # not BGZF at all
+    junk = tmp_path / "junk.bam"
+    junk.write_bytes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        native.decode_bam(str(junk))
+
+    # plain gzip (no FEXTRA) is not BGZF
+    pg = tmp_path / "plain.bam"
+    pg.write_bytes(gzip.compress(b"BAM\x01" + b"\x00" * 100))
+    with pytest.raises(ValueError):
+        native.decode_bam(str(pg))
+
+    # truncated mid-block: chop a valid BAM
+    from pathlib import Path
+
+    data = Path(fixture_bam).read_bytes()
+    tr = tmp_path / "trunc.bam"
+    tr.write_bytes(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        native.decode_bam(str(tr))
+
+
+def test_coverage_reversed_interval_matches_oracle():
+    """A reversed interval (start > end) collapses to a point in the
+    oracle (store.py add_intervals: e = max(min(s,e), end)); the native
+    accumulator must do exactly the same, not swap to the full span."""
+    import numpy as np
+
+    from oarfish_tpu.host import store as store_mod
+    from oarfish_tpu.host.store import TranscriptCoverage
+
+    lens = np.array([1000, 700], dtype=np.int64)
+    tid = np.array([0, 0, 1], dtype=np.int64)
+    start = np.array([500, 100, 600], dtype=np.int64)  # first is reversed
+    end = np.array([100, 400, 650], dtype=np.int64)
+
+    cov_n = TranscriptCoverage(lens, 100)
+    cov_n.add_intervals(tid, start, end)
+
+    orig = store_mod._get_cov_lib
+    store_mod._get_cov_lib = lambda: None
+    try:
+        cov_o = TranscriptCoverage(lens, 100)
+        cov_o.add_intervals(tid, start, end)
+    finally:
+        store_mod._get_cov_lib = orig
+
+    np.testing.assert_allclose(cov_n.bins, cov_o.bins, rtol=1e-12)
+    np.testing.assert_allclose(cov_n.total_weight, cov_o.total_weight)
