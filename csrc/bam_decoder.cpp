@@ -25,6 +25,11 @@
 #include <unordered_set>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <libdeflate.h>
 #include <zlib.h>
 
@@ -207,121 +212,29 @@ static T* steal(std::vector<T>& v) {
   memcpy(p, v.data(), v.size() * sizeof(T));
   return p;
 }
+struct Part {
+  Columns c;
+  std::string names_blob;          // group-head names, \0-separated
+  std::vector<size_t> name_off;    // offsets into names_blob (per group)
+  std::vector<std::string> bc_order;  // local barcodes, first-seen
+  int64_t num_unmapped = 0;
+  int64_t n_groups = 0;
+  std::string last_name;           // name of the final group (if any)
+  bool parse_error = false;
+};
 
-extern "C" {
-
-OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
-                                   int keep_names, int64_t sort_check_num,
-                                   int want_barcodes) {
-  PhaseTimer tm;
-  // --- read the whole file
-  FILE* fh = fopen(path, "rb");
-  if (!fh) return make_error(std::string("cannot open ") + path);
-  fseek(fh, 0, SEEK_END);
-  long fsize = ftell(fh);
-  fseek(fh, 0, SEEK_SET);
-  std::vector<uint8_t> comp(fsize);
-  if (fread(comp.data(), 1, fsize, fh) != size_t(fsize)) {
-    fclose(fh);
-    return make_error("short read");
-  }
-  fclose(fh);
-  tm.mark("read");
-
-  // --- parallel BGZF inflate (output offsets from each member's ISIZE)
-  std::vector<Block> blocks;
-  size_t total_out = 0;
-  std::string err;
-  if (!scan_blocks(comp.data(), comp.size(), blocks, total_out, err))
-    return make_error(err);
-  // uninitialized output buffer: every byte is written by inflate
-  std::unique_ptr<uint8_t[]> buf(new uint8_t[total_out]);
-  {
-    std::atomic<size_t> next{0};
-    std::atomic<bool> ok{true};
-    int nt = threads > 0 ? threads : 1;
-    std::vector<std::thread> pool;
-    for (int t = 0; t < nt; t++) {
-      pool.emplace_back([&] {
-        libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
-        size_t i;
-        while ((i = next.fetch_add(1)) < blocks.size()) {
-          if (!inflate_block(comp.data(), blocks[i], buf.get(), dec))
-            ok.store(false);
-        }
-        libdeflate_free_decompressor(dec);
-      });
-    }
-    for (auto& th : pool) th.join();
-    if (!ok.load()) return make_error("BGZF inflate failure");
-  }
-  comp.clear();
-  comp.shrink_to_fit();
-  tm.mark("inflate");
-
-  // --- header
-  const uint8_t* p = buf.get();
-  size_t n = total_out;
-  if (n < 12 || memcmp(p, "BAM\x01", 4) != 0)
-    return make_error("missing BAM magic");
-  int32_t l_text;
-  memcpy(&l_text, p + 4, 4);
-  size_t off = 8;
-  std::string header_text(reinterpret_cast<const char*>(p + off), l_text);
-  off += l_text;
-  int32_t n_ref;
-  memcpy(&n_ref, p + off, 4);
-  off += 4;
-  std::string ref_names;
-  std::vector<int64_t> ref_lengths(n_ref);
-  for (int i = 0; i < n_ref; i++) {
-    int32_t l_name;
-    memcpy(&l_name, p + off, 4);
-    off += 4;
-    ref_names.append(reinterpret_cast<const char*>(p + off), l_name - 1);
-    ref_names.push_back('\0');
-    off += l_name;
-    int32_t l_ref;
-    memcpy(&l_ref, p + off, 4);
-    off += 4;
-    ref_lengths[i] = l_ref;
-  }
-
-  // --- record scan: a cheap sequential boundary pass, then parallel
-  // field extraction over contiguous record ranges, then a sequential
-  // merge that stitches name groups across range boundaries (grouping
-  // semantics identical to the serial scan / alignment_parser.rs:361-415)
-  std::vector<size_t> rec_offs;
-  rec_offs.reserve(total_out / 128);
-  {
-    size_t o = off;
-    while (o + 4 <= n) {
-      int32_t block_size;
-      memcpy(&block_size, p + o, 4);
-      if (o + 4 + size_t(block_size) > n)
-        return make_error("truncated BAM record");
-      rec_offs.push_back(o);
-      o += 4 + size_t(block_size);
-    }
-  }
+// Parallel field extraction over contiguous record ranges of one
+// window buffer. Grouping is local to each part; the sequential merge
+// stitches name groups across part (and window) boundaries.
+static bool scan_records(const uint8_t* p,
+                         const std::vector<size_t>& rec_offs,
+                         int threads, int want_barcodes,
+                         int64_t /*unused*/, std::vector<Part>& parts) {
   int64_t n_recs = int64_t(rec_offs.size());
-  tm.mark("bounds");
-
-  struct Part {
-    Columns c;
-    std::string names_blob;          // group-head names, \0-separated
-    std::vector<size_t> name_off;    // offsets into names_blob (per group)
-    std::vector<std::string> bc_order;  // local barcodes, first-seen
-    int64_t num_unmapped = 0;
-    int64_t n_groups = 0;
-    std::string last_name;           // name of the final group (if any)
-    bool parse_error = false;
-  };
-
   int nt = threads > 0 ? threads : 1;
   if (nt > 16) nt = 16;
   if (n_recs < 4096) nt = 1;
-  std::vector<Part> parts(nt);
+  parts.assign(size_t(nt), Part());
   {
     std::vector<std::thread> pool;
     for (int t = 0; t < nt; t++) {
@@ -540,32 +453,190 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     }
     for (auto& th : pool) th.join();
   }
-  tm.mark("scan");
   for (auto& pt : parts)
-    if (pt.parse_error)
-      return make_error(
-          "corrupt BAM record (bad field bounds or unknown tag type)");
+    if (pt.parse_error) return false;
+  return true;
+}
 
-  // --- merge: group-id bases with boundary stitching, global barcode
-  // remap (first-seen order across ranges), collation check over the
-  // first `sort_check_num` group names
-  // merge DIRECTLY into the final malloc'd output buffers (sizes are
-  // known from the part sizes): appending into intermediate vectors and
-  // then steal()-copying doubled both the peak RSS and the memory
-  // passes over the full column set
-  size_t tot = 0;
-  for (auto& pt : parts) tot += pt.c.flag.size();
-  auto* out_group_id = static_cast<int64_t*>(malloc(tot * 8));
-  auto* out_flag = static_cast<uint16_t*>(malloc(tot * 2));
-  auto* out_ref_id = static_cast<int32_t*>(malloc(tot * 4));
-  auto* out_pos = static_cast<int64_t*>(malloc(tot * 8));
-  auto* out_ref_span = static_cast<int64_t*>(malloc(tot * 8));
-  auto* out_seq_len = static_cast<int64_t*>(malloc(tot * 8));
-  auto* out_score = static_cast<int64_t*>(malloc(tot * 8));
-  auto* out_has_score = static_cast<uint8_t*>(malloc(tot));
-  auto* out_cb_id =
-      want_barcodes ? static_cast<int64_t*>(malloc(tot * 8)) : nullptr;
-  size_t rec_off = 0;
+// Growable malloc-backed output column (released to the caller, freed
+// by oarfish_decoded_free). Doubling growth; release() trims.
+template <typename T>
+struct GrowBuf {
+  T* p = nullptr;
+  size_t n = 0, cap = 0;
+  void grow(size_t add) {
+    if (n + add <= cap) return;
+    size_t want = n + add;
+    size_t c2 = cap ? cap * 2 : 4096;
+    if (c2 < want) c2 = want;
+    p = static_cast<T*>(realloc(p, c2 * sizeof(T)));
+    cap = c2;
+  }
+  T* release() {
+    if (p && n < cap)
+      p = static_cast<T*>(realloc(p, (n ? n : 1) * sizeof(T)));
+    T* q = p;
+    p = nullptr;
+    cap = n = 0;
+    return q;
+  }
+  ~GrowBuf() { free(p); }
+};
+
+extern "C" {
+
+// Streaming decode: the compressed file is memory-mapped (the OS pages
+// it in sequentially and can evict behind us) and inflated in bounded
+// WINDOWS (default 256 MB of inflated data; OARFISH_DECODE_WINDOW_MB
+// overrides — tests use tiny windows to force many of them). Records
+// that straddle a window boundary are carried as a byte tail into the
+// next window. Peak RSS is therefore O(columns + one window), not
+// O(compressed + inflated whole file) as the previous whole-file
+// implementation required — the reference streams through noodles the
+// same way (SURVEY: alignment_parser.rs record streaming).
+OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
+                                   int keep_names, int64_t sort_check_num,
+                                   int want_barcodes) {
+  PhaseTimer tm;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return make_error(std::string("cannot open ") + path);
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+    close(fd);
+    return make_error(std::string("cannot stat ") + path);
+  }
+  size_t fsize = size_t(st.st_size);
+  void* map = mmap(nullptr, fsize, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (map == MAP_FAILED)
+    return make_error(std::string("cannot mmap ") + path);
+  madvise(map, fsize, MADV_SEQUENTIAL);
+  const uint8_t* comp = static_cast<const uint8_t*>(map);
+  auto fail = [&](const std::string& msg) {
+    munmap(map, fsize);
+    return make_error(msg);
+  };
+  tm.mark("open");
+
+  std::vector<Block> blocks;
+  size_t total_out = 0;
+  std::string err;
+  if (!scan_blocks(comp, fsize, blocks, total_out, err)) return fail(err);
+  tm.mark("index");
+
+  size_t WBYTES = 256ull << 20;
+  if (const char* we = getenv("OARFISH_DECODE_WINDOW_MB")) {
+    long mb = atol(we);
+    if (mb > 0) WBYTES = size_t(mb) << 20;
+  }
+  if (const char* we = getenv("OARFISH_DECODE_WINDOW_BYTES")) {
+    long b = atol(we);  // test hook: force many tiny windows
+    if (b > 0) WBYTES = size_t(b);
+  }
+
+  // window buffer: carried tail bytes + the next blocks' inflated data
+  std::vector<uint8_t> win;
+  size_t bi = 0;  // next block to inflate
+  int nt_inf = threads > 0 ? threads : 1;
+  auto fill_window = [&]() -> bool {  // false on inflate failure
+    size_t carry = win.size();
+    size_t first = bi, add = 0;
+    while (bi < blocks.size() && add < WBYTES) {
+      add += blocks[bi].out_size;
+      bi++;
+    }
+    if (add == 0) return true;
+    win.resize(carry + add);
+    const size_t base = blocks[first].out_off;
+    std::atomic<size_t> next{first};
+    std::atomic<bool> ok{true};
+    std::vector<std::thread> pool;
+    int nw = int(std::min<size_t>(size_t(nt_inf), bi - first));
+    for (int t = 0; t < nw; t++) {
+      pool.emplace_back([&] {
+        libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+        size_t i;
+        while ((i = next.fetch_add(1)) < bi) {
+          Block b = blocks[i];
+          b.out_off = carry + (b.out_off - base);
+          if (!inflate_block(comp, b, win.data(), dec)) ok.store(false);
+        }
+        libdeflate_free_decompressor(dec);
+      });
+    }
+    for (auto& th : pool) th.join();
+    return ok.load();
+  };
+
+  // --- header: grow the first window until it parses completely
+  std::string header_text, ref_names;
+  std::vector<int64_t> ref_lengths;
+  int32_t n_ref = 0;
+  size_t off = 0;
+  for (;;) {
+    if (!fill_window()) return fail("BGZF inflate failure");
+    const uint8_t* p = win.data();
+    size_t have = win.size();
+    if (have < 12) {
+      if (bi >= blocks.size()) return fail("missing BAM magic");
+      continue;
+    }
+    if (memcmp(p, "BAM\x01", 4) != 0) return fail("missing BAM magic");
+    int32_t l_text;
+    memcpy(&l_text, p + 4, 4);
+    if (l_text < 0) return fail("corrupt BAM header");
+    size_t o = 8 + size_t(l_text);
+    if (o + 4 > have) {
+      if (bi >= blocks.size()) return fail("truncated BAM header");
+      continue;
+    }
+    memcpy(&n_ref, p + o, 4);
+    o += 4;
+    if (n_ref < 0) return fail("corrupt BAM header");
+    bool complete = true;
+    std::string names;
+    std::vector<int64_t> lens;
+    lens.reserve(size_t(n_ref));
+    for (int i = 0; i < n_ref; i++) {
+      if (o + 4 > have) { complete = false; break; }
+      int32_t l_name;
+      memcpy(&l_name, p + o, 4);
+      o += 4;
+      if (l_name <= 0 || o + size_t(l_name) + 4 > have) {
+        if (l_name <= 0) return fail("corrupt BAM header");
+        complete = false;
+        break;
+      }
+      names.append(reinterpret_cast<const char*>(p + o),
+                   size_t(l_name) - 1);
+      names.push_back('\0');
+      o += size_t(l_name);
+      int32_t l_ref;
+      memcpy(&l_ref, p + o, 4);
+      o += 4;
+      lens.push_back(l_ref);
+    }
+    if (!complete) {
+      if (bi >= blocks.size()) return fail("truncated BAM header");
+      continue;
+    }
+    header_text.assign(reinterpret_cast<const char*>(p + 8),
+                       size_t(l_text));
+    ref_names = std::move(names);
+    ref_lengths = std::move(lens);
+    off = o;
+    break;
+  }
+  // drop the header bytes: the remainder is the first record carry
+  win.erase(win.begin(), win.begin() + off);
+  tm.mark("header");
+
+  // --- global accumulation state (spans windows)
+  GrowBuf<int64_t> out_group_id, out_pos, out_ref_span, out_seq_len,
+      out_score, out_cb_id;
+  GrowBuf<uint16_t> out_flag;
+  GrowBuf<int32_t> out_ref_id;
+  GrowBuf<uint8_t> out_has_score;
   std::string group_names;
   std::vector<std::string> barcode_order;
   std::unordered_map<std::string, int64_t> bc_lookup;
@@ -573,81 +644,151 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
   int64_t num_unmapped = 0;
   int64_t checked_groups = 0;
   char* dup_name = nullptr;
-  int64_t group_base = 0;  // global id of each part's local group 0
   int64_t group = -1;      // last global group id
   std::string carry_name;  // name of the last group so far
   bool have_carry = false;
-  for (int t = 0; t < nt; t++) {
-    Part& pt = parts[t];
-    num_unmapped += pt.num_unmapped;
-    bool stitch = false;
-    if (pt.n_groups > 0) {
-      const char* first = pt.names_blob.data() + pt.name_off[0];
-      stitch = have_carry && carry_name == first;
-      group_base = group + (stitch ? 0 : 1);
-      // group names + collation check (skip the stitched head)
-      for (int64_t g = stitch ? 1 : 0; g < pt.n_groups; g++) {
-        const char* nm = pt.names_blob.data() + pt.name_off[size_t(g)];
-        if (keep_names) {
-          group_names.append(nm);
-          group_names.push_back('\0');
-        }
-        if (checked_groups < sort_check_num) {
-          auto ins = seen_names.insert(nm);
-          if (!ins.second && !dup_name) dup_name = strdup(nm);
-          checked_groups++;
-        }
-      }
-      group = group_base + pt.n_groups - 1;
-      carry_name = pt.last_name;
-      have_carry = true;
-    }
-    // barcode remap
-    std::vector<int64_t> bc_map(pt.bc_order.size());
-    for (size_t i = 0; i < pt.bc_order.size(); i++) {
-      auto it = bc_lookup.find(pt.bc_order[i]);
-      if (it == bc_lookup.end()) {
-        bc_map[i] = int64_t(barcode_order.size());
-        bc_lookup.emplace(pt.bc_order[i], bc_map[i]);
-        barcode_order.push_back(pt.bc_order[i]);
-      } else {
-        bc_map[i] = it->second;
-      }
-    }
-    const size_t m = pt.c.flag.size();
-    for (size_t i = 0; i < m; i++)
-      out_group_id[rec_off + i] = pt.c.group_id[i] + group_base;
-    memcpy(out_flag + rec_off, pt.c.flag.data(), m * 2);
-    memcpy(out_ref_id + rec_off, pt.c.ref_id.data(), m * 4);
-    memcpy(out_pos + rec_off, pt.c.pos.data(), m * 8);
-    memcpy(out_ref_span + rec_off, pt.c.ref_span.data(), m * 8);
-    memcpy(out_seq_len + rec_off, pt.c.seq_len.data(), m * 8);
-    memcpy(out_score + rec_off, pt.c.score.data(), m * 8);
-    memcpy(out_has_score + rec_off, pt.c.has_score.data(), m);
-    if (want_barcodes)
-      for (size_t i = 0; i < m; i++)
-        out_cb_id[rec_off + i] =
-            pt.c.cb_id[i] < 0 ? -1 : bc_map[size_t(pt.c.cb_id[i])];
-    rec_off += m;
-    pt = Part();  // release
-  }
-  std::string barcodes_blob;
-  tm.mark("merge");
+  size_t tot = 0;
 
+  std::vector<size_t> rec_offs;
+  std::vector<Part> parts;
+  for (;;) {
+    if (win.empty() && bi >= blocks.size()) break;
+    // record boundaries within this window; leftover bytes carry over
+    rec_offs.clear();
+    const uint8_t* p = win.data();
+    const size_t have = win.size();
+    size_t o = 0;
+    while (o + 4 <= have) {
+      int32_t block_size;
+      memcpy(&block_size, p + o, 4);
+      if (block_size < 0) {
+        free(dup_name);
+        return fail("corrupt BAM record");
+      }
+      if (o + 4 + size_t(block_size) > have) break;
+      rec_offs.push_back(o);
+      o += 4 + size_t(block_size);
+    }
+    if (rec_offs.empty() && bi >= blocks.size()) {
+      free(dup_name);
+      return fail("truncated BAM record");
+    }
+
+    if (!scan_records(p, rec_offs, threads, want_barcodes,
+                      sort_check_num, parts)) {
+      free(dup_name);
+      return fail(
+          "corrupt BAM record (bad field bounds or unknown tag type)");
+    }
+
+    // --- merge this window's parts into the global columns: group-id
+    // bases with boundary stitching, global barcode remap (first-seen
+    // order), collation check over the first `sort_check_num` names
+    for (auto& pt : parts) {
+      num_unmapped += pt.num_unmapped;
+      int64_t group_base = 0;
+      if (pt.n_groups > 0) {
+        const char* first = pt.names_blob.data() + pt.name_off[0];
+        bool stitch = have_carry && carry_name == first;
+        group_base = group + (stitch ? 0 : 1);
+        for (int64_t g = stitch ? 1 : 0; g < pt.n_groups; g++) {
+          const char* nm = pt.names_blob.data() + pt.name_off[size_t(g)];
+          if (keep_names) {
+            group_names.append(nm);
+            group_names.push_back('\0');
+          }
+          if (checked_groups < sort_check_num) {
+            auto ins = seen_names.insert(nm);
+            if (!ins.second && !dup_name) dup_name = strdup(nm);
+            checked_groups++;
+          }
+        }
+        group = group_base + pt.n_groups - 1;
+        carry_name = pt.last_name;
+        have_carry = true;
+      }
+      std::vector<int64_t> bc_map(pt.bc_order.size());
+      for (size_t i = 0; i < pt.bc_order.size(); i++) {
+        auto it = bc_lookup.find(pt.bc_order[i]);
+        if (it == bc_lookup.end()) {
+          bc_map[i] = int64_t(barcode_order.size());
+          bc_lookup.emplace(pt.bc_order[i], bc_map[i]);
+          barcode_order.push_back(pt.bc_order[i]);
+        } else {
+          bc_map[i] = it->second;
+        }
+      }
+      const size_t m = pt.c.flag.size();
+      out_group_id.grow(m);
+      out_flag.grow(m);
+      out_ref_id.grow(m);
+      out_pos.grow(m);
+      out_ref_span.grow(m);
+      out_seq_len.grow(m);
+      out_score.grow(m);
+      out_has_score.grow(m);
+      for (size_t i = 0; i < m; i++)
+        out_group_id.p[out_group_id.n + i] = pt.c.group_id[i] + group_base;
+      memcpy(out_flag.p + out_flag.n, pt.c.flag.data(), m * 2);
+      memcpy(out_ref_id.p + out_ref_id.n, pt.c.ref_id.data(), m * 4);
+      memcpy(out_pos.p + out_pos.n, pt.c.pos.data(), m * 8);
+      memcpy(out_ref_span.p + out_ref_span.n, pt.c.ref_span.data(), m * 8);
+      memcpy(out_seq_len.p + out_seq_len.n, pt.c.seq_len.data(), m * 8);
+      memcpy(out_score.p + out_score.n, pt.c.score.data(), m * 8);
+      memcpy(out_has_score.p + out_has_score.n, pt.c.has_score.data(), m);
+      if (want_barcodes) {
+        out_cb_id.grow(m);
+        for (size_t i = 0; i < m; i++)
+          out_cb_id.p[out_cb_id.n + i] =
+              pt.c.cb_id[i] < 0 ? -1 : bc_map[size_t(pt.c.cb_id[i])];
+        out_cb_id.n += m;
+      }
+      out_group_id.n += m;
+      out_flag.n += m;
+      out_ref_id.n += m;
+      out_pos.n += m;
+      out_ref_span.n += m;
+      out_seq_len.n += m;
+      out_score.n += m;
+      out_has_score.n += m;
+      tot += m;
+      pt = Part();  // release
+    }
+
+    // carry the partial tail and refill
+    const size_t consumed = o;
+    win.erase(win.begin(), win.begin() + consumed);
+    if (bi >= blocks.size()) {
+      if (!win.empty()) {
+        free(dup_name);
+        return fail("truncated BAM record");
+      }
+      break;
+    }
+    if (!fill_window()) {
+      free(dup_name);
+      return fail("BGZF inflate failure");
+    }
+  }
+  munmap(map, fsize);
+  map = nullptr;
+  tm.mark("scan+merge");
+
+  std::string barcodes_blob;
   auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
   d->n_records = int64_t(tot);
   d->n_groups = group + 1;
   d->n_refs = n_ref;
   d->num_unmapped = num_unmapped;
-  d->group_id = out_group_id;
-  d->flag = out_flag;
-  d->ref_id = out_ref_id;
-  d->pos = out_pos;
-  d->ref_span = out_ref_span;
-  d->seq_len = out_seq_len;
-  d->score = out_score;
-  d->has_score = out_has_score;
-  d->cb_id = out_cb_id;
+  d->group_id = out_group_id.release();
+  d->flag = out_flag.release();
+  d->ref_id = out_ref_id.release();
+  d->pos = out_pos.release();
+  d->ref_span = out_ref_span.release();
+  d->seq_len = out_seq_len.release();
+  d->score = out_score.release();
+  d->has_score = out_has_score.release();
+  d->cb_id = want_barcodes ? out_cb_id.release() : nullptr;
   d->header_text = static_cast<char*>(malloc(header_text.size()));
   memcpy(d->header_text, header_text.data(), header_text.size());
   d->header_text_len = int64_t(header_text.size());
@@ -671,7 +812,7 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     d->n_barcodes = int64_t(barcode_order.size());
   }
   d->dup_name = dup_name;
-  tm.mark("steal");
+  tm.mark("finish");
   return d;
 }
 

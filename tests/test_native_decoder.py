@@ -212,3 +212,31 @@ def test_coverage_reversed_interval_matches_oracle():
 
     np.testing.assert_allclose(cov_n.bins, cov_o.bins, rtol=1e-12)
     np.testing.assert_allclose(cov_n.total_weight, cov_o.total_weight)
+
+
+def test_streaming_windows_match_single_window(fixture_bam, monkeypatch):
+    """Tiny inflate windows (forcing record-tail carries and cross-
+    window group stitching) must produce byte-identical columns, group
+    names, and counters to the one-window decode."""
+    import numpy as np
+
+    from oarfish_tpu.host import native
+
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+
+    monkeypatch.delenv("OARFISH_DECODE_WINDOW_BYTES", raising=False)
+    big = native.decode_bam(fixture_bam, keep_names=True)
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+    small = native.decode_bam(fixture_bam, keep_names=True)
+
+    assert small.num_unmapped == big.num_unmapped
+    assert small.dup_name == big.dup_name
+    assert small.header.ref_names == big.header.ref_names
+    assert small.header.ref_lengths == big.header.ref_lengths
+    for f in ("group_id", "flag", "ref_id", "pos", "ref_span",
+              "seq_len", "score", "has_score"):
+        np.testing.assert_array_equal(
+            getattr(small.columns, f), getattr(big.columns, f), err_msg=f
+        )
+    assert list(small.group_names) == list(big.group_names)
