@@ -170,8 +170,9 @@ class CellBatch:
 def _iter_cells_native(args: Args, opts: FilterOpts):
     """Fast path: C++ columnar decode + whole-file vectorized filtering,
     then per-cell CSR slices. Yields (header, iterator of
-    (barcode, txp_id, start, end, prob, boundaries)). Only used when the
-    coverage model is off (the binomial model is per-cell state)."""
+    (barcode, txp_id, start, end, prob, boundaries)). With the coverage
+    model on, the caller builds the per-cell binomial model from the
+    (post-filter) slices — identical bins to the streaming path."""
     from ..host import native
     from ..host.vector_filter import filter_records
 
@@ -254,7 +255,7 @@ def _iter_cells_native(args: Args, opts: FilterOpts):
 def quantify_single_cell_from_collated_bam(args: Args, opts: FilterOpts):
     from ..host import native
 
-    if not opts.model_coverage and native.available():
+    if native.available():
         return _quantify_single_cell_native(args, opts)
     return _quantify_single_cell_streaming(args, opts)
 
@@ -285,7 +286,24 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
             skipped_empty += 1
             continue
         txp, start, end, prob, b = cell
-        w = prob.astype(np.float64)
+        if opts.model_coverage:
+            # per-cell binomial coverage model over the RETAINED
+            # alignments (the reference builds a fresh per-cell model,
+            # `single_cell.rs:132-137`); slices are post-filter so the
+            # bins match the streaming path exactly
+            cov = TranscriptCoverage(txps_len, args.bin_width)
+            cov.add_intervals(txp, start, end)
+            cell_store = AlignmentStore(
+                txp_id=txp.astype(np.int32), start=start, end=end,
+                as_prob=prob.astype(np.float32),
+                cov_prob=np.zeros(len(txp)), boundaries=b,
+                discard=DiscardTable(),
+            )
+            flat = binomial_continuous_prob(cov)
+            normalize_read_probs(cell_store, cov, flat, args.bin_width)
+            w = cell_store.as_prob.astype(np.float64) * cell_store.cov_prob
+        else:
+            w = prob.astype(np.float64)
         global_ids, local = np.unique(txp, return_inverse=True)
         key = (
             _ceil_pow2(len(txp)),
