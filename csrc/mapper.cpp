@@ -64,6 +64,44 @@ struct Minimizer {
   uint8_t strand; // 0 = forward canonical, 1 = reverse canonical
 };
 
+// Per-worker-thread scratch cap: the TPU-era analogue of the
+// reference's RAMMAP_DP_CACHE_CAP_MB / --dp-cache-cap-mb knob
+// (Cargo.toml:84-87, prog_opts.rs:434-439, main.rs:347-349), which
+// bounds mapper scratch memory that persists across reads on each
+// worker thread. Same default: 128 MB per thread.
+std::atomic<int64_t> g_scratch_cap_bytes{128ll << 20};
+
+struct Cand {
+  uint64_t key;
+  uint32_t pos;
+  uint8_t strand;
+};
+
+// Scratch buffers reused across reads on one worker thread (a fresh
+// len-sized malloc per read would dominate the minimizer pass). A
+// pathological read (e.g. one megabase-scale sequence) can balloon the
+// retained capacity; trim_to_cap releases everything once the total
+// exceeds the cap, restoring the reference's RSS-control semantics.
+struct ThreadScratch {
+  std::vector<Cand> win;      // minimizer window ring
+  std::vector<size_t> deque;  // sliding-window minima indices
+  std::vector<int32_t> dp, pre;  // chaining DP
+  size_t bytes() const {
+    return win.capacity() * sizeof(Cand) +
+           deque.capacity() * sizeof(size_t) +
+           (dp.capacity() + pre.capacity()) * sizeof(int32_t);
+  }
+  void trim_to_cap(size_t extra = 0) {
+    int64_t cap = g_scratch_cap_bytes.load(std::memory_order_relaxed);
+    if (int64_t(bytes() + extra) <= cap) return;
+    std::vector<Cand>().swap(win);
+    std::vector<size_t>().swap(deque);
+    std::vector<int32_t>().swap(dp);
+    std::vector<int32_t>().swap(pre);
+  }
+};
+thread_local ThreadScratch g_scratch;
+
 // extract (k,w) minimizers of seq into out
 void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
                         uint32_t rid, std::vector<Minimizer>& out) {
@@ -71,11 +109,8 @@ void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   uint64_t fwd = 0, rev = 0;
   int l = 0;
-  // ring buffer of window candidates (thread-local: this runs once
-  // per read on every worker thread — a fresh len-sized malloc per
-  // call would dominate the minimizer pass)
-  struct Cand { uint64_t key; uint32_t pos; uint8_t strand; };
-  static thread_local std::vector<Cand> win;
+  // ring buffer of window candidates (per-thread, see ThreadScratch)
+  std::vector<Cand>& win = g_scratch.win;
   win.clear();
   win.reserve(len);
   size_t last_emitted = SIZE_MAX;
@@ -93,7 +128,7 @@ void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
   }
   // sliding-window minima over win with window w
   if (win.empty()) return;
-  static thread_local std::vector<size_t> deque;
+  std::vector<size_t>& deque = g_scratch.deque;
   deque.clear();
   deque.reserve(64);
   size_t head = 0;
@@ -425,7 +460,8 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
   const int32_t MAX_QGAP = 5000;
   const int32_t MIN_INTRON = 30;
   size_t n = abuf.size();
-  static thread_local std::vector<int32_t> dp, pre;
+  std::vector<int32_t>& dp = g_scratch.dp;
+  std::vector<int32_t>& pre = g_scratch.pre;
   dp.resize(n);
   pre.resize(n);
   size_t run_start = 0;
@@ -662,6 +698,14 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
 
 void oarfish_index_free(void* h) { delete static_cast<IndexHandle*>(h); }
 
+// --dp-cache-cap-mb: cap the per-worker-thread scratch memory retained
+// across reads (reference: RAMMAP_DP_CACHE_CAP_MB, default 128 MB per
+// thread, Cargo.toml:84-87). mb <= 0 restores the default.
+void oarfish_set_dp_cache_cap_mb(int64_t mb) {
+  g_scratch_cap_bytes.store(mb > 0 ? mb * (1ll << 20) : (128ll << 20),
+                            std::memory_order_relaxed);
+}
+
 // Load annotated splice junctions (per-target arrays sorted by donor).
 void oarfish_index_set_junctions(void* h, const int64_t* off,
                                  const int32_t* donor, const int32_t* acc,
@@ -700,6 +744,18 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
                 size_t(offsets[i + 1] - offsets[i]), best_n, hits, mbuf,
                 abuf, spliced != 0, rescore != 0);
         per_read[i] = std::move(hits);  // map_one clears it on entry
+        // per-thread scratch cap (--dp-cache-cap-mb): count the
+        // batch-local buffers too and release everything when over
+        size_t local = mbuf.capacity() * sizeof(Minimizer) +
+                       abuf.capacity() * sizeof(Anchor) +
+                       hits.capacity() * sizeof(Hit);
+        int64_t cap = g_scratch_cap_bytes.load(std::memory_order_relaxed);
+        if (int64_t(g_scratch.bytes() + local) > cap) {
+          g_scratch.trim_to_cap();
+          std::vector<Minimizer>().swap(mbuf);
+          std::vector<Anchor>().swap(abuf);
+          std::vector<Hit>().swap(hits);
+        }
       }
     });
   }

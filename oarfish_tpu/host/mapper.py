@@ -107,6 +107,30 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def set_dp_cache_cap_mb(mb: Optional[int]) -> bool:
+    """Cap the mapper's per-worker-thread scratch memory retained across
+    reads (`--dp-cache-cap-mb`; reference knob `RAMMAP_DP_CACHE_CAP_MB`,
+    `Cargo.toml:84-87`, `main.rs:347-349`, default 128 MB/thread). None
+    or <=0 restores the default. Returns False when the loaded native
+    library predates the knob (stale .so)."""
+    if mb is None:
+        # flag absent: honor the reference's env knob before the default
+        import os
+
+        env = os.environ.get("RAMMAP_DP_CACHE_CAP_MB")
+        if env is not None:
+            try:
+                mb = int(env)
+            except ValueError:
+                log.warning("ignoring non-integer RAMMAP_DP_CACHE_CAP_MB=%r", env)
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "oarfish_set_dp_cache_cap_mb"):
+        return False
+    lib.oarfish_set_dp_cache_cap_mb.argtypes = [ctypes.c_int64]
+    lib.oarfish_set_dp_cache_cap_mb(int(mb) if mb else 0)
+    return True
+
+
 def preset_for_tech(tech: Optional[SequencingTech]) -> Tuple[int, int]:
     """(k, w) minimizer preset per sequencing tech (the analogue of
     rammap's map-ont / map-pb / map-hifi presets, `aligner.rs:34-41`)."""

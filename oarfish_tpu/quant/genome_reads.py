@@ -77,6 +77,9 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     g_names, g_seqs = read_fasta_concat([args.genome])
     if not g_names:
         raise ValueError(f"no sequences found in genome {args.genome}")
+    from ..host.mapper import set_dp_cache_cap_mb
+
+    set_dp_cache_cap_mb(args.dp_cache_cap_mb)
     mapper = Mapper.from_sequences(
         g_names, g_seqs, tech=args.seq_tech, threads=max(args.threads, 1)
     )

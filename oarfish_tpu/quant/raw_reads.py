@@ -37,6 +37,9 @@ def build_or_load_mapper(args: Args):
     """Aligner/index resolution (`get_aligner_from_args`,
     `aligner.rs:133-216`): load `--index`, or build from
     `--annotated`/`--novel` FASTAs; persist with `--index-out`."""
+    from ..host.mapper import set_dp_cache_cap_mb
+
+    set_dp_cache_cap_mb(args.dp_cache_cap_mb)
     if args.index is not None:
         log.info("loading prebuilt index from %s", args.index)
         m = Mapper.load(args.index)

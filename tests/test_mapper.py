@@ -199,3 +199,40 @@ def test_rescoring_sharpens_discrimination(sirv_mapper):
         stats[rescore] = (tophit, float(np.median(margins)))
     assert stats[True][0] >= stats[False][0] - 2  # accuracy held
     assert stats[True][1] > stats[False][1] * 1.15  # sharper margins
+
+
+def test_dp_cache_cap_identical_results(sirv_mapper):
+    """--dp-cache-cap-mb (`RAMMAP_DP_CACHE_CAP_MB`, `main.rs:346-349`)
+    bounds per-thread scratch retention only — mapping output must be
+    bit-identical under any cap, including one that forces a release
+    after every read."""
+    names, seqs, m = sirv_mapper
+    rng = np.random.default_rng(7)
+    reads = []
+    for i in range(60):
+        t = int(rng.integers(0, len(seqs)))
+        s = seqs[t]
+        if len(s) < 400:
+            continue
+        span = int(rng.integers(300, min(len(s), 1500)))
+        pos = int(rng.integers(0, len(s) - span + 1))
+        reads.append(mutate(rng, s[pos : pos + span]))
+    # a 100 kb read balloons the minimizer window ring past 1 MB, so the
+    # capped run genuinely exercises the release path
+    long_read = bytes(
+        np.frombuffer(b"ACGT", dtype=np.uint8)[
+            rng.integers(0, 4, size=100_000)
+        ]
+    )
+    reads.insert(0, long_read)
+    assert mp.set_dp_cache_cap_mb(1)
+    try:
+        capped = m.map_batch(reads, best_n=10, threads=3)
+    finally:
+        assert mp.set_dp_cache_cap_mb(None)  # restore the 128 MB default
+    base = m.map_batch(reads, best_n=10, threads=3)
+    np.testing.assert_array_equal(capped.read_off, base.read_off)
+    np.testing.assert_array_equal(capped.target, base.target)
+    np.testing.assert_array_equal(capped.score, base.score)
+    np.testing.assert_array_equal(capped.tstart, base.tstart)
+    np.testing.assert_array_equal(capped.tend, base.tend)
