@@ -262,6 +262,18 @@ def validate_modes(args: Args, parser: argparse.ArgumentParser) -> None:
 
 
 def main(argv=None) -> int:
+    import os
+
+    platform = os.environ.get("OARFISH_PLATFORM")
+    if platform:
+        # Escape hatch for a held/degraded accelerator backend: pin the
+        # jax platform BEFORE any backend init. (The axon TPU plugin
+        # overrides JAX_PLATFORMS, and a degraded tunnel can hang
+        # jax.default_backend() indefinitely rather than raising; see
+        # resolve_em_dtype's error path for the raising case.)
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     parser = build_parser()
     ns = parser.parse_args(argv)
     args = to_args(ns)
