@@ -194,7 +194,23 @@ def main():
 
     res = None
     scale = "unset"
-    device_ok = probe_device()
+    # Tunnel degradation is usually transient (minutes-scale windows):
+    # retry the probe a few times before concluding the device is
+    # unusable for this run. OARFISH_BENCH_PROBE_TRIES=1 restores the
+    # single-shot behavior (used by --quick smoke runs implicitly).
+    tries = int(os.environ.get(
+        "OARFISH_BENCH_PROBE_TRIES", "1" if quick else "4"))
+    device_ok = False
+    for attempt in range(max(tries, 1)):
+        if attempt:
+            sys.stderr.write(
+                f"device probe failed (attempt {attempt}/{tries}); "
+                "retrying in 120s\n"
+            )
+            time.sleep(120)
+        device_ok = probe_device()
+        if device_ok:
+            break
     if not device_ok:
         sys.stderr.write(
             "device probe failed (tunnel degraded/unavailable); "
