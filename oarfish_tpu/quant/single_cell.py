@@ -13,7 +13,9 @@ scalar EMs (`single_cell.rs:91-193`), cells are packed into *size buckets*
 transcript ids relabeled to a dense local space, and each bucket runs as a
 single `vmap`ped batched EM on device — one compiled program per bucket
 shape, all cells in a bucket iterating in lockstep with per-cell
-convergence freezing.
+convergence freezing. With `--num-shards > 1` the batch axis is
+additionally sharded over a 1-D "cells" device mesh (cells are
+independent, so the partitioned program needs no per-cell collectives).
 """
 
 from __future__ import annotations
@@ -117,19 +119,33 @@ class CellBatch:
         self.global_ids.append(global_ids)
         self.cell_index.append(cell_index)
 
-    def run(self, args: Args, dtype):
+    def run(self, args: Args, dtype, mesh=None):
         """Batched EM over this bucket; returns per-cell (global_ids,
-        counts) in bucket order."""
+        counts) in bucket order.
+
+        With `mesh` (a 1-D "cells" device mesh), the batch axis is
+        sharded across the mesh devices: cell EMs are independent, so
+        the partitioned program's only cross-device traffic is the
+        batched while-loop's scalar convergence reduce — the north-star
+        "single-cell batches laid out on the chip axis" (SURVEY §5;
+        the reference runs a worker-thread pool of scalar EMs instead,
+        `single_cell.rs:91-193`)."""
         B = len(self.txp_local)
+        Bp = B
+        if mesh is not None:
+            D = int(mesh.devices.size)
+            Bp = ((B + D - 1) // D) * D
         a_p, r_p, t_p = self.a_pad, self.r_pad, self.t_pad
         # padding: dummy alignments with w=0 on a dummy read (r_p) and a
-        # dummy transcript slot (t_p); dummy reads get denom 0 -> dropped
-        txp = np.full((B, a_p), t_p, dtype=np.int32)
-        wts = np.zeros((B, a_p), dtype=np.float64)
-        rid = np.full((B, a_p), r_p, dtype=np.int32)
-        perm = np.zeros((B, a_p), dtype=np.int32)
-        tsorted = np.zeros((B, a_p), dtype=np.int32)
-        init = np.zeros((B, t_p + 1), dtype=np.float64)
+        # dummy transcript slot (t_p); dummy reads get denom 0 -> dropped.
+        # Rows [B, Bp) are whole dummy cells (zero init, zero weights):
+        # they converge with everyone else and are sliced away below.
+        txp = np.full((Bp, a_p), t_p, dtype=np.int32)
+        wts = np.zeros((Bp, a_p), dtype=np.float64)
+        rid = np.full((Bp, a_p), r_p, dtype=np.int32)
+        perm = np.zeros((Bp, a_p), dtype=np.int32)
+        tsorted = np.full((Bp, a_p), t_p, dtype=np.int32)
+        init = np.zeros((Bp, t_p + 1), dtype=np.float64)
         for i in range(B):
             a = len(self.txp_local[i])
             txp[i, :a] = self.txp_local[i]
@@ -141,15 +157,26 @@ class CellBatch:
             # uniform init avg = R_cell / T_global (`em.rs:164-166` with the
             # cell's read count over the FULL transcriptome size)
             init[i, :] = self.num_reads[i] / self.t_global
+
+        def put(x):
+            if mesh is None:
+                return jnp.asarray(x)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                x, NamedSharding(mesh, PartitionSpec("cells"))
+            )
+
         data = EmData(
-            txp_id=jnp.asarray(txp),
-            weights=jnp.asarray(wts, dtype=dtype),
-            read_id=jnp.asarray(rid),
-            txp_sort_perm=jnp.asarray(perm),
-            txp_id_sorted=jnp.asarray(tsorted),
+            txp_id=put(txp),
+            weights=put(wts.astype(dtype)),
+            read_id=put(rid),
+            txp_sort_perm=put(perm),
+            txp_id_sorted=put(tsorted),
             num_reads=r_p + 1,
             num_txps=t_p + 1,
         )
+        init = init.astype(dtype)
         if args.em_accel == "squarem":
             from ..ops.em import run_em_squarem as _run
         else:
@@ -158,8 +185,8 @@ class CellBatch:
             lambda d, i0: _run(
                 d, i0, args.max_em_iter, args.convergence_thresh
             )
-        )(data, jnp.asarray(init, dtype=dtype))
-        counts = np.asarray(counts, dtype=np.float64)
+        )(data, put(init))
+        counts = np.asarray(counts[:B], dtype=np.float64)
         out = []
         for i in range(B):
             t_c = len(self.global_ids[i])
@@ -401,14 +428,32 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
     )
 
 
+def _cell_mesh(args: Args):
+    """1-D "cells" mesh for `--num-shards > 1`: cell batches shard on
+    their leading axis (embarrassingly parallel across chips)."""
+    if args.num_shards <= 1:
+        return None
+    devs = jax.devices()
+    D = min(args.num_shards, len(devs))
+    if D <= 1:
+        return None
+    from jax.sharding import Mesh
+
+    log.info("single-cell EM batches sharded over %d devices", D)
+    return Mesh(np.asarray(devs[:D]), ("cells",))
+
+
 def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
                         digest, dtype):
     rows: List[int] = []
     cols: List[int] = []
     vals: List[float] = []
     t_em = time.time()
+    mesh = _cell_mesh(args)
     for key in sorted(buckets):
-        for cell_index, gids, counts in buckets[key].run(args, dtype):
+        for cell_index, gids, counts in buckets[key].run(
+            args, dtype, mesh=mesh
+        ):
             nz = counts > 0.0
             for g, v in zip(gids[nz], counts[nz]):
                 rows.append(cell_index)

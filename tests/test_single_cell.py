@@ -113,3 +113,21 @@ def test_single_cell_squarem_matches_plain(sc_sim):
     mp = read_mtx(str(out_p) + ".count.mtx", len(names))
     ms = read_mtx(str(out_s) + ".count.mtx", len(names))
     np.testing.assert_allclose(ms, mp, rtol=5e-3, atol=0.05)
+
+
+def test_single_cell_sharded_matches_single_device(sc_sim):
+    """--num-shards 8 shards cell batches over the 8-device CPU mesh
+    (cells axis, no per-cell collectives); the count matrix must match
+    the single-device run bit-for-bit."""
+    d, p, names, lengths = sc_sim
+    out_1 = d / "mesh1" / "sc"
+    out_8 = d / "mesh8" / "sc"
+    for out, shards in [(out_1, "1"), (out_8, "8")]:
+        rc = main([
+            "--alignments", str(p), "-o", str(out), "--single-cell",
+            "--em-dtype", "float64", "--num-shards", shards, "--quiet",
+        ])
+        assert rc == 0
+    m1 = read_mtx(str(out_1) + ".count.mtx", len(names))
+    m8 = read_mtx(str(out_8) + ".count.mtx", len(names))
+    np.testing.assert_array_equal(m8, m1)
