@@ -420,16 +420,17 @@ def _v4_layout(
     off_t = np.zeros(len(items_t) + 1, dtype=np.int64)
     np.cumsum(sizes_t, out=off_t[1:])
     rng_b = np.random.default_rng(7)
+    # big-alignment index, computed once: boolean-mask gathers over the
+    # A-sized arrays were ~45% of this function's own time at A=6M
+    big_idx = np.nonzero(big_aln)[0] if n_big_real else None
     if use_balance and len(items_t):
         p = rng_b.permutation(len(items_t))
         order_t = p[np.argsort(-sizes_t[p], kind="stable")]
         F1 = np.zeros((1, n_chk), dtype=np.int32)
         if n_big_real:
-            np.add.at(
-                F1[0],
-                txp_slot_of_aln[big_aln] // BCH,
-                1,
-            )
+            F1[0] = np.bincount(
+                txp_slot_of_aln[big_idx] // BCH, minlength=n_chk
+            )[:n_chk]
         row_within_t, _, _ = _balance.greedy_place(
             off_t, np.zeros(int(off_t[-1]), np.int32), ib_t, buckets_t,
             n_chk, 1, order_t, F1,
@@ -572,14 +573,21 @@ def _v4_layout(
             )
             idx_t = np.repeat(run_start[items_t], sizes_t) + col_t
         src3 = (slot_of_aln[ord2[idx_t]] // BCH).astype(np.int32)
-        F3 = np.zeros((n_chk, n_chk), dtype=np.int32)
+        F3 = None
         if n_big_real:
-            np.add.at(
-                F3,
-                (slot_of_aln[big_aln] // BCH,
-                 txp_slot_of_aln[big_aln] // BCH),
-                1,
+            F3 = _balance.flows2d(
+                slot_of_aln, txp_slot_of_aln, BCH, n_chk, n_chk,
+                idx=big_idx,
             )
+        if F3 is None:
+            F3 = np.zeros((n_chk, n_chk), dtype=np.int32)
+            if n_big_real:
+                np.add.at(
+                    F3,
+                    (slot_of_aln[big_idx] // BCH,
+                     txp_slot_of_aln[big_idx] // BCH),
+                    1,
+                )
         row_within_t, _, _ = _balance.greedy_place(
             off_t, src3, ib_t, buckets_t, n_chk, n_chk, order_t, F3,
         )
@@ -636,8 +644,6 @@ def _v4_layout(
         import logging
 
         _rlog = logging.getLogger("oarfish_tpu")
-
-        big_idx = np.nonzero(big_aln)[0]
 
         def _flows():
             """[read chunk, txp chunk] loads of the full layout."""
