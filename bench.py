@@ -199,15 +199,15 @@ def main():
     # unusable for this run. OARFISH_BENCH_PROBE_TRIES=1 restores the
     # single-shot behavior (used by --quick smoke runs implicitly).
     tries = int(os.environ.get(
-        "OARFISH_BENCH_PROBE_TRIES", "1" if quick else "4"))
+        "OARFISH_BENCH_PROBE_TRIES", "1" if quick else "3"))
     device_ok = False
     for attempt in range(max(tries, 1)):
         if attempt:
             sys.stderr.write(
                 f"device probe failed (attempt {attempt}/{tries}); "
-                "retrying in 120s\n"
+                "retrying in 60s\n"
             )
-            time.sleep(120)
+            time.sleep(60)
         device_ok = probe_device()
         if device_ok:
             break
