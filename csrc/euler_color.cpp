@@ -223,13 +223,25 @@ int64_t oarfish_edge_color_batch(const int32_t* src, const int32_t* dst,
 // where R1 = n_dst*Q/128, R3 = n_src*Q/128. s1_src may be null when
 // CR == 128. Returns 0 on success; 1 = chunk id out of range, 2 = a
 // (src,dst) flow exceeds Q, 3 = coloring contract violation.
-int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
-                             int64_t E, int32_t CR, int32_t n_src,
-                             int32_t n_dst, int32_t Q, int32_t n_threads,
-                             int8_t* s1_r1, int8_t* s1_src, int8_t* s1_row,
-                             int8_t* s1_r2, int8_t* s3_r1, int8_t* s3_src,
-                             int8_t* s3_row, int8_t* s3_r2,
-                             int8_t* s3_mask) {
+//
+// Paired variant (`oarfish_route_tables_pair`): also fills the REVERSED
+// route's nine tables (out_idx <- in_idx swapped; geometry n_src/n_dst
+// swapped, same Q). The reversed route's stage-1 graph per chunk is the
+// forward route's stage-3 graph with edge direction flipped (identical
+// flows, identical ranks — rank is by edge order within each (s,d)
+// group, shared), so ONE edge coloring per chunk side serves all four
+// stage-table sets — the colorings are ~2/3 of the table-build cost.
+static int64_t route_tables_impl(
+    const int64_t* out_idx, const int64_t* in_idx, int64_t E, int32_t CR,
+    int32_t n_src, int32_t n_dst, int32_t Q, int32_t n_threads,
+    int8_t* s1_r1, int8_t* s1_src, int8_t* s1_row, int8_t* s1_r2,
+    int8_t* s3_r1, int8_t* s3_src, int8_t* s3_row, int8_t* s3_r2,
+    int8_t* s3_mask,
+    // reversed-route tables (all null in the single-route call);
+    // b_s1_src may be null when CR == 128
+    int8_t* b_s1_r1, int8_t* b_s1_src, int8_t* b_s1_row, int8_t* b_s1_r2,
+    int8_t* b_s3_r1, int8_t* b_s3_src, int8_t* b_s3_row, int8_t* b_s3_r2,
+    int8_t* b_s3_mask) {
   const int64_t L = 128;
   const int64_t CHR = int64_t(CR) * L;
   const int64_t R1 = int64_t(n_dst) * Q / L;
@@ -306,6 +318,7 @@ int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
             bad.compare_exchange_strong(expect, 3);
             return;
           }
+          const int64_t H3 = CR / L;
           for (int64_t j = 0; j < m; j++) {
             int64_t i = s_ord[lo + j];
             int64_t irow = a_row[j], ilane = in_idx[i] % L;
@@ -318,6 +331,18 @@ int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
             if (s1_src) s1_src[mid] = int8_t(irow / L);
             s1_row[mid] = int8_t(irow % L);
             s1_r2[(int64_t(s) * R1 + qrow) * L + qlane] = int8_t(c);
+            if (b_s3_r1) {
+              // reversed route, stage 3, dst chunk s (R3_rev == R1):
+              // quota row q (same rank) -> this chunk's in_idx rows
+              b_s3_r1[(int64_t(s) * R1 + qrow) * L + c] = int8_t(qlane);
+              int64_t midb =
+                  ((int64_t(s) * H3 + irow / L) * L + c) * L + irow % L;
+              b_s3_src[midb] = int8_t(qrow / L);
+              b_s3_row[midb] = int8_t(qrow % L);
+              int64_t ofb = (int64_t(s) * CR + irow) * L + ilane;
+              b_s3_r2[ofb] = int8_t(c);
+              b_s3_mask[ofb] = 1;
+            }
           }
         } else {
           // stage 3, dst chunk d: quota row (post-exchange) -> out_row
@@ -341,6 +366,7 @@ int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
             return;
           }
           const int64_t H3 = CR / L;
+          const int64_t H1b = R3 / L;  // reversed route's H1
           for (int64_t j = 0; j < m; j++) {
             int64_t i = d_ord[lo + j];
             int64_t q3 = int64_t(s_of[i]) * Q + rank[i];
@@ -355,6 +381,18 @@ int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
             int64_t of = (int64_t(d) * CR + orow) * L + olane;
             s3_r2[of] = int8_t(c);
             s3_mask[of] = 1;
+            if (b_s1_r1) {
+              // reversed route, stage 1, src chunk d (R1_rev == R3):
+              // this chunk's out_idx rows -> quota row q3 (same rank)
+              b_s1_r1[(int64_t(d) * CR + orow) * L + c] = int8_t(olane);
+              int64_t midb =
+                  ((int64_t(d) * H1b + q3row / L) * L + c) * L +
+                  q3row % L;
+              if (b_s1_src) b_s1_src[midb] = int8_t(orow / L);
+              b_s1_row[midb] = int8_t(orow % L);
+              b_s1_r2[(int64_t(d) * R3 + q3row) * L + q3lane] =
+                  int8_t(c);
+            }
           }
         }
       }
@@ -362,6 +400,40 @@ int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
   }
   for (auto& th : pool) th.join();
   return bad.load();
+}
+
+int64_t oarfish_route_tables(const int64_t* out_idx, const int64_t* in_idx,
+                             int64_t E, int32_t CR, int32_t n_src,
+                             int32_t n_dst, int32_t Q, int32_t n_threads,
+                             int8_t* s1_r1, int8_t* s1_src, int8_t* s1_row,
+                             int8_t* s1_r2, int8_t* s3_r1, int8_t* s3_src,
+                             int8_t* s3_row, int8_t* s3_r2,
+                             int8_t* s3_mask) {
+  return route_tables_impl(out_idx, in_idx, E, CR, n_src, n_dst, Q,
+                           n_threads, s1_r1, s1_src, s1_row, s1_r2, s3_r1,
+                           s3_src, s3_row, s3_r2, s3_mask, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr);
+}
+
+// Both routes of a forward/reverse pair from ONE build: the forward
+// tables exactly as oarfish_route_tables, plus the reversed route
+// (in_idx <- out_idx; geometry (n_dst, n_src, Q)) reusing the same
+// counting sorts and edge colorings. b_s1_src may be null when
+// CR == 128; all 18 tables must arrive zeroed.
+int64_t oarfish_route_tables_pair(
+    const int64_t* out_idx, const int64_t* in_idx, int64_t E, int32_t CR,
+    int32_t n_src, int32_t n_dst, int32_t Q, int32_t n_threads,
+    int8_t* s1_r1, int8_t* s1_src, int8_t* s1_row, int8_t* s1_r2,
+    int8_t* s3_r1, int8_t* s3_src, int8_t* s3_row, int8_t* s3_r2,
+    int8_t* s3_mask, int8_t* b_s1_r1, int8_t* b_s1_src, int8_t* b_s1_row,
+    int8_t* b_s1_r2, int8_t* b_s3_r1, int8_t* b_s3_src, int8_t* b_s3_row,
+    int8_t* b_s3_r2, int8_t* b_s3_mask) {
+  return route_tables_impl(out_idx, in_idx, E, CR, n_src, n_dst, Q,
+                           n_threads, s1_r1, s1_src, s1_row, s1_r2, s3_r1,
+                           s3_src, s3_row, s3_r2, s3_mask, b_s1_r1,
+                           b_s1_src, b_s1_row, b_s1_r2, b_s3_r1, b_s3_src,
+                           b_s3_row, b_s3_r2, b_s3_mask);
 }
 
 }  // extern "C"

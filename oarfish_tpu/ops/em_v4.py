@@ -57,8 +57,8 @@ from .static_permute import (
     CH,
     BatchTilePermute,
     DeviceTilePlan,
-    GlobalRoute,
     _run_middle_stage,
+    build_route_pair,
 )
 
 CAPK = 2048  # max bucket row width; wider transcripts are row-chunked
@@ -1032,29 +1032,20 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
         # natural chunk count, read side diluted to n_dst chunks
         CR, n_src, n_dst, Q = lay["rect"]
         CHR = CR * LANES
-        p_a = GlobalRoute(
+        p_a, p_b = build_route_pair(
             lay["slot_of_aln"], lay["txp_slot_of_aln"], n_src * CHR,
             n_pad_out=n_dst * CHR,
             force_geometry=(n_src, n_dst, Q), chunk_rows=CR,
-        ).plan
-        p_b = GlobalRoute(
-            lay["txp_slot_of_aln"], lay["slot_of_aln"], n_dst * CHR,
-            n_pad_out=n_src * CHR,
-            force_geometry=(n_dst, n_src, Q), chunk_rows=CR,
-        ).plan
+        )
     else:
         if geometry is None:
             CR, NPAD, geo = route_config(lay, lay["NPAD"])
         else:
             CR, NPAD, geo = geometry
-        p_a = GlobalRoute(
+        p_a, p_b = build_route_pair(
             lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
             force_geometry=geo, chunk_rows=CR,
-        ).plan
-        p_b = GlobalRoute(
-            lay["txp_slot_of_aln"], lay["slot_of_aln"], NPAD,
-            force_geometry=geo, chunk_rows=CR,
-        ).plan
+        )
     seg_id = _read_lvl_ids(
         lay["read_shapes"], lay["read_starts"], p_a.n_dst, CR
     )

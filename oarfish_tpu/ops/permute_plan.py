@@ -117,7 +117,7 @@ def _get_color_lib():
         lib = ctypes.CDLL(str(so))
     except OSError:
         return None
-    if not hasattr(lib, "oarfish_route_tables"):
+    if not hasattr(lib, "oarfish_route_tables_pair"):
         # stale library from before the newest entry point: rebuild
         # (kept on disk if the rebuild fails, but treated unavailable)
         del lib
@@ -161,6 +161,10 @@ def _get_color_lib():
         i8p, i8p, i8p, i8p, i8p,         # s3 tables
     ]
     lib.oarfish_route_tables.restype = ctypes.c_int64
+    lib.oarfish_route_tables_pair.argtypes = (
+        lib.oarfish_route_tables.argtypes + [i8p] * 9
+    )
+    lib.oarfish_route_tables_pair.restype = ctypes.c_int64
     _color_lib = lib
     return lib
 
@@ -195,6 +199,43 @@ def route_tables_native(out_idx, in_idx, CR, n_src, n_dst, Q, tables):
         raise ValueError(
             f"route_tables_native: contract violation (code {rc}): "
             f"geometry n_src={n_src} n_dst={n_dst} Q={Q} CR={CR}"
+        )
+    return True
+
+
+def route_tables_pair_native(out_idx, in_idx, CR, n_src, n_dst, Q,
+                             tables_fwd, tables_rev):
+    """Fill BOTH routes of a forward/reverse pair in one threaded C++
+    call: `tables_fwd` for out_idx <- in_idx with geometry
+    (n_src, n_dst, Q), `tables_rev` for the reversed map with geometry
+    (n_dst, n_src, Q). The reverse reuses the forward's counting sorts
+    and per-chunk edge colorings (the channel graphs are identical with
+    direction flipped), cutting the build ~2x vs two single calls.
+    Same table tuple layout / zeroing contract as route_tables_native;
+    returns False when the native library is unavailable."""
+    lib = _get_color_lib()
+    if lib is None or not hasattr(lib, "oarfish_route_tables_pair"):
+        return False
+    import ctypes
+
+    i8p = ctypes.POINTER(ctypes.c_int8)
+
+    def p8(a):
+        return None if a is None else a.ctypes.data_as(i8p)
+
+    oi = np.ascontiguousarray(out_idx, dtype=np.int64)
+    ii = np.ascontiguousarray(in_idx, dtype=np.int64)
+    rc = lib.oarfish_route_tables_pair(
+        oi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ii.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(oi), int(CR), int(n_src), int(n_dst), int(Q), 0,
+        *[p8(t) for t in tables_fwd],
+        *[p8(t) for t in tables_rev],
+    )
+    if rc != 0:
+        raise ValueError(
+            f"route_tables_pair_native: contract violation (code {rc}):"
+            f" geometry n_src={n_src} n_dst={n_dst} Q={Q} CR={CR}"
         )
     return True
 

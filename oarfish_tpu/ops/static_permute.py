@@ -1021,7 +1021,8 @@ class GlobalRoute:
                  n_out: Optional[int] = None,
                  force_geometry: Optional[Tuple[int, ...]] = None,
                  chunk_rows: int = LANES,
-                 n_pad_out: Optional[int] = None):
+                 n_pad_out: Optional[int] = None,
+                 _defer: bool = False):
         out_idx = np.asarray(out_idx, dtype=np.int64)
         in_idx = np.asarray(in_idx, dtype=np.int64)
         CR = int(chunk_rows)
@@ -1033,8 +1034,6 @@ class GlobalRoute:
         assert n_pad_out % CHR == 0, (n_pad_out, CHR)
         n_ch = n_pad // CHR
         n_ch_out = n_pad_out // CHR
-        d_of = out_idx // CHR
-        s_of = in_idx // CHR
         maxflow = route_maxflow(out_idx, in_idx, n_pad, chunk=CHR,
                                 n_pad_out=n_pad_out)
         if force_geometry is not None:
@@ -1087,6 +1086,27 @@ class GlobalRoute:
                           dtype=np.int8)
         s3_r2 = np.zeros((n_dst, CR, LANES), dtype=np.int8)
         s3_mask = np.zeros((n_dst, CR, LANES), dtype=np.int8)
+        self._tables = (s1_r1, s1_src, s1_row, s1_r2,
+                        s3_r1, s3_src, s3_row, s3_r2, s3_mask)
+        self._out_idx, self._in_idx = out_idx, in_idx
+        if not _defer:
+            self._fill_tables()
+            self._finalize()
+
+    def _fill_tables(self):
+        """Populate the nine routing tables (native fast path, NumPy
+        fallback). Split out of __init__ so `GlobalRoute.pair` can fill
+        a forward/reverse pair with one shared native build."""
+        out_idx, in_idx = self._out_idx, self._in_idx
+        (s1_r1, s1_src, s1_row, s1_r2,
+         s3_r1, s3_src, s3_row, s3_r2, s3_mask) = self._tables
+        CR = self.chunk_rows
+        CHR = CR * LANES
+        n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
+        R1, R3 = self.R1, self.R3
+        H_in_gt1 = CR > LANES
+        d_of = out_idx // CHR
+        s_of = in_idx // CHR
 
         # Fast path: the ENTIRE table build (flow ranks by counting
         # sort, per-chunk 128-edge-coloring on a thread pool, table
@@ -1162,6 +1182,12 @@ class GlobalRoute:
             s3_r2.reshape(-1)[o_flat] = c3
             s3_mask.reshape(-1)[o_flat] = 1
 
+    def _finalize(self):
+        (s1_r1, s1_src, s1_row, s1_r2,
+         s3_r1, s3_src, s3_row, s3_r2, s3_mask) = self._tables
+        n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
+        R1, R3, CR = self.R1, self.R3, self.chunk_rows
+        del self._tables, self._out_idx, self._in_idx
         self.plan = GlobalRoutePlan(
             s1_r1=jnp.asarray(s1_r1),
             s1_src=None if s1_src is None else jnp.asarray(s1_src),
@@ -1184,4 +1210,42 @@ class GlobalRoute:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.plan(x)
+
+
+def build_route_pair(
+    out_idx: np.ndarray,
+    in_idx: np.ndarray,
+    n_pad: int,
+    force_geometry: Optional[Tuple[int, ...]] = None,
+    chunk_rows: int = LANES,
+    n_pad_out: Optional[int] = None,
+) -> Tuple[GlobalRoutePlan, GlobalRoutePlan]:
+    """Build the forward route (out_idx <- in_idx) AND its reverse
+    (in_idx <- out_idx) with ONE shared native table build. The reverse
+    route's per-chunk channel graphs are the forward's with edge
+    direction flipped (identical flows and ranks), so each chunk side is
+    edge-colored once instead of twice — the colorings dominate the
+    table-build cost (~2.1 s per route at the A=6M bench shape on 4
+    cores). Returns (fwd.plan, rev.plan); falls back to two independent
+    builds when the native pair entry point is unavailable."""
+    from .permute_plan import route_tables_pair_native
+
+    fwd = GlobalRoute(out_idx, in_idx, n_pad,
+                      force_geometry=force_geometry,
+                      chunk_rows=chunk_rows, n_pad_out=n_pad_out,
+                      _defer=True)
+    n_pad_fwd_out = n_pad if n_pad_out is None else n_pad_out
+    rev = GlobalRoute(in_idx, out_idx, n_pad_fwd_out,
+                      force_geometry=(fwd.n_dst, fwd.n_src, fwd.Q),
+                      chunk_rows=chunk_rows, n_pad_out=n_pad,
+                      _defer=True)
+    if not route_tables_pair_native(
+        out_idx, in_idx, chunk_rows, fwd.n_src, fwd.n_dst, fwd.Q,
+        fwd._tables, rev._tables,
+    ):
+        fwd._fill_tables()
+        rev._fill_tables()
+    fwd._finalize()
+    rev._finalize()
+    return fwd.plan, rev.plan
 

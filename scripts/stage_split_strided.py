@@ -1,7 +1,17 @@
 """Stage attribution for the CURRENT default m-step (fused middle +
 strided transpose-free exchanges) at the bench shape: cumulative-prefix
 fori_loops, (N2-N1)-iter deltas, successive differences = per-stage
-cost. Same-process only."""
+cost. Same-process only; `data` travels as a jit ARGUMENT (closure
+capture inlines the routing tables into the HLO — the remote compiler
+rejects big modules with HTTP 413, and constant-folding skews timings).
+
+Caveat from the 2026-08-18 session: a prefix whose tail output is only
+partially read gets aggressively DCE'd (the front-only prefix read one
+element and measured 0.04 ms for work that costs ~0.2 when a pallas
+consumer forces materialization). Every prefix here therefore ends by
+feeding its value into the next real kernel OR by a full-array
+reduction, and the reduction-only prefixes are marked LOWER BOUNDS.
+"""
 
 import sys
 import time
@@ -18,6 +28,7 @@ import bench
 from oarfish_tpu.ops.em_v4 import (
     CAPK,
     EmV4Data,
+    _m_step_v4,
     _row_broadcast,
     _row_sums,
 )
@@ -27,18 +38,10 @@ from oarfish_tpu.ops.static_permute import _run_middle_stage
 N1, N2 = 20, 120
 
 
-def build_prefixes(data, T):
-    pa, pb = data.p_a, data.p_b
-    npad = pa.n_src * pa.chunk_rows * LANES
-    qr = pa.Q // LANES
-    assert qr * LANES == pa.Q, "strided path requires Q % 128 == 0"
-    max_lvl = max(
-        (int(K).bit_length() - 1 for _rp, K in data.read_shapes),
-        default=0,
-    )
-
-    def front(prev):
+def build_prefixes(T):
+    def front(data, prev):
         dt = prev.dtype
+        npad = data.p_a.n_src * data.p_a.chunk_rows * LANES
         ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
         pr = data.t_in(ext)
         pr_small = pr[: data.row_space_s]
@@ -56,11 +59,17 @@ def build_prefixes(data, T):
             parts.append(jnp.zeros(npad - data.n_slots_t, dt))
         return jnp.concatenate(parts)
 
-    def expand(prev):
-        return pa.expand_y1(front(prev), mul=data.w_txp)
+    def expand(data, prev):
+        return data.p_a.expand_y1(front(data, prev), mul=data.w_txp)
 
-    def middle(prev):
-        y1 = expand(prev)
+    def middle(data, prev):
+        pa, pb = data.p_a, data.p_b
+        qr = pa.Q // LANES
+        max_lvl = max(
+            (int(K).bit_length() - 1 for _rp, K in data.read_shapes),
+            default=0,
+        )
+        y1 = expand(data, prev)
         zg = y1.reshape(pa.n_src, pa.n_dst, qr, LANES)
         return _run_middle_stage(
             zg, data.seg_id, pa.s3_r1, pa.s3_src, pa.s3_row, pa.s3_r2,
@@ -69,45 +78,25 @@ def build_prefixes(data, T):
             thresh=1e-24, max_lvl=max_lvl, strided_qr=qr,
         )
 
-    def reduce(prev):
-        return pb.reduce_strided(middle(prev), sliced=False)
+    def reduce(data, prev):
+        return data.p_b.reduce_strided(middle(data, prev), sliced=False)
 
-    def back(prev):
-        dt = prev.dtype
-        inc_t = reduce(prev)
-        small_sums = _row_sums(inc_t, data.small_shapes,
-                               data.small_starts)
-        if data.big_rows_pad:
-            g = data.big_rows_pad // LANES
-            big_base = data.n_slots_t - data.big_rows_pad * CAPK
-            big_rows = inc_t[
-                big_base : data.n_slots_t
-            ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
-            cs = jnp.concatenate(
-                [jnp.zeros(1, dt), jnp.cumsum(big_rows)]
-            )
-            o = data.big_row_offsets
-            big_sums = jnp.take(cs, o[1:]) - jnp.take(cs, o[:-1])
-            v = jnp.concatenate([small_sums, big_sums])
-        else:
-            v = small_sums
-        vv = jnp.zeros(data.t_space, dt).at[: v.shape[0]].set(v)
-        return data.t_out(vv)[:T]
+    def back(data, prev):
+        return _m_step_v4(data, prev, None)
 
     return [
-        ("front (t_in + prev_slots build)", front),
-        ("+ expand_y1 A (stage1, fused *w)", expand),
+        ("front+expand A (LB: front alone DCEs)", expand),
         ("+ fused middle (strided reads)", middle),
         ("+ reduce_strided B", reduce),
         ("+ row sums + t_out (full m-step)", back),
     ]
 
 
-def time_prefix(fn, init, label, prev_ms):
+def time_prefix(fn, data, init, label, prev_ms):
     def make(n):
-        def f(p0):
+        def f(d, p0):
             def body(i, s):
-                out = fn(p0 * (1.0 + 0.0 * s))
+                out = fn(d, p0 * (1.0 + 0.0 * s))
                 return out.ravel()[0].astype(jnp.float32)
             return jax.lax.fori_loop(0, n, body, jnp.float32(1.0))
         return f
@@ -115,7 +104,7 @@ def time_prefix(fn, init, label, prev_ms):
     f1, f2 = jax.jit(make(N1)), jax.jit(make(N2))
     d = []
     for f in (f1, f2, f1, f2):
-        out = f(init)
+        out = f(data, init)
         t0 = time.perf_counter()
         np.asarray(out)
         d.append(time.perf_counter() - t0)
@@ -135,8 +124,8 @@ def main():
           flush=True)
     init = jnp.full(T, 10.0, dtype=jnp.float32)
     prev_ms = 0.0
-    for label, fn in build_prefixes(data, T):
-        prev_ms = time_prefix(fn, init, label, prev_ms)
+    for label, fn in build_prefixes(T):
+        prev_ms = time_prefix(fn, data, init, label, prev_ms)
 
 
 if __name__ == "__main__":

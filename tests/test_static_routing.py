@@ -458,6 +458,45 @@ def test_v4_rect_geometry_em_vs_oracle():
     assert l1 < 2e-3, f"L1/read {l1}"
 
 
+def test_build_route_pair_both_directions_exact():
+    """`build_route_pair` shares one native table build (one edge
+    coloring per chunk side) between a route and its reverse; both
+    plans must route exactly, at square and rectangular geometries
+    and at both chunk sizes (H_in = 1 and > 1)."""
+    from oarfish_tpu.ops.static_permute import build_route_pair
+
+    rng = np.random.default_rng(91)
+    cases = [
+        # (CR, n_src, n_dst, Q or None->auto square)
+        (128, 16, 16, None),
+        (256, 8, 8, None),
+        (128, 8, 16, 2048),  # rectangular (requires forced geometry)
+    ]
+    for CR, n_src, n_dst, Q in cases:
+        CHR = CR * 128
+        n_in, n_out_sp = n_src * CHR, n_dst * CHR
+        E = int(n_in * 0.5)
+        in_idx = rng.choice(n_in, size=E, replace=False).astype(np.int64)
+        out_idx = rng.choice(n_out_sp, size=E, replace=False).astype(
+            np.int64
+        )
+        kw = {"chunk_rows": CR}
+        if Q is not None:
+            kw.update(n_pad_out=n_out_sp,
+                      force_geometry=(n_src, n_dst, Q))
+        pa, pb = build_route_pair(out_idx, in_idx, n_in, **kw)
+        x = rng.standard_normal(n_in).astype(np.float32)
+        want = np.zeros(n_out_sp, np.float32)
+        want[out_idx] = x[in_idx]
+        np.testing.assert_array_equal(np.asarray(pa(jnp.asarray(x))),
+                                      want)
+        y = rng.standard_normal(n_out_sp).astype(np.float32)
+        wantb = np.zeros(n_in, np.float32)
+        wantb[in_idx] = y[out_idx]
+        np.testing.assert_array_equal(np.asarray(pb(jnp.asarray(y))),
+                                      wantb)
+
+
 def test_global_route_numpy_fallback_matches_native():
     """The NumPy table-build fallback (used when the native library is
     unavailable) routes identically to the native path, at both square
