@@ -72,13 +72,16 @@ def get_lib():
     if not hasattr(lib, "oarfish_rank_by_key"):
         # stale library from before the newest helpers: rebuild (the
         # old .so survives if the rebuild fails, but its entry points
-        # no longer match — treat as unavailable)
+        # no longer match — treat as unavailable). Load the rebuilt
+        # file through a unique temp copy: re-opening the replaced
+        # path can return the stale mapping (glibc dlopen path dedup).
+        from .permute_plan import load_fresh_so
+
         del lib
         if not build():
             return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-        except OSError:  # pragma: no cover
+        lib = load_fresh_so(_LIB_PATH)
+        if lib is None or not hasattr(lib, "oarfish_rank_by_key"):
             return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

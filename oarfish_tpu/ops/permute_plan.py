@@ -80,6 +80,29 @@ _color_lib = None
 _color_tried = False
 
 
+def load_fresh_so(so):
+    """dlopen `so` bypassing glibc's same-path dedup. After a rebuild
+    replaces the file, `ctypes.CDLL(same_path)` can return the OLD
+    still-mapped library (glibc matches loaded objects by path string
+    before checking inodes), so the rebuilt entry points never appear.
+    Copy to a unique temp name, load that, and unlink it (the mapping
+    keeps the inode alive). Returns the CDLL or None."""
+    import ctypes
+    import os
+    import shutil
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(so.parent))
+    os.close(fd)
+    try:
+        shutil.copy2(so, tmp)
+        return ctypes.CDLL(tmp)
+    except OSError:
+        return None
+    finally:
+        os.unlink(tmp)
+
+
 def _get_color_lib():
     global _color_lib, _color_tried
     if _color_lib is not None or _color_tried:
@@ -118,14 +141,15 @@ def _get_color_lib():
     except OSError:
         return None
     if not hasattr(lib, "oarfish_route_tables_pair"):
-        # stale library from before the newest entry point: rebuild
-        # (kept on disk if the rebuild fails, but treated unavailable)
+        # stale library from before the newest entry point: rebuild,
+        # and load the result through a unique temp copy — re-opening
+        # the replaced path would hand back the stale mapping
+        # (glibc dlopen path-string dedup)
         del lib
         if not build():
             return None
-        try:
-            lib = ctypes.CDLL(str(so))
-        except OSError:
+        lib = load_fresh_so(so)
+        if lib is None or not hasattr(lib, "oarfish_route_tables_pair"):
             return None
     lib.oarfish_edge_color.argtypes = [
         ctypes.POINTER(ctypes.c_int32),

@@ -530,3 +530,37 @@ def test_global_route_numpy_fallback_matches_native():
             sp.route_tables_native = orig
         y_np = np.asarray(gr_np(jax.numpy.asarray(x)))
         np.testing.assert_array_equal(y_np, want)
+
+
+def test_load_fresh_so_bypasses_dlopen_path_dedup(tmp_path):
+    """After a rebuild replaces a .so, glibc dlopen by the SAME path
+    returns the old still-mapped library; `load_fresh_so` must surface
+    the new code (regression: stale prebuilt liboarfish_color.so left
+    `oarfish_route_tables_pair` unresolved after a successful rebuild)."""
+    import ctypes
+    import subprocess
+
+    from oarfish_tpu.ops.permute_plan import load_fresh_so
+
+    so = tmp_path / "libdedup_probe.so"
+
+    def build(body: str):
+        src = tmp_path / "probe.c"
+        src.write_text(body)
+        tmp = so.with_suffix(".so.new")
+        subprocess.run(
+            ["g++", "-shared", "-fPIC", str(src), "-o", str(tmp)],
+            check=True, capture_output=True, timeout=120,
+        )
+        tmp.replace(so)
+
+    build('extern "C" int probe_v1(void) { return 1; }\n')
+    old = ctypes.CDLL(str(so))
+    assert hasattr(old, "probe_v1") and not hasattr(old, "probe_v2")
+
+    build('extern "C" int probe_v1(void) { return 1; }\n'
+          'extern "C" int probe_v2(void) { return 2; }\n')
+    # the buggy pattern: same-path reopen may still lack probe_v2
+    fresh = load_fresh_so(so)
+    assert fresh is not None and hasattr(fresh, "probe_v2")
+    assert fresh.probe_v2() == 2
