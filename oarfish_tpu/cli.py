@@ -81,6 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--filter-group",
         type=lambda s: FilterGroup(s.lower()),
         choices=list(FilterGroup),
+        metavar="{no-filters,nanocount-filters}",
     )
     p.add_argument("-t", "--three-prime-clip", type=int, default=None)
     p.add_argument("-f", "--five-prime-clip", type=int, default=None)

@@ -564,6 +564,9 @@ def _chunks_per_program(n_chunks: int, bytes_per_chunk: int,
     env = os.environ.get("OARFISH_ROUTE_CPP_CAP")
     if env is not None:
         cap = max(1, int(env))
+    envb = os.environ.get("OARFISH_ROUTE_VMEM_MB")
+    if envb is not None:
+        budget = int(float(envb) * (1 << 20))
     cpp = 1
     c = 2
     while c <= cap:
@@ -762,7 +765,7 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
     def kernel(*refs):
         it = iter(refs)
         y_ref = next(it)  # [cpp*R_q, 128] quota values (dst-chunk major)
-        lvl_ref = next(it)  # [cpp*R_c, 128] i32 log2(K) per kernel row
+        lvl_ref = next(it)  # [cpp*R_c, 128] i8 log2(K) per kernel row
         a_r1 = next(it)
         a_src = next(it) if H_q > 1 else None
         a_row = next(it)
@@ -783,7 +786,9 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
                 y, a_r1[j], None if a_src is None else a_src[j],
                 a_row[j], a_r2[j], a_mask[j], H_q, H_c,
             )  # [R_c, 128] chunk values, non-data slots zero
-            lvl = lvl_ref[j * R_c : (j + 1) * R_c, :]
+            # widen i8 -> i32 before comparing (sub-word vector compares
+            # are unsupported on this Mosaic target; the convert is fine)
+            lvl = lvl_ref[j * R_c : (j + 1) * R_c, :].astype(jnp.int32)
             denom = jnp.where(lvl == 0, x, 0.0)
             y = x
             for s in range(1, max_lvl + 1):
@@ -834,7 +839,7 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
         + 3 * R_c * LANES * esize  # pyramid cur/down/denom intermediates
         + (R_q + R_c) * LANES * 2  # r1/r2 tables both stages (i8)
         + (H_c + H_q) * 2 * LANES * LANES  # src/row tables (i8)
-        + R_c * LANES * (1 + 4)  # mask (i8) + lvl (i32)
+        + R_c * LANES * (1 + 1)  # mask (i8) + lvl (i8)
     )
     cap = 4 if H_q * H_c <= 8 else 2
     cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
