@@ -956,6 +956,9 @@ def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
         mfs = lay_or_maxflows
     import os
 
+    force_cr = os.environ.get("OARFISH_FORCE_CR")
+    if force_cr:
+        mfs = {CR: mf for CR, mf in mfs.items() if CR == int(force_cr)}
     best = None
     for CR, mf in mfs.items():
         CHR = CR * LANES
