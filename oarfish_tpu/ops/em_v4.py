@@ -1127,13 +1127,12 @@ def _row_broadcast(values, shapes, xp=jnp, total=None, starts=None):
     return xp.concatenate(parts)
 
 
-def _m_step_v4(data: EmV4Data, prev, multiplicity):
+def _prev_slots(data: EmV4Data, prev):
+    """Front glue: prev[T] -> prev in the transcript slot layout,
+    zero-tailed to the route pad (steps 1-2 of the m-step)."""
     T = data.num_txps
     dt = prev.dtype
-    # src (transcript-layout) and dst (read-layout) padded spaces — they
-    # differ under rectangular route geometry (read side diluted)
     npad = data.p_a.n_src * data.p_a.chunk_rows * LANES
-    npad_r = data.p_a.n_dst * data.p_a.chunk_rows * LANES
     # 1. deliver prev to transcript rows (tiny static tile permute)
     ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
     pr = data.t_in(ext)
@@ -1153,7 +1152,37 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
         )
     if npad > data.n_slots_t:
         parts.append(jnp.zeros(npad - data.n_slots_t, dt))
-    prev_slots = jnp.concatenate(parts)
+    return jnp.concatenate(parts)
+
+
+def _txp_tail(data: EmV4Data, inc_t):
+    """Back glue: transcript-layout increments -> curr[T] (row sums,
+    big-transcript second level, output tile permute)."""
+    T = data.num_txps
+    dt = inc_t.dtype
+    small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
+    if data.big_rows_pad:
+        g = data.big_rows_pad // LANES
+        big_base = data.n_slots_t - data.big_rows_pad * CAPK
+        big_rows = inc_t[
+            big_base : data.n_slots_t
+        ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
+        cs = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(big_rows)])
+        o = data.big_row_offsets
+        big_sums = jnp.take(cs, o[1:]) - jnp.take(cs, o[:-1])
+        v = jnp.concatenate([small_sums, big_sums])
+    else:
+        v = small_sums
+    vv = jnp.zeros(data.t_space, dt).at[: v.shape[0]].set(v)
+    return data.t_out(vv)[:T]
+
+
+def _m_step_v4(data: EmV4Data, prev, multiplicity):
+    dt = prev.dtype
+    # src (transcript-layout) and dst (read-layout) padded spaces — they
+    # differ under rectangular route geometry (read side diluted)
+    npad_r = data.p_a.n_dst * data.p_a.chunk_rows * LANES
+    prev_slots = _prev_slots(data, prev)
 
     # 3+4. route to the read layout, per-read denominators + scaling,
     # route back. The fused middle path runs route A's reduce stage,
@@ -1225,21 +1254,90 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
             inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)
         else:
             inc_t = data.p_b(contrib_r * scale_slots, sliced=False)
-    small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
-    if data.big_rows_pad:
-        g = data.big_rows_pad // LANES
-        big_base = data.n_slots_t - data.big_rows_pad * CAPK
-        big_rows = inc_t[
-            big_base : data.n_slots_t
-        ].reshape(g, CAPK, LANES).sum(axis=1).reshape(-1)
-        cs = jnp.concatenate([jnp.zeros(1, dt), jnp.cumsum(big_rows)])
-        o = data.big_row_offsets
-        big_sums = jnp.take(cs, o[1:]) - jnp.take(cs, o[:-1])
-        v = jnp.concatenate([small_sums, big_sums])
-    else:
-        v = small_sums
-    vv = jnp.zeros(data.t_space, dt).at[: v.shape[0]].set(v)
-    return data.t_out(vv)[:T]
+    return _txp_tail(data, inc_t)
+
+
+def _batch_eligible(data: EmV4Data) -> bool:
+    """In-kernel replicate batching is OPT-IN (OARFISH_V4_BATCH_KERNELS
+    =1) and covers the default path only (fused middle + strided
+    exchange). Measured at the bench shape (scripts/batch_kernel_ab.py,
+    B=8, same-process): in-kernel 2.60-2.64 vs plain vmap 2.27
+    ms/iter/replicate — the B=4 value planes force cpp=1 under the 4 MB
+    program budget, and the 4x program count eats the once-per-program
+    table-read saving. vmap is the default lowering."""
+    import os
+
+    return (
+        os.environ.get("OARFISH_V4_BATCH_KERNELS") == "1"
+        and data.seg_id is not None
+        and data.p_a.Q % LANES == 0
+        and os.environ.get("OARFISH_V4_NO_MIDDLE") != "1"
+        and os.environ.get("OARFISH_V4_NO_STRIDED") != "1"
+    )
+
+
+def _m_step_v4_batch(data: EmV4Data, prev_b, mult_b, max_inner: int = 4):
+    """Batched m-step over replicates: the three pallas stages carry
+    the replicate axis INSIDE each grid program, so the static routing
+    tables and lvl are read once per program instead of once per
+    replicate (under plain vmap the tables — ~40% of m-step HBM traffic
+    at the bench shape — are re-read B times). The XLA glue vmaps.
+    Replicates run in sub-batches of `max_inner` to respect the 16 MB
+    scoped-VMEM budget. Semantics identical to
+    `vmap(lambda p, m: _m_step_v4(data, p, m))`."""
+    dt = prev_b.dtype
+    pa, pb = data.p_a, data.p_b
+    npad_r = pa.n_dst * pa.chunk_rows * LANES
+    qr = pa.Q // LANES
+    max_lvl = max(
+        (int(K).bit_length() - 1 for _rp, K in data.read_shapes),
+        default=0,
+    )
+    prev_slots_b = jax.vmap(lambda p: _prev_slots(data, p))(prev_b)
+    mult_slots_b = None
+    if mult_b is not None:
+        mult_slots_b = jax.vmap(
+            lambda m: _row_broadcast(
+                m.astype(dt), data.read_shapes, total=npad_r,
+                starts=data.read_starts,
+            )
+        )(mult_b).reshape(mult_b.shape[0], -1, LANES)
+
+    def run_group(ps_g, ms_g):
+        B = ps_g.shape[0]
+        y1 = pa.expand_y1_batch(ps_g, mul=data.w_txp.astype(dt))
+        y1b = _run_middle_stage(
+            y1.reshape(B, pa.n_src, pa.n_dst, qr, LANES),
+            data.seg_id, pa.s3_r1, pa.s3_src, pa.s3_row, pa.s3_r2,
+            pa.s3_mask, pb.s1_r1, pb.s1_src, pb.s1_row, pb.s1_r2,
+            n_chunks=pa.n_dst, R_q=pa.R3, R_c=pa.chunk_rows,
+            thresh=float(EM_DENOM_THRESH), max_lvl=max_lvl,
+            mult=ms_g, strided_qr=qr, B=B,
+        )
+        return pb.reduce_strided_batch(y1b, sliced=False)
+
+    B = prev_b.shape[0]
+    incs = []
+    for i in range(0, B, max_inner):
+        j = min(i + max_inner, B)
+        incs.append(
+            run_group(
+                prev_slots_b[i:j],
+                None if mult_slots_b is None else mult_slots_b[i:j],
+            )
+        )
+    inc_b = incs[0] if len(incs) == 1 else jnp.concatenate(incs, axis=0)
+    return jax.vmap(lambda inc: _txp_tail(data, inc))(inc_b)
+
+
+def _m_step_v4_b(data: EmV4Data, prev_b, mult_b):
+    """Replicate-batched m-step: in-kernel batching when the layout
+    supports it, plain vmap otherwise."""
+    if _batch_eligible(data):
+        return _m_step_v4_batch(data, prev_b, mult_b)
+    if mult_b is None:
+        return jax.vmap(lambda p: _m_step_v4(data, p, None))(prev_b)
+    return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult_b)
 
 
 def make_runner(data: EmV4Data, accel: str = "none"):
@@ -1286,7 +1384,7 @@ def run_em_v4_batch_squarem(data, init, max_iter, convergence_thresh,
     init_b = jnp.broadcast_to(init, (B,) + init.shape)
 
     def m_step_b(prev_b):
-        return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult)
+        return _m_step_v4_b(data, prev_b, mult)
 
     return squarem_em(
         m_step_b, init_b, max_iter, convergence_thresh, min_iters,
@@ -1333,7 +1431,7 @@ def run_em_v4_batch(data, init, max_iter, convergence_thresh, mult,
     init_b = jnp.broadcast_to(init, (B,) + init.shape)
 
     def m_step_b(prev_b):
-        return jax.vmap(lambda p, m: _m_step_v4(data, p, m))(prev_b, mult)
+        return _m_step_v4_b(data, prev_b, mult)
 
     def cond(state):
         niter, _prev, conv = state

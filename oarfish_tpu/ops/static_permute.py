@@ -606,12 +606,17 @@ def _stage_apply(x, r1, src, row_t, r2, mask, H_in, H_out):
 
 
 def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
-                       has_mask: bool, strided_qr: int = 0):
+                       has_mask: bool, strided_qr: int = 0, B: int = 0):
     """Gather-network stage kernel over cpp chunks per grid program.
     With `strided_qr` the value operand arrives as the STRIDED quota
     view [n_other, cpp*Qr, 128] (dst-chunk columns across every source
     chunk, Qr = Q/128) instead of a contiguous [cpp*R_in, 128] block —
-    the transpose-free exchange (see GlobalRoutePlan.reduce_strided)."""
+    the transpose-free exchange (see GlobalRoutePlan.reduce_strided).
+    With `B > 0` the value/output refs carry a leading replicate axis
+    and the kernel loops over it — the static routing tables are read
+    ONCE per program instead of once per replicate (the vmap lowering
+    re-reads them B times; tables are ~40% of m-step HBM traffic at the
+    bench shape). `mul` stays UNBATCHED (shared weights)."""
     R_in = H_in * LANES
     R_out = H_out * LANES
 
@@ -625,23 +630,31 @@ def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
         r2_ref = next(it)
         mask_ref = next(it) if has_mask else None
         out_ref = next(it)
-        for j in range(cpp):
-            if strided_qr:
-                x = x_ref[:, j, :, :].reshape(R_in, LANES)
-            else:
-                x = x_ref[j * R_in : (j + 1) * R_in, :]
-            if has_mul:
-                x = x * y_ref[j * R_in : (j + 1) * R_in, :]
-            out_ref[j * R_out : (j + 1) * R_out, :] = _stage_apply(
-                x,
-                r1_ref[j],
-                None if src_ref is None else src_ref[j],
-                row_ref[j],
-                r2_ref[j],
-                mask_ref[j] if has_mask else None,
-                H_in,
-                H_out,
-            )
+        for b in range(max(B, 1)):
+            for j in range(cpp):
+                if strided_qr:
+                    xs = x_ref[b, :, j, :, :] if B else x_ref[:, j, :, :]
+                    x = xs.reshape(R_in, LANES)
+                elif B:
+                    x = x_ref[b, j * R_in : (j + 1) * R_in, :]
+                else:
+                    x = x_ref[j * R_in : (j + 1) * R_in, :]
+                if has_mul:
+                    x = x * y_ref[j * R_in : (j + 1) * R_in, :]
+                out = _stage_apply(
+                    x,
+                    r1_ref[j],
+                    None if src_ref is None else src_ref[j],
+                    row_ref[j],
+                    r2_ref[j],
+                    mask_ref[j] if has_mask else None,
+                    H_in,
+                    H_out,
+                )
+                if B:
+                    out_ref[b, j * R_out : (j + 1) * R_out, :] = out
+                else:
+                    out_ref[j * R_out : (j + 1) * R_out, :] = out
 
     return kernel
 
@@ -649,10 +662,14 @@ def _make_route_kernel(H_in: int, H_out: int, cpp: int, has_mul: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "R_in", "R_out", "has_mask",
-                     "strided_qr"),
+                     "strided_qr", "B"),
 )
 def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
-                     has_mask, mul=None, strided_qr=0):
+                     has_mask, mul=None, strided_qr=0, B=0):
+    """One gather-network stage over all chunks. With `B > 0`, `x` (and
+    the output) carry a leading replicate axis ([B, n_chunks*R_in, 128],
+    strided: [B, n_src, n_dst, Qr, 128]) processed inside each program;
+    `mul` stays shared/unbatched."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -662,27 +679,41 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
     H_out = R_out // LANES
     has_mul = mul is not None
     assert not (has_mul and strided_qr)
+    Bv = max(B, 1)
     esize = x.dtype.itemsize
     per_chunk = (
-        R_in * LANES * esize * (2 if has_mul else 1)  # x (+ mul)
+        Bv * R_in * LANES * esize + (R_in * LANES * esize if has_mul
+                                     else 0)  # x (+ shared mul)
         + R_in * LANES  # r1 (i8)
         + (H_out * LANES * LANES if H_in > 1 else 0)  # src
         + H_out * LANES * LANES  # row
         + R_out * LANES  # r2
         + (R_out * LANES if has_mask else 0)  # mask
-        + R_out * LANES * esize  # out
+        + Bv * R_out * LANES * esize  # out
     )
     # heavier unrolled bodies (H_in x H_out gathers) compile slower:
     # cap the batching by body weight as well as VMEM
-    cap = 8 if H_in * H_out <= 8 else 4
+    cap = 8 if Bv * H_in * H_out <= 8 else 4
     cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
     if strided_qr:
         # x arrives as the 4D quota view [n_other, n_chunks, Qr, 128];
         # the block for grid step i is its dst-chunk column slab (the
         # last two dims are whole blocks — a Pallas TPU requirement)
+        if B:
+            specs = [
+                pl.BlockSpec((B, x.shape[1], cpp, strided_qr, LANES),
+                             lambda i: (0, 0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            specs = [
+                pl.BlockSpec((x.shape[0], cpp, strided_qr, LANES),
+                             lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+    elif B:
         specs = [
-            pl.BlockSpec((x.shape[0], cpp, strided_qr, LANES),
-                         lambda i: (0, i, 0, 0),
+            pl.BlockSpec((B, cpp * R_in, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -725,21 +756,32 @@ def _run_route_stage(x, r1, src, row, r2, mask, n_chunks, R_in, R_out,
                          memory_space=pltpu.VMEM)
         )
         args.append(mask)
+    if B:
+        out_shape = jax.ShapeDtypeStruct(
+            (B, n_chunks * R_out, LANES), x.dtype
+        )
+        out_spec = pl.BlockSpec((B, cpp * R_out, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_chunks * R_out, LANES),
+                                         x.dtype)
+        out_spec = pl.BlockSpec((cpp * R_out, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_route_kernel(H_in, H_out, cpp, has_mul, has_mask,
-                           strided_qr),
+                           strided_qr, B),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * R_out, LANES), x.dtype),
+        out_shape=out_shape,
         grid=(n_chunks // cpp,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((cpp * R_out, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )(*args)
 
 
 def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
                         thresh: float, max_lvl: int,
-                        strided_qr: int = 0):
+                        strided_qr: int = 0, B: int = 0):
     """Fused EM middle: per read chunk, gather the (post-transpose)
     quota tensor into chunk space (route A's reduce stage), compute the
     per-read denominators, turn them into guarded reciprocal scales,
@@ -777,41 +819,55 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
         b_r2 = next(it)
         mult_ref = next(it) if has_mult else None
         out_ref = next(it)
-        for j in range(cpp):
-            if strided_qr:
-                y = y_ref[:, j, :, :].reshape(R_q, LANES)
-            else:
-                y = y_ref[j * R_q : (j + 1) * R_q, :]
-            x = _stage_apply(
-                y, a_r1[j], None if a_src is None else a_src[j],
-                a_row[j], a_r2[j], a_mask[j], H_q, H_c,
-            )  # [R_c, 128] chunk values, non-data slots zero
-            # widen i8 -> i32 before comparing (sub-word vector compares
-            # are unsupported on this Mosaic target; the convert is fine)
-            lvl = lvl_ref[j * R_c : (j + 1) * R_c, :].astype(jnp.int32)
-            denom = jnp.where(lvl == 0, x, 0.0)
-            y = x
-            for s in range(1, max_lvl + 1):
-                m = 1 << (s - 1)
-                up = jnp.concatenate([y[m:], y[:m]], axis=0)
-                down = jnp.concatenate([y[-m:], y[:-m]], axis=0)
-                bit = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (R_c, LANES), 0
-                    ) & m
-                ) != 0
-                # partner rows never cross an aligned 2^s block, so the
-                # circular wrap rows are never selected
-                y = y + jnp.where(bit, down, up)
-                denom = jnp.where(lvl == s, y, denom)
-            scale = jnp.where(denom > thresh, 1.0 / denom, 0.0)
-            xs = x * scale
-            if has_mult:
-                xs = xs * mult_ref[j * R_c : (j + 1) * R_c, :]
-            out_ref[j * R_q : (j + 1) * R_q, :] = _stage_apply(
-                xs, b_r1[j], None if b_src is None else b_src[j],
-                b_row[j], b_r2[j], None, H_c, H_q,
-            )
+        for b in range(max(B, 1)):
+            for j in range(cpp):
+                if strided_qr:
+                    ys = y_ref[b, :, j, :, :] if B else y_ref[:, j, :, :]
+                    y = ys.reshape(R_q, LANES)
+                elif B:
+                    y = y_ref[b, j * R_q : (j + 1) * R_q, :]
+                else:
+                    y = y_ref[j * R_q : (j + 1) * R_q, :]
+                x = _stage_apply(
+                    y, a_r1[j], None if a_src is None else a_src[j],
+                    a_row[j], a_r2[j], a_mask[j], H_q, H_c,
+                )  # [R_c, 128] chunk values, non-data slots zero
+                # widen i8 -> i32 before comparing (sub-word vector
+                # compares are unsupported on this Mosaic target; the
+                # convert is fine)
+                lvl = lvl_ref[j * R_c : (j + 1) * R_c, :].astype(
+                    jnp.int32
+                )
+                denom = jnp.where(lvl == 0, x, 0.0)
+                y = x
+                for s in range(1, max_lvl + 1):
+                    m = 1 << (s - 1)
+                    up = jnp.concatenate([y[m:], y[:m]], axis=0)
+                    down = jnp.concatenate([y[-m:], y[:-m]], axis=0)
+                    bit = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (R_c, LANES), 0
+                        ) & m
+                    ) != 0
+                    # partner rows never cross an aligned 2^s block, so
+                    # the circular wrap rows are never selected
+                    y = y + jnp.where(bit, down, up)
+                    denom = jnp.where(lvl == s, y, denom)
+                scale = jnp.where(denom > thresh, 1.0 / denom, 0.0)
+                xs = x * scale
+                if has_mult:
+                    if B:
+                        xs = xs * mult_ref[b, j * R_c : (j + 1) * R_c, :]
+                    else:
+                        xs = xs * mult_ref[j * R_c : (j + 1) * R_c, :]
+                out = _stage_apply(
+                    xs, b_r1[j], None if b_src is None else b_src[j],
+                    b_row[j], b_r2[j], None, H_c, H_q,
+                )
+                if B:
+                    out_ref[b, j * R_q : (j + 1) * R_q, :] = out
+                else:
+                    out_ref[j * R_q : (j + 1) * R_q, :] = out
 
     return kernel
 
@@ -819,11 +875,15 @@ def _make_middle_kernel(H_q: int, H_c: int, cpp: int, has_mult: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("n_chunks", "R_q", "R_c", "thresh", "max_lvl",
-                     "strided_qr"),
+                     "strided_qr", "B"),
 )
 def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
                       b_r1, b_src, b_row, b_r2, n_chunks, R_q, R_c,
-                      thresh, max_lvl, mult=None, strided_qr=0):
+                      thresh, max_lvl, mult=None, strided_qr=0, B=0):
+    """Fused EM middle over all read chunks. With `B > 0`, `y2`, `mult`
+    and the output carry a leading replicate axis processed inside each
+    program — the stage tables and lvl are read once per program
+    instead of once per replicate."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -832,16 +892,17 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
     H_q = R_q // LANES
     H_c = R_c // LANES
     has_mult = mult is not None
+    Bv = max(B, 1)
     esize = y2.dtype.itemsize
     per_chunk = (
-        2 * R_q * LANES * esize  # y2 + out
-        + R_c * LANES * esize * (1 if has_mult else 0)
+        Bv * 2 * R_q * LANES * esize  # y2 + out
+        + Bv * R_c * LANES * esize * (1 if has_mult else 0)
         + 3 * R_c * LANES * esize  # pyramid cur/down/denom intermediates
         + (R_q + R_c) * LANES * 2  # r1/r2 tables both stages (i8)
         + (H_c + H_q) * 2 * LANES * LANES  # src/row tables (i8)
         + R_c * LANES * (1 + 1)  # mask (i8) + lvl (i8)
     )
-    cap = 4 if H_q * H_c <= 8 else 2
+    cap = 4 if Bv * H_q * H_c <= 8 else 2
     cpp = _chunks_per_program(n_chunks, per_chunk, cap=cap)
 
     def chunked(shape_tail):
@@ -852,11 +913,22 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
         )
 
     if strided_qr:
-        y_spec = pl.BlockSpec(
-            (y2.shape[0], cpp, strided_qr, LANES),
-            lambda i: (0, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+        if B:
+            y_spec = pl.BlockSpec(
+                (B, y2.shape[1], cpp, strided_qr, LANES),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            y_spec = pl.BlockSpec(
+                (y2.shape[0], cpp, strided_qr, LANES),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+    elif B:
+        y_spec = pl.BlockSpec((B, cpp * R_q, LANES),
+                              lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
     else:
         y_spec = pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -886,20 +958,37 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
     specs.append(chunked((R_q, LANES)))
     args.append(b_r2)
     if has_mult:
-        specs.append(
-            pl.BlockSpec((cpp * R_c, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        if B:
+            specs.append(
+                pl.BlockSpec((B, cpp * R_c, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        else:
+            specs.append(
+                pl.BlockSpec((cpp * R_c, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
         args.append(mult)
+    if B:
+        out_shape = jax.ShapeDtypeStruct(
+            (B, n_chunks * R_q, LANES), y2.dtype
+        )
+        out_spec = pl.BlockSpec((B, cpp * R_q, LANES),
+                                lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_chunks * R_q, LANES),
+                                         y2.dtype)
+        out_spec = pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_middle_kernel(H_q, H_c, cpp, has_mult, thresh, max_lvl,
-                            strided_qr),
+                            strided_qr, B),
         interpret=_interpret(),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * R_q, LANES), y2.dtype),
+        out_shape=out_shape,
         grid=(n_chunks // cpp,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((cpp * R_q, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )(*args)
 
 
@@ -977,6 +1066,39 @@ class GlobalRoutePlan:
         )
         out = y3.reshape(-1)
         return out[: self.n_out] if sliced else out
+
+    def expand_y1_batch(self, x_b: jax.Array,
+                        mul: Optional[jax.Array] = None) -> jax.Array:
+        """Batched `expand_y1`: x_b [B, n] -> [B, n_src*R1, 128]; the
+        replicate axis rides inside each kernel program so the stage
+        tables are read once per program (not once per replicate).
+        `mul` stays shared across replicates."""
+        B = x_b.shape[0]
+        n_src, CR = self.n_src, self.chunk_rows
+        x_pad = jax.vmap(self._pad)(x_b).reshape(B, n_src * CR, LANES)
+        mul_pad = None if mul is None else self._pad(mul).reshape(
+            n_src * CR, LANES
+        )
+        return _run_route_stage(
+            x_pad, self.s1_r1, self.s1_src, self.s1_row, self.s1_r2,
+            None, n_src, CR, self.R1, False, mul=mul_pad, B=B,
+        )
+
+    def reduce_strided_batch(self, y1_b: jax.Array,
+                             sliced: bool = True) -> jax.Array:
+        """Batched `reduce_strided`: y1_b [B, n_src*R1, 128] ->
+        [B, n_pad_out] (tail past n_out is zero)."""
+        assert self.Q % LANES == 0, "strided exchange needs Q % 128 == 0"
+        B = y1_b.shape[0]
+        qr = self.Q // LANES
+        y3 = _run_route_stage(
+            y1_b.reshape(B, self.n_src, self.n_dst, qr, LANES),
+            self.s3_r1, self.s3_src, self.s3_row, self.s3_r2,
+            self.s3_mask, self.n_dst, self.R3, self.chunk_rows, True,
+            strided_qr=qr, B=B,
+        )
+        out = y3.reshape(B, -1)
+        return out[:, : self.n_out] if sliced else out
 
     def reduce_strided(self, y1: jax.Array,
                        sliced: bool = True) -> jax.Array:

@@ -37,6 +37,7 @@ from ..constants import MIN_READ_THRESH
 from ..ops.em_v4 import (
     EmV4Data,
     _m_step_v4,
+    _m_step_v4_b,
     _v4_finish,
     _v4_layout,
     compute_envelope,
@@ -233,9 +234,7 @@ def make_sharded_v4_batch_runner(
         init_b = jnp.broadcast_to(init, (B,) + init.shape)
 
         def m_step_b(prev_b):
-            local = jax.vmap(lambda p, m: _m_step_v4(data, p, m))(
-                prev_b, mult_b
-            )
+            local = _m_step_v4_b(data, prev_b, mult_b)
             return jax.lax.psum(local, "data")
 
         if accel == "squarem":

@@ -564,3 +564,43 @@ def test_load_fresh_so_bypasses_dlopen_path_dedup(tmp_path):
     fresh = load_fresh_so(so)
     assert fresh is not None and hasattr(fresh, "probe_v2")
     assert fresh.probe_v2() == 2
+
+
+def test_v4_inkernel_batch_matches_singles(monkeypatch):
+    """`_m_step_v4_batch` (replicate axis inside the pallas programs,
+    tables read once per program; opt-in via OARFISH_V4_BATCH_KERNELS)
+    must be BIT-exact vs per-replicate `_m_step_v4` calls, including
+    the sub-batch split (B=6 -> 4+2) and both with and without
+    multiplicities."""
+    import jax.numpy as jnp
+
+    from oarfish_tpu.ops.em_v4 import (
+        EmV4Data,
+        _batch_eligible,
+        _m_step_v4,
+        _m_step_v4_batch,
+    )
+
+    monkeypatch.setenv("OARFISH_V4_BATCH_KERNELS", "1")
+    rng = np.random.default_rng(21)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=120_000, T=2_000, max_k=4
+    )
+    data, order = EmV4Data.build(txp_id, w, boundaries, T)
+    assert _batch_eligible(data)
+    B = 6
+    prev_b = jnp.asarray(
+        np.abs(rng.normal(10.0, 3.0, size=(B, T))), dtype=jnp.float32
+    )
+    mult_reads = rng.multinomial(R, np.full(R, 1.0 / R), size=B)
+    mult = jnp.asarray(mult_reads[:, np.asarray(order)],
+                       dtype=jnp.float32)
+    for m_b in (None, mult):
+        got = np.asarray(_m_step_v4_batch(data, prev_b, m_b))
+        for b in range(B):
+            want = np.asarray(
+                _m_step_v4(
+                    data, prev_b[b], None if m_b is None else m_b[b]
+                )
+            )
+            np.testing.assert_array_equal(got[b], want)
