@@ -175,6 +175,9 @@ struct OarfishDecoded {
   // status
   char* error;  // malloc'd message on failure (all arrays null then)
   char* dup_name;  // set when the collation check failed
+  // streaming API: nonzero on the last chunk of a stream (whole-file
+  // decodes always set it)
+  int64_t is_final;
 };
 
 void oarfish_decoded_free(OarfishDecoded* d) {
@@ -483,21 +486,110 @@ struct GrowBuf {
   ~GrowBuf() { free(p); }
 };
 
-extern "C" {
+// ---------------------------------------------------------------------------
+// Streaming decode machinery.
+//
+// The compressed file is memory-mapped (the OS pages it in sequentially
+// and can evict behind us) and inflated in bounded WINDOWS (default
+// 256 MB of inflated data; OARFISH_DECODE_WINDOW_MB overrides — tests
+// use tiny windows to force many of them). Records that straddle a
+// window boundary are carried as a byte tail into the next window, and
+// records of a read-name GROUP that straddles a window are carried as
+// columnar rows so every emitted chunk is group-aligned. Peak RSS is
+// O(one window + one chunk), matching the reference's noodles record
+// streaming (SURVEY: alignment_parser.rs:301-437); the chunk API
+// additionally lets Python overlap filtering/packing of chunk k with
+// the decode of chunk k+1 (the reference overlaps parse with its
+// consumer thread the same way, bulk.rs:364-682).
 
-// Streaming decode: the compressed file is memory-mapped (the OS pages
-// it in sequentially and can evict behind us) and inflated in bounded
-// WINDOWS (default 256 MB of inflated data; OARFISH_DECODE_WINDOW_MB
-// overrides — tests use tiny windows to force many of them). Records
-// that straddle a window boundary are carried as a byte tail into the
-// next window. Peak RSS is therefore O(columns + one window), not
-// O(compressed + inflated whole file) as the previous whole-file
-// implementation required — the reference streams through noodles the
-// same way (SURVEY: alignment_parser.rs record streaming).
-OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
-                                   int keep_names, int64_t sort_check_num,
-                                   int want_barcodes) {
+namespace {
+
+struct StreamState {
+  // input
+  void* map = nullptr;
+  size_t fsize = 0;
+  const uint8_t* comp = nullptr;
+  std::vector<Block> blocks;
+  size_t bi = 0;  // next block to inflate
+  size_t WBYTES = 256ull << 20;
+  int threads = 1;
+  int keep_names = 0;
+  int want_barcodes = 0;
+  int64_t sort_check_num = 0;
+  std::vector<uint8_t> win;  // carried tail + inflated window bytes
+  // header (parsed at open)
+  std::string header_text, ref_names;
+  std::vector<int64_t> ref_lengths;
+  int32_t n_ref = 0;
+  bool header_sent = false;
+  // cross-window group/barcode/collation state
+  std::unordered_map<std::string, int64_t> bc_lookup;
+  std::vector<std::string> barcode_order;
+  std::unordered_set<std::string> seen_names;
+  int64_t checked_groups = 0;
+  char* dup_name = nullptr;  // handed to the first chunk that reports it
+  int64_t group = -1;        // last global group id assigned
+  std::string carry_name;    // name of the still-open group
+  bool have_carry = false;
+  // held-back rows of the still-open trailing group
+  Columns carry;
+  bool done = false;
   PhaseTimer tm;
+
+  ~StreamState() {
+    if (map) munmap(map, fsize);
+    free(dup_name);
+  }
+};
+
+bool fill_window(StreamState& S) {  // false on inflate failure
+  size_t carry = S.win.size();
+  size_t first = S.bi, add = 0;
+  while (S.bi < S.blocks.size() && add < S.WBYTES) {
+    add += S.blocks[S.bi].out_size;
+    S.bi++;
+  }
+  if (add == 0) return true;
+  S.win.resize(carry + add);
+  const size_t base = S.blocks[first].out_off;
+  std::atomic<size_t> next{first};
+  std::atomic<bool> ok{true};
+  std::vector<std::thread> pool;
+  int nt_inf = S.threads > 0 ? S.threads : 1;
+  int nw = int(std::min<size_t>(size_t(nt_inf), S.bi - first));
+  for (int t = 0; t < nw; t++) {
+    pool.emplace_back([&] {
+      libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+      size_t i;
+      while ((i = next.fetch_add(1)) < S.bi) {
+        Block b = S.blocks[i];
+        b.out_off = carry + (b.out_off - base);
+        if (!inflate_block(S.comp, b, S.win.data(), dec)) ok.store(false);
+      }
+      libdeflate_free_decompressor(dec);
+    });
+  }
+  for (auto& th : pool) th.join();
+  return ok.load();
+}
+
+// Returns nullptr on success, or a malloc'd error chunk.
+OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
+                                 int threads, int keep_names,
+                                 int64_t sort_check_num, int want_barcodes) {
+  S.threads = threads;
+  S.keep_names = keep_names;
+  S.sort_check_num = sort_check_num;
+  S.want_barcodes = want_barcodes;
+  if (const char* we = getenv("OARFISH_DECODE_WINDOW_MB")) {
+    long mb = atol(we);
+    if (mb > 0) S.WBYTES = size_t(mb) << 20;
+  }
+  if (const char* we = getenv("OARFISH_DECODE_WINDOW_BYTES")) {
+    long b = atol(we);  // test hook: force many tiny windows
+    if (b > 0) S.WBYTES = size_t(b);
+  }
+
   int fd = open(path, O_RDONLY);
   if (fd < 0) return make_error(std::string("cannot open ") + path);
   struct stat st;
@@ -505,105 +597,56 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
     close(fd);
     return make_error(std::string("cannot stat ") + path);
   }
-  size_t fsize = size_t(st.st_size);
-  void* map = mmap(nullptr, fsize, PROT_READ, MAP_PRIVATE, fd, 0);
+  S.fsize = size_t(st.st_size);
+  S.map = mmap(nullptr, S.fsize, PROT_READ, MAP_PRIVATE, fd, 0);
   close(fd);
-  if (map == MAP_FAILED)
+  if (S.map == MAP_FAILED) {
+    S.map = nullptr;
     return make_error(std::string("cannot mmap ") + path);
-  madvise(map, fsize, MADV_SEQUENTIAL);
-  const uint8_t* comp = static_cast<const uint8_t*>(map);
-  auto fail = [&](const std::string& msg) {
-    munmap(map, fsize);
-    return make_error(msg);
-  };
-  tm.mark("open");
+  }
+  madvise(S.map, S.fsize, MADV_SEQUENTIAL);
+  S.comp = static_cast<const uint8_t*>(S.map);
+  S.tm.mark("open");
 
-  std::vector<Block> blocks;
   size_t total_out = 0;
   std::string err;
-  if (!scan_blocks(comp, fsize, blocks, total_out, err)) return fail(err);
-  tm.mark("index");
-
-  size_t WBYTES = 256ull << 20;
-  if (const char* we = getenv("OARFISH_DECODE_WINDOW_MB")) {
-    long mb = atol(we);
-    if (mb > 0) WBYTES = size_t(mb) << 20;
-  }
-  if (const char* we = getenv("OARFISH_DECODE_WINDOW_BYTES")) {
-    long b = atol(we);  // test hook: force many tiny windows
-    if (b > 0) WBYTES = size_t(b);
-  }
-
-  // window buffer: carried tail bytes + the next blocks' inflated data
-  std::vector<uint8_t> win;
-  size_t bi = 0;  // next block to inflate
-  int nt_inf = threads > 0 ? threads : 1;
-  auto fill_window = [&]() -> bool {  // false on inflate failure
-    size_t carry = win.size();
-    size_t first = bi, add = 0;
-    while (bi < blocks.size() && add < WBYTES) {
-      add += blocks[bi].out_size;
-      bi++;
-    }
-    if (add == 0) return true;
-    win.resize(carry + add);
-    const size_t base = blocks[first].out_off;
-    std::atomic<size_t> next{first};
-    std::atomic<bool> ok{true};
-    std::vector<std::thread> pool;
-    int nw = int(std::min<size_t>(size_t(nt_inf), bi - first));
-    for (int t = 0; t < nw; t++) {
-      pool.emplace_back([&] {
-        libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
-        size_t i;
-        while ((i = next.fetch_add(1)) < bi) {
-          Block b = blocks[i];
-          b.out_off = carry + (b.out_off - base);
-          if (!inflate_block(comp, b, win.data(), dec)) ok.store(false);
-        }
-        libdeflate_free_decompressor(dec);
-      });
-    }
-    for (auto& th : pool) th.join();
-    return ok.load();
-  };
+  if (!scan_blocks(S.comp, S.fsize, S.blocks, total_out, err))
+    return make_error(err);
+  S.tm.mark("index");
 
   // --- header: grow the first window until it parses completely
-  std::string header_text, ref_names;
-  std::vector<int64_t> ref_lengths;
-  int32_t n_ref = 0;
   size_t off = 0;
   for (;;) {
-    if (!fill_window()) return fail("BGZF inflate failure");
-    const uint8_t* p = win.data();
-    size_t have = win.size();
+    if (!fill_window(S)) return make_error("BGZF inflate failure");
+    const uint8_t* p = S.win.data();
+    size_t have = S.win.size();
     if (have < 12) {
-      if (bi >= blocks.size()) return fail("missing BAM magic");
+      if (S.bi >= S.blocks.size()) return make_error("missing BAM magic");
       continue;
     }
-    if (memcmp(p, "BAM\x01", 4) != 0) return fail("missing BAM magic");
+    if (memcmp(p, "BAM\x01", 4) != 0) return make_error("missing BAM magic");
     int32_t l_text;
     memcpy(&l_text, p + 4, 4);
-    if (l_text < 0) return fail("corrupt BAM header");
+    if (l_text < 0) return make_error("corrupt BAM header");
     size_t o = 8 + size_t(l_text);
     if (o + 4 > have) {
-      if (bi >= blocks.size()) return fail("truncated BAM header");
+      if (S.bi >= S.blocks.size()) return make_error("truncated BAM header");
       continue;
     }
-    memcpy(&n_ref, p + o, 4);
+    memcpy(&S.n_ref, p + o, 4);
     o += 4;
-    if (n_ref < 0) return fail("corrupt BAM header");
+    if (S.n_ref < 0) return make_error("corrupt BAM header");
     bool complete = true;
     std::string names;
     std::vector<int64_t> lens;
-    lens.reserve(size_t(n_ref));
-    for (int i = 0; i < n_ref; i++) {
+    lens.reserve(size_t(S.n_ref));
+    for (int i = 0; i < S.n_ref; i++) {
       if (o + 4 > have) { complete = false; break; }
       int32_t l_name;
       memcpy(&l_name, p + o, 4);
       o += 4;
       if (l_name <= 0 || o + size_t(l_name) + 4 > have) {
-        if (l_name <= 0) return fail("corrupt BAM header");
+        if (l_name <= 0) return make_error("corrupt BAM header");
         complete = false;
         break;
       }
@@ -617,202 +660,425 @@ OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
       lens.push_back(l_ref);
     }
     if (!complete) {
-      if (bi >= blocks.size()) return fail("truncated BAM header");
+      if (S.bi >= S.blocks.size()) return make_error("truncated BAM header");
       continue;
     }
-    header_text.assign(reinterpret_cast<const char*>(p + 8),
-                       size_t(l_text));
-    ref_names = std::move(names);
-    ref_lengths = std::move(lens);
+    S.header_text.assign(reinterpret_cast<const char*>(p + 8),
+                         size_t(l_text));
+    S.ref_names = std::move(names);
+    S.ref_lengths = std::move(lens);
     off = o;
     break;
   }
   // drop the header bytes: the remainder is the first record carry
-  win.erase(win.begin(), win.begin() + off);
-  tm.mark("header");
+  S.win.erase(S.win.begin(), S.win.begin() + off);
+  S.tm.mark("header");
+  return nullptr;
+}
 
-  // --- global accumulation state (spans windows)
-  GrowBuf<int64_t> out_group_id, out_pos, out_ref_span, out_seq_len,
-      out_score, out_cb_id;
-  GrowBuf<uint16_t> out_flag;
-  GrowBuf<int32_t> out_ref_id;
-  GrowBuf<uint8_t> out_has_score;
-  std::string group_names;
-  std::vector<std::string> barcode_order;
-  std::unordered_map<std::string, int64_t> bc_lookup;
-  std::unordered_set<std::string> seen_names;
+// Chunk accumulation buffers (global group ids; rebased on emit).
+struct ChunkBufs {
+  GrowBuf<int64_t> group_id, pos, ref_span, seq_len, score, cb_id;
+  GrowBuf<uint16_t> flag;
+  GrowBuf<int32_t> ref_id;
+  GrowBuf<uint8_t> has_score;
+  std::vector<std::string> names;  // per group (only when keep_names)
   int64_t num_unmapped = 0;
-  int64_t checked_groups = 0;
-  char* dup_name = nullptr;
-  int64_t group = -1;      // last global group id
-  std::string carry_name;  // name of the last group so far
-  bool have_carry = false;
-  size_t tot = 0;
+  size_t n() const { return flag.n; }
+};
+
+void append_rows(ChunkBufs& cb, const Columns& c, int64_t gid_base,
+                 int want_barcodes, const std::vector<int64_t>* bc_map) {
+  const size_t m = c.flag.size();
+  if (!m) return;
+  cb.group_id.grow(m);
+  cb.flag.grow(m);
+  cb.ref_id.grow(m);
+  cb.pos.grow(m);
+  cb.ref_span.grow(m);
+  cb.seq_len.grow(m);
+  cb.score.grow(m);
+  cb.has_score.grow(m);
+  for (size_t i = 0; i < m; i++)
+    cb.group_id.p[cb.group_id.n + i] = c.group_id[i] + gid_base;
+  memcpy(cb.flag.p + cb.flag.n, c.flag.data(), m * 2);
+  memcpy(cb.ref_id.p + cb.ref_id.n, c.ref_id.data(), m * 4);
+  memcpy(cb.pos.p + cb.pos.n, c.pos.data(), m * 8);
+  memcpy(cb.ref_span.p + cb.ref_span.n, c.ref_span.data(), m * 8);
+  memcpy(cb.seq_len.p + cb.seq_len.n, c.seq_len.data(), m * 8);
+  memcpy(cb.score.p + cb.score.n, c.score.data(), m * 8);
+  memcpy(cb.has_score.p + cb.has_score.n, c.has_score.data(), m);
+  if (want_barcodes) {
+    cb.cb_id.grow(m);
+    for (size_t i = 0; i < m; i++) {
+      int64_t v = c.cb_id[i];
+      cb.cb_id.p[cb.cb_id.n + i] =
+          v < 0 ? -1 : (bc_map ? (*bc_map)[size_t(v)] : v);
+    }
+    cb.cb_id.n += m;
+  }
+  cb.group_id.n += m;
+  cb.flag.n += m;
+  cb.ref_id.n += m;
+  cb.pos.n += m;
+  cb.ref_span.n += m;
+  cb.seq_len.n += m;
+  cb.score.n += m;
+  cb.has_score.n += m;
+}
+
+// Package a chunk: group ids rebased to [0, n_groups); header attached
+// to the first chunk of the stream; barcodes attached to the final one.
+OarfishDecoded* emit_chunk(StreamState& S, ChunkBufs& cb, int64_t g0,
+                           int64_t n_groups, bool final_chunk) {
+  auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
+  const size_t tot = cb.n();
+  d->n_records = int64_t(tot);
+  d->n_groups = n_groups;
+  d->num_unmapped = cb.num_unmapped;
+  for (size_t i = 0; i < tot; i++) cb.group_id.p[i] -= g0;
+  d->group_id = cb.group_id.release();
+  d->flag = cb.flag.release();
+  d->ref_id = cb.ref_id.release();
+  d->pos = cb.pos.release();
+  d->ref_span = cb.ref_span.release();
+  d->seq_len = cb.seq_len.release();
+  d->score = cb.score.release();
+  d->has_score = cb.has_score.release();
+  d->cb_id = S.want_barcodes ? cb.cb_id.release() : nullptr;
+  if (!S.header_sent) {
+    S.header_sent = true;
+    d->n_refs = S.n_ref;
+    d->header_text = static_cast<char*>(malloc(S.header_text.size()));
+    memcpy(d->header_text, S.header_text.data(), S.header_text.size());
+    d->header_text_len = int64_t(S.header_text.size());
+    d->ref_names = static_cast<char*>(malloc(S.ref_names.size()));
+    memcpy(d->ref_names, S.ref_names.data(), S.ref_names.size());
+    d->ref_names_len = int64_t(S.ref_names.size());
+    d->ref_lengths = steal(S.ref_lengths);
+  }
+  if (S.keep_names) {
+    std::string blob;
+    for (int64_t g = 0; g < n_groups; g++) {
+      blob.append(cb.names[size_t(g)]);
+      blob.push_back('\0');
+    }
+    d->group_names = static_cast<char*>(malloc(blob.size() ? blob.size() : 1));
+    memcpy(d->group_names, blob.data(), blob.size());
+    d->group_names_len = int64_t(blob.size());
+  }
+  if (final_chunk && S.want_barcodes) {
+    std::string bb;
+    for (auto& bc : S.barcode_order) {
+      bb.append(bc);
+      bb.push_back('\0');
+    }
+    d->barcodes = static_cast<char*>(malloc(bb.size() ? bb.size() : 1));
+    memcpy(d->barcodes, bb.data(), bb.size());
+    d->barcodes_len = int64_t(bb.size());
+    d->n_barcodes = int64_t(S.barcode_order.size());
+  }
+  d->dup_name = S.dup_name;  // ownership moves to the chunk
+  S.dup_name = nullptr;
+  d->is_final = final_chunk ? 1 : 0;
+  return d;
+}
+
+// Produce the next group-aligned chunk. Processes whole windows until at
+// least one COMPLETE group is available (or EOF); the still-open trailing
+// group's rows are held back in S.carry for the next call.
+OarfishDecoded* stream_next_impl(StreamState& S) {
+  if (S.done) {
+    ChunkBufs empty;
+    return emit_chunk(S, empty, 0, 0, true);
+  }
+  auto fail = [&](const char* msg) {
+    S.done = true;  // a failed stream never resumes
+    return make_error(msg);
+  };
+  ChunkBufs cb;
+  // first group of this chunk: the open carried group, or the next id
+  const int64_t g0 = S.have_carry ? S.group : S.group + 1;
+  if (S.have_carry) {
+    // seed with the held-back rows of the open group (carry gids are 0)
+    append_rows(cb, S.carry, S.group, S.want_barcodes, nullptr);
+    S.carry = Columns();
+    if (S.keep_names) cb.names.push_back(S.carry_name);
+  }
 
   std::vector<size_t> rec_offs;
   std::vector<Part> parts;
   for (;;) {
-    if (win.empty() && bi >= blocks.size()) break;
+    if (S.win.empty() && S.bi >= S.blocks.size()) {
+      // EOF: everything accumulated (incl. the open group) is final
+      S.done = true;
+      S.tm.mark("scan+merge");
+      return emit_chunk(S, cb, g0, S.group - g0 + 1, true);
+    }
     // record boundaries within this window; leftover bytes carry over
     rec_offs.clear();
-    const uint8_t* p = win.data();
-    const size_t have = win.size();
+    const uint8_t* p = S.win.data();
+    const size_t have = S.win.size();
     size_t o = 0;
     while (o + 4 <= have) {
       int32_t block_size;
       memcpy(&block_size, p + o, 4);
-      if (block_size < 0) {
-        free(dup_name);
-        return fail("corrupt BAM record");
-      }
+      if (block_size < 0) return fail("corrupt BAM record");
       if (o + 4 + size_t(block_size) > have) break;
       rec_offs.push_back(o);
       o += 4 + size_t(block_size);
     }
-    if (rec_offs.empty() && bi >= blocks.size()) {
-      free(dup_name);
+    if (rec_offs.empty() && S.bi >= S.blocks.size())
       return fail("truncated BAM record");
-    }
 
-    if (!scan_records(p, rec_offs, threads, want_barcodes,
-                      sort_check_num, parts)) {
-      free(dup_name);
-      return fail(
-          "corrupt BAM record (bad field bounds or unknown tag type)");
-    }
+    if (!rec_offs.empty()) {
+      if (!scan_records(p, rec_offs, S.threads, S.want_barcodes,
+                        S.sort_check_num, parts))
+        return fail(
+            "corrupt BAM record (bad field bounds or unknown tag type)");
 
-    // --- merge this window's parts into the global columns: group-id
-    // bases with boundary stitching, global barcode remap (first-seen
-    // order), collation check over the first `sort_check_num` names
-    for (auto& pt : parts) {
-      num_unmapped += pt.num_unmapped;
-      int64_t group_base = 0;
-      if (pt.n_groups > 0) {
-        const char* first = pt.names_blob.data() + pt.name_off[0];
-        bool stitch = have_carry && carry_name == first;
-        group_base = group + (stitch ? 0 : 1);
-        for (int64_t g = stitch ? 1 : 0; g < pt.n_groups; g++) {
-          const char* nm = pt.names_blob.data() + pt.name_off[size_t(g)];
-          if (keep_names) {
-            group_names.append(nm);
-            group_names.push_back('\0');
+      // merge this window's parts: group-id bases with boundary
+      // stitching, global barcode remap (first-seen order), collation
+      // check over the first `sort_check_num` names
+      for (auto& pt : parts) {
+        cb.num_unmapped += pt.num_unmapped;
+        int64_t group_base = 0;
+        if (pt.n_groups > 0) {
+          const char* first = pt.names_blob.data() + pt.name_off[0];
+          bool stitch = S.have_carry && S.carry_name == first;
+          group_base = S.group + (stitch ? 0 : 1);
+          for (int64_t g = stitch ? 1 : 0; g < pt.n_groups; g++) {
+            const char* nm = pt.names_blob.data() + pt.name_off[size_t(g)];
+            if (S.keep_names) cb.names.emplace_back(nm);
+            if (S.checked_groups < S.sort_check_num) {
+              auto ins = S.seen_names.insert(nm);
+              if (!ins.second && !S.dup_name) S.dup_name = strdup(nm);
+              S.checked_groups++;
+            }
           }
-          if (checked_groups < sort_check_num) {
-            auto ins = seen_names.insert(nm);
-            if (!ins.second && !dup_name) dup_name = strdup(nm);
-            checked_groups++;
+          S.group = group_base + pt.n_groups - 1;
+          S.carry_name = pt.last_name;
+          S.have_carry = true;
+        }
+        std::vector<int64_t> bc_map(pt.bc_order.size());
+        for (size_t i = 0; i < pt.bc_order.size(); i++) {
+          auto it = S.bc_lookup.find(pt.bc_order[i]);
+          if (it == S.bc_lookup.end()) {
+            bc_map[i] = int64_t(S.barcode_order.size());
+            S.bc_lookup.emplace(pt.bc_order[i], bc_map[i]);
+            S.barcode_order.push_back(pt.bc_order[i]);
+          } else {
+            bc_map[i] = it->second;
           }
         }
-        group = group_base + pt.n_groups - 1;
-        carry_name = pt.last_name;
-        have_carry = true;
+        append_rows(cb, pt.c, group_base, S.want_barcodes, &bc_map);
+        pt = Part();  // release
       }
-      std::vector<int64_t> bc_map(pt.bc_order.size());
-      for (size_t i = 0; i < pt.bc_order.size(); i++) {
-        auto it = bc_lookup.find(pt.bc_order[i]);
-        if (it == bc_lookup.end()) {
-          bc_map[i] = int64_t(barcode_order.size());
-          bc_lookup.emplace(pt.bc_order[i], bc_map[i]);
-          barcode_order.push_back(pt.bc_order[i]);
-        } else {
-          bc_map[i] = it->second;
-        }
-      }
-      const size_t m = pt.c.flag.size();
-      out_group_id.grow(m);
-      out_flag.grow(m);
-      out_ref_id.grow(m);
-      out_pos.grow(m);
-      out_ref_span.grow(m);
-      out_seq_len.grow(m);
-      out_score.grow(m);
-      out_has_score.grow(m);
-      for (size_t i = 0; i < m; i++)
-        out_group_id.p[out_group_id.n + i] = pt.c.group_id[i] + group_base;
-      memcpy(out_flag.p + out_flag.n, pt.c.flag.data(), m * 2);
-      memcpy(out_ref_id.p + out_ref_id.n, pt.c.ref_id.data(), m * 4);
-      memcpy(out_pos.p + out_pos.n, pt.c.pos.data(), m * 8);
-      memcpy(out_ref_span.p + out_ref_span.n, pt.c.ref_span.data(), m * 8);
-      memcpy(out_seq_len.p + out_seq_len.n, pt.c.seq_len.data(), m * 8);
-      memcpy(out_score.p + out_score.n, pt.c.score.data(), m * 8);
-      memcpy(out_has_score.p + out_has_score.n, pt.c.has_score.data(), m);
-      if (want_barcodes) {
-        out_cb_id.grow(m);
-        for (size_t i = 0; i < m; i++)
-          out_cb_id.p[out_cb_id.n + i] =
-              pt.c.cb_id[i] < 0 ? -1 : bc_map[size_t(pt.c.cb_id[i])];
-        out_cb_id.n += m;
-      }
-      out_group_id.n += m;
-      out_flag.n += m;
-      out_ref_id.n += m;
-      out_pos.n += m;
-      out_ref_span.n += m;
-      out_seq_len.n += m;
-      out_score.n += m;
-      out_has_score.n += m;
-      tot += m;
-      pt = Part();  // release
     }
 
-    // carry the partial tail and refill
-    const size_t consumed = o;
-    win.erase(win.begin(), win.begin() + consumed);
-    if (bi >= blocks.size()) {
-      if (!win.empty()) {
-        free(dup_name);
-        return fail("truncated BAM record");
-      }
-      break;
-    }
-    if (!fill_window()) {
-      free(dup_name);
+    // carry the partial byte tail and refill
+    S.win.erase(S.win.begin(), S.win.begin() + o);
+    if (S.bi >= S.blocks.size()) {
+      if (!S.win.empty()) return fail("truncated BAM record");
+    } else if (!fill_window(S)) {
       return fail("BGZF inflate failure");
     }
-  }
-  munmap(map, fsize);
-  map = nullptr;
-  tm.mark("scan+merge");
 
+    // emit once at least one complete group is buffered: hold back the
+    // rows of the still-open trailing group (gid == S.group)
+    if (S.group > g0 || (S.group == g0 && S.bi >= S.blocks.size() &&
+                         S.win.empty())) {
+      if (S.bi >= S.blocks.size() && S.win.empty()) {
+        S.done = true;
+        S.tm.mark("scan+merge");
+        return emit_chunk(S, cb, g0, S.group - g0 + 1, true);
+      }
+      // split the trailing open group's rows into carry
+      size_t tot = cb.n();
+      size_t split = tot;
+      while (split > 0 && cb.group_id.p[split - 1] == S.group) split--;
+      S.carry = Columns();
+      for (size_t i = split; i < tot; i++) {
+        S.carry.group_id.push_back(0);
+        S.carry.flag.push_back(cb.flag.p[i]);
+        S.carry.ref_id.push_back(cb.ref_id.p[i]);
+        S.carry.pos.push_back(cb.pos.p[i]);
+        S.carry.ref_span.push_back(cb.ref_span.p[i]);
+        S.carry.seq_len.push_back(cb.seq_len.p[i]);
+        S.carry.score.push_back(cb.score.p[i]);
+        S.carry.has_score.push_back(cb.has_score.p[i]);
+        if (S.want_barcodes) S.carry.cb_id.push_back(cb.cb_id.p[i]);
+      }
+      cb.group_id.n = split;
+      cb.flag.n = split;
+      cb.ref_id.n = split;
+      cb.pos.n = split;
+      cb.ref_span.n = split;
+      cb.seq_len.n = split;
+      cb.score.n = split;
+      cb.has_score.n = split;
+      if (S.want_barcodes) cb.cb_id.n = split;
+      if (S.keep_names && !cb.names.empty()) cb.names.pop_back();
+      S.tm.mark("chunk");
+      return emit_chunk(S, cb, g0, S.group - g0, false);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// --- chunked streaming API ---
+// open → repeated next (each returns a malloc'd group-aligned chunk;
+// header fields are populated on the first chunk, the barcode table on
+// the final one, is_final marks it) → close. A chunk with `error` set
+// aborts the stream. The caller frees every chunk with
+// oarfish_decoded_free and the stream with oarfish_stream_close.
+
+void* oarfish_stream_open(const char* path, int threads, int keep_names,
+                          int64_t sort_check_num, int want_barcodes,
+                          OarfishDecoded** err_out) {
+  auto* S = new StreamState();
+  OarfishDecoded* err = stream_open_impl(*S, path, threads, keep_names,
+                                         sort_check_num, want_barcodes);
+  if (err) {
+    delete S;
+    if (err_out) *err_out = err;
+    else oarfish_decoded_free(err);
+    return nullptr;
+  }
+  if (err_out) *err_out = nullptr;
+  return S;
+}
+
+OarfishDecoded* oarfish_stream_next(void* handle) {
+  return stream_next_impl(*static_cast<StreamState*>(handle));
+}
+
+void oarfish_stream_close(void* handle) {
+  delete static_cast<StreamState*>(handle);
+}
+
+// --- whole-file decode (layered over the stream) ---
+OarfishDecoded* oarfish_decode_bam(const char* path, int threads,
+                                   int keep_names, int64_t sort_check_num,
+                                   int want_barcodes) {
+  OarfishDecoded* err = nullptr;
+  void* h =
+      oarfish_stream_open(path, threads, keep_names, sort_check_num,
+                          want_barcodes, &err);
+  if (!h) return err;
+  StreamState& S = *static_cast<StreamState*>(h);
+
+  ChunkBufs all;
+  std::string group_names;
+  int64_t group_base = 0;
+  char* dup_name = nullptr;
+  OarfishDecoded* hdr_chunk = nullptr;  // first chunk (owns header arrays)
   std::string barcodes_blob;
+  int64_t n_barcodes = 0;
+  for (;;) {
+    OarfishDecoded* c = oarfish_stream_next(h);
+    if (c->error) {
+      free(dup_name);
+      if (hdr_chunk) oarfish_decoded_free(hdr_chunk);
+      oarfish_stream_close(h);
+      return c;
+    }
+    const size_t m = size_t(c->n_records);
+    all.group_id.grow(m);
+    all.flag.grow(m);
+    all.ref_id.grow(m);
+    all.pos.grow(m);
+    all.ref_span.grow(m);
+    all.seq_len.grow(m);
+    all.score.grow(m);
+    all.has_score.grow(m);
+    for (size_t i = 0; i < m; i++)
+      all.group_id.p[all.group_id.n + i] = c->group_id[i] + group_base;
+    if (m) {
+      memcpy(all.flag.p + all.flag.n, c->flag, m * 2);
+      memcpy(all.ref_id.p + all.ref_id.n, c->ref_id, m * 4);
+      memcpy(all.pos.p + all.pos.n, c->pos, m * 8);
+      memcpy(all.ref_span.p + all.ref_span.n, c->ref_span, m * 8);
+      memcpy(all.seq_len.p + all.seq_len.n, c->seq_len, m * 8);
+      memcpy(all.score.p + all.score.n, c->score, m * 8);
+      memcpy(all.has_score.p + all.has_score.n, c->has_score, m);
+    }
+    if (want_barcodes && m) {
+      all.cb_id.grow(m);
+      memcpy(all.cb_id.p + all.cb_id.n, c->cb_id, m * 8);
+      all.cb_id.n += m;
+    }
+    all.group_id.n += m;
+    all.flag.n += m;
+    all.ref_id.n += m;
+    all.pos.n += m;
+    all.ref_span.n += m;
+    all.seq_len.n += m;
+    all.score.n += m;
+    all.has_score.n += m;
+    all.num_unmapped += c->num_unmapped;
+    group_base += c->n_groups;
+    if (keep_names && c->group_names_len)
+      group_names.append(c->group_names, size_t(c->group_names_len));
+    if (c->dup_name && !dup_name) dup_name = strdup(c->dup_name);
+    bool final_chunk = c->is_final != 0;
+    if (final_chunk && want_barcodes) {
+      if (c->barcodes_len)
+        barcodes_blob.assign(c->barcodes, size_t(c->barcodes_len));
+      n_barcodes = c->n_barcodes;
+    }
+    if (c->header_text) {
+      hdr_chunk = c;  // keep: owns header_text/ref_names/ref_lengths
+    } else {
+      oarfish_decoded_free(c);
+    }
+    if (final_chunk) break;
+  }
+
   auto* d = static_cast<OarfishDecoded*>(calloc(1, sizeof(OarfishDecoded)));
-  d->n_records = int64_t(tot);
-  d->n_groups = group + 1;
-  d->n_refs = n_ref;
-  d->num_unmapped = num_unmapped;
-  d->group_id = out_group_id.release();
-  d->flag = out_flag.release();
-  d->ref_id = out_ref_id.release();
-  d->pos = out_pos.release();
-  d->ref_span = out_ref_span.release();
-  d->seq_len = out_seq_len.release();
-  d->score = out_score.release();
-  d->has_score = out_has_score.release();
-  d->cb_id = want_barcodes ? out_cb_id.release() : nullptr;
-  d->header_text = static_cast<char*>(malloc(header_text.size()));
-  memcpy(d->header_text, header_text.data(), header_text.size());
-  d->header_text_len = int64_t(header_text.size());
-  d->ref_names = static_cast<char*>(malloc(ref_names.size()));
-  memcpy(d->ref_names, ref_names.data(), ref_names.size());
-  d->ref_names_len = int64_t(ref_names.size());
-  d->ref_lengths = steal(ref_lengths);
+  d->n_records = int64_t(all.n());
+  d->n_groups = group_base;
+  d->n_refs = S.n_ref;
+  d->num_unmapped = all.num_unmapped;
+  d->group_id = all.group_id.release();
+  d->flag = all.flag.release();
+  d->ref_id = all.ref_id.release();
+  d->pos = all.pos.release();
+  d->ref_span = all.ref_span.release();
+  d->seq_len = all.seq_len.release();
+  d->score = all.score.release();
+  d->has_score = all.has_score.release();
+  d->cb_id = want_barcodes ? all.cb_id.release() : nullptr;
+  if (hdr_chunk) {
+    d->header_text = hdr_chunk->header_text;
+    d->header_text_len = hdr_chunk->header_text_len;
+    d->ref_names = hdr_chunk->ref_names;
+    d->ref_names_len = hdr_chunk->ref_names_len;
+    d->ref_lengths = hdr_chunk->ref_lengths;
+    hdr_chunk->header_text = nullptr;
+    hdr_chunk->ref_names = nullptr;
+    hdr_chunk->ref_lengths = nullptr;
+    oarfish_decoded_free(hdr_chunk);
+  }
   if (keep_names) {
-    d->group_names = static_cast<char*>(malloc(group_names.size()));
+    d->group_names =
+        static_cast<char*>(malloc(group_names.size() ? group_names.size() : 1));
     memcpy(d->group_names, group_names.data(), group_names.size());
     d->group_names_len = int64_t(group_names.size());
   }
   if (want_barcodes) {
-    for (auto& bc : barcode_order) {
-      barcodes_blob.append(bc);
-      barcodes_blob.push_back('\0');
-    }
-    d->barcodes = static_cast<char*>(malloc(barcodes_blob.size()));
+    d->barcodes = static_cast<char*>(
+        malloc(barcodes_blob.size() ? barcodes_blob.size() : 1));
     memcpy(d->barcodes, barcodes_blob.data(), barcodes_blob.size());
     d->barcodes_len = int64_t(barcodes_blob.size());
-    d->n_barcodes = int64_t(barcode_order.size());
+    d->n_barcodes = n_barcodes;
   }
   d->dup_name = dup_name;
-  tm.mark("finish");
+  d->is_final = 1;
+  oarfish_stream_close(h);
   return d;
 }
 

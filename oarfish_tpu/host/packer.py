@@ -106,6 +106,172 @@ def pack_bam(
     return store, coverage, num_unmapped
 
 
+def _collation_error(dup_name: str) -> CollationError:
+    return CollationError(
+        "the input BAM appears not to be name-collated: alignment "
+        f"records for read {dup_name!r} were observed twice in a "
+        "non-contiguous block. Provide a BAM collated by record name."
+    )
+
+
+def pack_bam_stream(
+    path,
+    opts: FilterOpts,
+    bin_width: int,
+    threads: int = 4,
+    sort_check_num: int = 100_000,
+    keep_names: bool = False,
+    timings: Optional[dict] = None,
+):
+    """Overlapped streaming pack: the C++ decoder produces group-aligned
+    columnar chunks on a producer thread (the ctypes call releases the
+    GIL, so BGZF inflate + record scan of chunk k+1 run concurrently
+    with the vectorized filter/coverage/pack of chunk k on the main
+    thread) — the pipeline shape of the reference's producer→consumer
+    ingest (`bulk.rs:364-682`). Returns (header, store, coverage,
+    num_unmapped), or None when the native library is unavailable.
+
+    `timings`, when given, is filled with {'decode_wait_s', 'filter_s',
+    'wall_s', 'chunks'} — decode_wait_s is the time the consumer would
+    have spent blocked on decode had there been no overlap."""
+    import queue
+    import threading
+    import time as _time
+
+    from . import native
+    from .filters import DiscardTable
+    from .store import NameBlob
+    from .vector_filter import filter_records
+
+    gen = native.stream_bam(
+        path,
+        threads=threads,
+        keep_names=keep_names,
+        sort_check_num=sort_check_num,
+    )
+    if gen is None:
+        return None
+
+    t_wall0 = _time.perf_counter()
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    t_decode = [0.0]
+
+    def produce():
+        try:
+            t0 = _time.perf_counter()
+            for chunk in gen:
+                t_decode[0] += _time.perf_counter() - t0
+                q.put(chunk)
+                t0 = _time.perf_counter()
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
+
+    th = threading.Thread(target=produce, daemon=True)
+    th.start()
+
+    header = None
+    txp_len = None
+    coverage = None
+    packed_chunks = []
+    name_chunks = []
+    discard = DiscardTable()
+    num_unique = 0
+    num_unmapped = 0
+    t_filter = 0.0
+    n_chunks = 0
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            chunk = item
+            n_chunks += 1
+            if chunk.dup_name is not None:
+                raise _collation_error(chunk.dup_name)
+            if header is None:
+                if chunk.header is None:
+                    raise ValueError(f"{path}: stream chunk missing header")
+                header = chunk.header
+                txp_len = np.asarray(header.ref_lengths, dtype=np.int64)
+                coverage = TranscriptCoverage(
+                    txp_len, bin_width if opts.model_coverage else 0
+                )
+            t0 = _time.perf_counter()
+            packed = filter_records(opts, txp_len, chunk.columns)
+            coverage.add_intervals(packed.txp_id, packed.start, packed.end)
+            if keep_names:
+                if chunk.group_names is not None:
+                    name_chunks.append(
+                        NameBlob.from_indexed(
+                            chunk.group_names, packed.group_of_read
+                        )
+                    )
+                elif len(packed.group_of_read):
+                    raise ValueError(
+                        f"{path}: stream chunk missing group names"
+                    )
+            packed_chunks.append(packed)
+            discard.aggregate(packed.discard)
+            num_unique += packed.num_unique_alignments
+            num_unmapped += chunk.num_unmapped
+            t_filter += _time.perf_counter() - t0
+    finally:
+        # drain so the producer can exit (it blocks on a full queue)
+        while th.is_alive():
+            try:
+                item = q.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            if item is None or isinstance(item, BaseException):
+                break
+        th.join(timeout=60.0)
+
+    # --- concatenate chunk CSRs
+    txp_id = np.concatenate([p.txp_id for p in packed_chunks])
+    start = np.concatenate([p.start for p in packed_chunks])
+    end = np.concatenate([p.end for p in packed_chunks])
+    prob = np.concatenate([p.prob for p in packed_chunks])
+    sizes = [len(p.boundaries) - 1 for p in packed_chunks]
+    boundaries = np.zeros(sum(sizes) + 1, dtype=np.int64)
+    pos = 1
+    base = 0
+    for p in packed_chunks:
+        nb = len(p.boundaries) - 1
+        boundaries[pos : pos + nb] = p.boundaries[1:] + base
+        base += int(p.boundaries[-1])
+        pos += nb
+    read_names = NameBlob.concat(name_chunks) if keep_names else None
+
+    store = AlignmentStore(
+        txp_id=txp_id,
+        start=start,
+        end=end,
+        as_prob=prob,
+        cov_prob=np.zeros(len(txp_id), dtype=np.float64),
+        boundaries=boundaries,
+        discard=discard,
+        num_unique_alignments=num_unique,
+        read_names=read_names,
+    )
+    if timings is not None:
+        timings["decode_wait_s"] = t_decode[0]
+        timings["filter_s"] = t_filter
+        timings["wall_s"] = _time.perf_counter() - t_wall0
+        timings["chunks"] = n_chunks
+    log.info(
+        "the alignment file contained %d unmapped read records.", num_unmapped
+    )
+    log.info(
+        "streamed pack: %d chunks, decode %.2fs || filter+pack %.2fs, "
+        "wall %.2fs",
+        n_chunks, t_decode[0], t_filter, _time.perf_counter() - t_wall0,
+    )
+    return header, store, coverage, num_unmapped
+
+
 def pack_bam_fast(
     path,
     opts: FilterOpts,
@@ -113,18 +279,35 @@ def pack_bam_fast(
     threads: int = 4,
     sort_check_num: int = 100_000,
     keep_names: bool = False,
+    timings: Optional[dict] = None,
 ):
-    """Fast whole-file pack: C++ columnar decode (when built) + vectorized
-    filtering + CSR assembly. Falls back to the Python reader for the
-    decode stage. Returns (header, store, coverage, num_unmapped).
+    """Fast pack: overlapped streaming decode + vectorized filtering +
+    CSR assembly (C++ decoder), falling back to the Python reader when
+    the native library is unavailable. Returns (header, store, coverage,
+    num_unmapped).
 
-    This is the production ingest path; `pack_bam` (streaming per-group)
-    remains as the differential oracle.
-    """
+    `pack_bam` (streaming per-group) remains as the differential oracle;
+    OARFISH_STREAM_PACK=0 pins the old whole-file-decode-then-filter
+    path for A/B."""
+    import os
+
     from ..io.bam import BamReader
     from . import native
     from .filters import DiscardTable
     from .vector_filter import columns_from_records, filter_records
+
+    if os.environ.get("OARFISH_STREAM_PACK") != "0":
+        res = pack_bam_stream(
+            path,
+            opts,
+            bin_width,
+            threads=threads,
+            sort_check_num=sort_check_num,
+            keep_names=keep_names,
+            timings=timings,
+        )
+        if res is not None:
+            return res
 
     dec = native.decode_bam(
         path,
@@ -138,11 +321,7 @@ def pack_bam_fast(
         num_unmapped = dec.num_unmapped
         group_names = dec.group_names
         if dec.dup_name is not None:
-            raise CollationError(
-                "the input BAM appears not to be name-collated: alignment "
-                f"records for read {dec.dup_name!r} were observed twice in a "
-                "non-contiguous block. Provide a BAM collated by record name."
-            )
+            raise _collation_error(dec.dup_name)
     else:
         reader = BamReader(path, threads=threads)
         header = reader.header

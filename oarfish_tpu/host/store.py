@@ -285,6 +285,22 @@ class NameBlob:
         return NameBlob(buf[src].tobytes(), off)
 
     @staticmethod
+    def concat(blobs) -> "NameBlob":
+        """Concatenate NameBlobs (chunked streaming pack assembles the
+        per-read name store from per-chunk pieces)."""
+        blobs = [b for b in blobs if b is not None]
+        if not blobs:
+            return NameBlob()
+        buf = b"".join(bytes(b._buf) for b in blobs)
+        parts = [np.zeros(1, np.int64)]
+        base = 0
+        for b in blobs:
+            o = np.asarray(b._off, dtype=np.int64)
+            parts.append(o[1:] + base)
+            base += int(o[-1])
+        return NameBlob(buf, np.concatenate(parts))
+
+    @staticmethod
     def from_indexed(names, idx: np.ndarray) -> "NameBlob":
         """Vectorized build of per-read names as `names[idx[r]]`. Accepts
         a NameBlob or any sequence of str/bytes."""

@@ -214,7 +214,7 @@ class EmV4Data:
     t_out: object  # BatchTilePermute: row sums -> curr[T]
     big_row_of_txp: jax.Array  # [big_rows_pad] i32: big-txp idx per row
     big_row_offsets: jax.Array  # [n_big+1] i32 row ranges per big txp
-    seg_id: Optional[jax.Array]  # [n_chunks*CR, 128] i32 log2(K)/row
+    seg_id: Optional[jax.Array]  # [n_chunks*CR, 128] i8 log2(K)/row (kernel widens to i32)
     read_shapes: Tuple[Tuple[int, int], ...]  # (rows_pad, K)
     read_starts: Tuple[int, ...]
     n_slots_r: int
@@ -958,7 +958,19 @@ def route_config(lay_or_maxflows, NPAD: int) -> Tuple[int, int, Tuple]:
 
     force_cr = os.environ.get("OARFISH_FORCE_CR")
     if force_cr:
-        mfs = {CR: mf for CR, mf in mfs.items() if CR == int(force_cr)}
+        try:
+            force_cr_val = int(force_cr)
+        except ValueError:
+            raise ValueError(
+                f"OARFISH_FORCE_CR={force_cr!r} is not an integer; "
+                f"available chunk sizes: {sorted(mfs)}"
+            ) from None
+        if force_cr_val not in mfs:
+            raise ValueError(
+                f"OARFISH_FORCE_CR={force_cr_val} is not an available chunk "
+                f"size; choose one of {sorted(mfs)}"
+            )
+        mfs = {force_cr_val: mfs[force_cr_val]}
     best = None
     for CR, mf in mfs.items():
         CHR = CR * LANES
@@ -1260,7 +1272,11 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
 def _batch_eligible(data: EmV4Data) -> bool:
     """In-kernel replicate batching is OPT-IN (OARFISH_V4_BATCH_KERNELS
     =1) and covers the default path only (fused middle + strided
-    exchange). Measured at the bench shape (scripts/batch_kernel_ab.py,
+    exchange). NOTE: the knob is read at TRACE time — once a jit cache
+    holds a trace, toggling the env var has no effect in that process
+    (the A/B scripts clear jax caches between arms; library users must
+    set it before the first call). Measured at the bench shape
+    (scripts/batch_kernel_ab.py,
     B=8, same-process): in-kernel 2.60-2.64 vs plain vmap 2.27
     ms/iter/replicate — the B=4 value planes force cpp=1 under the 4 MB
     program budget, and the 4x program count eats the once-per-program

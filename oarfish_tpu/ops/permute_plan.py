@@ -92,7 +92,10 @@ def load_fresh_so(so):
     import shutil
     import tempfile
 
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(so.parent))
+    try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(so.parent))
+    except OSError:
+        return None  # unwritable csrc/: degrade to the no-native-lib path
     os.close(fd)
     try:
         shutil.copy2(so, tmp)
@@ -100,7 +103,10 @@ def load_fresh_so(so):
     except OSError:
         return None
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def _get_color_lib():

@@ -535,6 +535,7 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
     from ..host.packer import pack_bam_fast
 
     t0 = time.time()
+    pack_timings: dict = {}
     header, store, coverage, _num_unmapped = pack_bam_fast(
         args.alignments,
         opts,
@@ -542,6 +543,7 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         threads=max(args.threads - 1, 1),
         sort_check_num=args.sort_check_num,
         keep_names=opts.write_assignment_probs,
+        timings=pack_timings,
     )
     verify_header(header, args.alignments)
     txps_name = header.ref_names

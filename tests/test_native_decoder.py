@@ -214,6 +214,88 @@ def test_coverage_reversed_interval_matches_oracle():
     np.testing.assert_allclose(cov_n.total_weight, cov_o.total_weight)
 
 
+def test_stream_chunks_match_whole_decode(fixture_bam, monkeypatch):
+    """The chunked stream API, reassembled with per-chunk group-id
+    rebasing, must reproduce the whole-file decode exactly — including
+    group names, barcodes, and the unmapped count — under tiny windows
+    that force cross-chunk group carries."""
+    whole = native.decode_bam(fixture_bam, keep_names=True)
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+    chunks = list(native.stream_bam(fixture_bam, keep_names=True))
+    assert len(chunks) > 3  # the tiny window actually chunked
+    assert chunks[0].header is not None
+    assert chunks[0].header.ref_names == whole.header.ref_names
+    assert chunks[-1].is_final
+    assert all(not c.is_final for c in chunks[:-1])
+    base = 0
+    gid = []
+    names = []
+    unmapped = 0
+    for c in chunks:
+        gid.append(c.columns.group_id + base)
+        if c.group_names is not None:
+            names.extend(c.group_names)
+        base += c.n_groups
+        unmapped += c.num_unmapped
+    np.testing.assert_array_equal(np.concatenate(gid), whole.columns.group_id)
+    for f in ("flag", "ref_id", "pos", "ref_span", "seq_len", "score",
+              "has_score"):
+        np.testing.assert_array_equal(
+            np.concatenate([getattr(c.columns, f) for c in chunks]),
+            getattr(whole.columns, f), err_msg=f,
+        )
+    assert names == list(whole.group_names)
+    assert base == len(whole.group_names)
+    assert unmapped == whole.num_unmapped
+
+
+def test_stream_pack_matches_whole_pack(fixture_bam, monkeypatch):
+    """The overlapped streaming pack (decode chunk k+1 ∥ filter chunk k)
+    must match the whole-file-then-filter pack: CSR exactly, coverage
+    bins to FP-accumulation-order tolerance."""
+    from oarfish_tpu.host.packer import pack_bam_stream
+
+    opts = FilterOpts(model_coverage=True)
+    monkeypatch.setenv("OARFISH_STREAM_PACK", "0")
+    h2, s2, c2, u2 = pack_bam_fast(
+        fixture_bam, opts, bin_width=100, keep_names=True
+    )
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+    tm = {}
+    h1, s1, c1, u1 = pack_bam_stream(
+        fixture_bam, opts, bin_width=100, keep_names=True, timings=tm
+    )
+    assert h1.ref_names == h2.ref_names
+    assert u1 == u2
+    assert tm["chunks"] > 3
+    for f in ("txp_id", "start", "end", "as_prob", "boundaries"):
+        np.testing.assert_array_equal(
+            getattr(s1, f), getattr(s2, f), err_msg=f
+        )
+    assert s1.discard.to_json_dict() == s2.discard.to_json_dict()
+    assert s1.num_unique_alignments == s2.num_unique_alignments
+    assert s1.read_names == s2.read_names
+    np.testing.assert_allclose(c1.bins, c2.bins, rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(c1.total_weight, c2.total_weight)
+
+
+def test_stream_pack_collation_error(tmp_path, monkeypatch):
+    p = tmp_path / "bad.bam"
+    recs = [
+        dict(name="s1", flag=0, ref_id=0, pos=0, cigar="100M",
+             seq="A" * 100, score=100),
+        dict(name="s2", flag=0, ref_id=0, pos=0, cigar="100M",
+             seq="A" * 100, score=100),
+        dict(name="s1", flag=0, ref_id=0, pos=5, cigar="100M",
+             seq="A" * 100, score=90),
+    ]
+    bam.write_bam(p, ["t"], [500], recs)
+    from oarfish_tpu.host.packer import pack_bam_stream
+
+    with pytest.raises(CollationError, match="s1"):
+        pack_bam_stream(p, FilterOpts(), bin_width=0)
+
+
 def test_streaming_windows_match_single_window(fixture_bam, monkeypatch):
     """Tiny inflate windows (forcing record-tail carries and cross-
     window group stitching) must produce byte-identical columns, group
