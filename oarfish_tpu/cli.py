@@ -146,6 +146,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-shards", type=int, default=0,
                    help="data-parallel device shards (0 = all local devices)")
+    p.add_argument(
+        "--coordinator", default=None,
+        help="multi-host: coordinator address host:port for "
+        "jax.distributed (env OARFISH_COORDINATOR); launch one process "
+        "per host with matching --num-processes/--process-id",
+    )
+    p.add_argument(
+        "--num-processes", type=int, default=None,
+        help="multi-host: total process count (env OARFISH_NUM_PROCESSES)",
+    )
+    p.add_argument(
+        "--process-id", type=int, default=None,
+        help="multi-host: this process's id, 0-based "
+        "(env OARFISH_PROCESS_ID)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile-dir", type=Path, default=None,
                    help="write a jax.profiler trace of the run here")
@@ -209,6 +224,9 @@ def to_args(ns: argparse.Namespace) -> Args:
         em_impl=ns.em_impl,
         em_accel=ns.em_accel,
         num_shards=ns.num_shards,
+        coordinator=ns.coordinator,
+        num_processes=ns.num_processes,
+        process_id=ns.process_id,
         seed=ns.seed,
     )
 
@@ -262,6 +280,35 @@ def validate_modes(args: Args, parser: argparse.ArgumentParser) -> None:
         parser.error("--output is required unless --only-index is given")
 
 
+def enable_persistent_jax_cache() -> None:
+    """Enable JAX's persistent compilation cache (measured: a cold
+    first-inference costs minutes of XLA compile vs <1s warm —
+    scripts/e2e_bench.py). Every repeat run at the same shapes then
+    skips the compile entirely. OARFISH_JAX_CACHE=0 disables;
+    OARFISH_JAX_CACHE_DIR overrides the location."""
+    import os
+
+    if os.environ.get("OARFISH_JAX_CACHE") == "0":
+        return
+    cache_dir = os.environ.get(
+        "OARFISH_JAX_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "oarfish_tpu_jax",
+        ),
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        logging.getLogger("oarfish_tpu").debug(
+            "persistent jax cache unavailable: %s", e
+        )
+
+
 def main(argv=None) -> int:
     import os
 
@@ -275,10 +322,33 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    enable_persistent_jax_cache()
     parser = build_parser()
     ns = parser.parse_args(argv)
     args = to_args(ns)
     validate_modes(args, parser)
+
+    # multi-host launch: jax.distributed must initialize BEFORE any
+    # backend use (env fallbacks let a launcher set these per host)
+    coordinator = args.coordinator or os.environ.get("OARFISH_COORDINATOR")
+    num_processes = args.num_processes or (
+        int(os.environ["OARFISH_NUM_PROCESSES"])
+        if os.environ.get("OARFISH_NUM_PROCESSES")
+        else None
+    )
+    process_id = (
+        args.process_id
+        if args.process_id is not None
+        else (
+            int(os.environ["OARFISH_PROCESS_ID"])
+            if os.environ.get("OARFISH_PROCESS_ID")
+            else None
+        )
+    )
+    if num_processes and num_processes > 1:
+        from .parallel.multihost import initialize_distributed
+
+        initialize_distributed(coordinator, num_processes, process_id)
 
     if ns.profile_dir is not None:
         # trace the whole run (the TPU-era analogue of the reference's

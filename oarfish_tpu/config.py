@@ -259,6 +259,10 @@ class Args:
     em_impl: str = "auto"  # auto | segsum | fast
     em_accel: str = "none"  # none | squarem
     num_shards: int = 0  # 0 => use all local devices
+    # multi-host launch (jax.distributed): one CLI process per host
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     seed: int = 0
 
 

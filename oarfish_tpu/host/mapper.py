@@ -202,6 +202,7 @@ class Mapper:
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native mapper unavailable")
+        cls._reject_foreign_index(path)
         h = lib.oarfish_index_load(str(path).encode())
         if not h:
             raise ValueError(f"could not load index {path}")
@@ -216,6 +217,35 @@ class Mapper:
         )
         names = names_buf.raw.decode(errors="replace").split("\x00")[: int(n)]
         return cls(h, names, [int(x) for x in lengths], int(kw[0]), int(kw[1]))
+
+    @staticmethod
+    def _reject_foreign_index(path) -> None:
+        """Detect foreign index formats by magic and fail with a
+        migration path. The reference loads rammap RMMI and legacy
+        minimap2 `.mmi` indexes (`aligner.rs:72-98`); this build's
+        native mapper uses its own OTMI format, so a user arriving with
+        an existing index gets an actionable rebuild message instead of
+        a bare 'could not load'."""
+        try:
+            with open(path, "rb") as fh:
+                head = fh.read(8)
+        except OSError as e:
+            raise ValueError(f"could not open index {path}: {e}") from None
+        if head[:5] == b"OTMI\x01":
+            return
+        if head[:4] == b"MMI\x02":
+            kind = "a legacy minimap2 .mmi index"
+        elif head[:4] in (b"RMI\x01", b"RMMI"):
+            kind = "a rammap RMMI index"
+        else:
+            kind = "not an oarfish-tpu OTMI index"
+        raise ValueError(
+            f"{path}: this file is {kind}. oarfish-tpu uses its own OTMI "
+            "index format and cannot read foreign indexes; rebuild from "
+            "the reference FASTA once with "
+            "`oarfish-tpu --annotated ref.fa --only-index --index-out "
+            "IDX` and pass that via --index."
+        )
 
     def save(self, path, digest_map: Optional[dict] = None) -> None:
         lib = get_lib()

@@ -10,6 +10,7 @@ name-collated (`alignment_parser.rs:396-409`).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Iterable, Optional, Tuple
 
 import numpy as np
@@ -175,6 +176,14 @@ def pack_bam_stream(
     coverage = None
     packed_chunks = []
     name_chunks = []
+    # spill kept names to disk as chunks arrive (bounded RSS at 1e8
+    # reads, like the reference's swapvec — see NameSpill docstring);
+    # OARFISH_NAME_SPILL=0 keeps them resident
+    spill = None
+    if keep_names and os.environ.get("OARFISH_NAME_SPILL") != "0":
+        from .store import NameSpill
+
+        spill = NameSpill()
     discard = DiscardTable()
     num_unique = 0
     num_unmapped = 0
@@ -204,11 +213,13 @@ def pack_bam_stream(
             coverage.add_intervals(packed.txp_id, packed.start, packed.end)
             if keep_names:
                 if chunk.group_names is not None:
-                    name_chunks.append(
-                        NameBlob.from_indexed(
-                            chunk.group_names, packed.group_of_read
-                        )
+                    blob = NameBlob.from_indexed(
+                        chunk.group_names, packed.group_of_read
                     )
+                    if spill is not None:
+                        spill.add(blob)
+                    else:
+                        name_chunks.append(blob)
                 elif len(packed.group_of_read):
                     raise ValueError(
                         f"{path}: stream chunk missing group names"
@@ -243,7 +254,12 @@ def pack_bam_stream(
         boundaries[pos : pos + nb] = p.boundaries[1:] + base
         base += int(p.boundaries[-1])
         pos += nb
-    read_names = NameBlob.concat(name_chunks) if keep_names else None
+    if spill is not None:
+        read_names = spill.finish()
+    elif keep_names:
+        read_names = NameBlob.concat(name_chunks)
+    else:
+        read_names = None
 
     store = AlignmentStore(
         txp_id=txp_id,

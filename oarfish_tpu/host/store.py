@@ -203,8 +203,13 @@ class NameBlob:
 
     __slots__ = ("_buf", "_off")
 
-    def __init__(self, buf: bytes = b"", off: Optional[np.ndarray] = None):
-        self._buf = bytearray(buf)
+    def __init__(self, buf=b"", off: Optional[np.ndarray] = None):
+        # bytearray while appending; a uint8 ndarray (possibly a
+        # read-only np.memmap — the disk-spill path) once built
+        if isinstance(buf, np.ndarray):
+            self._buf = buf
+        else:
+            self._buf = bytearray(buf)
         # int64 ndarray when built vectorized; plain list while appending
         if off is None:
             self._off = [0]
@@ -218,11 +223,22 @@ class NameBlob:
             name = name.encode()
         if isinstance(self._off, np.ndarray):
             self._off = self._off.tolist()
+        if isinstance(self._buf, np.ndarray):
+            self._buf = bytearray(self._buf.tobytes())
         self._buf += name
         self._off.append(len(self._buf))
 
     def __len__(self) -> int:
         return len(self._off) - 1
+
+    def buffer_array(self) -> np.ndarray:
+        """uint8 view of the name bytes (no copy for ndarray/memmap)."""
+        if isinstance(self._buf, np.ndarray):
+            return self._buf
+        return np.frombuffer(bytes(self._buf), np.uint8)
+
+    def offsets_array(self) -> np.ndarray:
+        return np.asarray(self._off, dtype=np.int64)
 
     def __getitem__(self, i: int) -> str:
         return bytes(self._buf[self._off[i] : self._off[i + 1]]).decode()
@@ -236,7 +252,7 @@ class NameBlob:
             return (
                 len(self) == len(other)
                 and list(self._off) == list(other._off)
-                and self._buf == other._buf
+                and bytes(self._buf) == bytes(other._buf)
             )
         if isinstance(other, (list, tuple)):
             return len(self) == len(other) and all(
@@ -269,7 +285,7 @@ class NameBlob:
         """Vectorized `NameBlob([self[i] for i in idx])`: gather the
         name bytes through a ramp index instead of a Python loop."""
         g_off = np.asarray(self._off, dtype=np.int64)
-        buf = np.frombuffer(bytes(self._buf), np.uint8)
+        buf = self.buffer_array()
         idx = np.asarray(idx, dtype=np.int64)
         starts = g_off[idx]
         lens = g_off[idx + 1] - starts
@@ -322,6 +338,40 @@ class NameBlob:
         )
         buf = np.frombuffer(blob, np.uint8)[src].tobytes()
         return NameBlob(buf, off)
+
+
+class NameSpill:
+    """Disk-backed assembly of the per-read name store. The reference
+    bounds RSS under `--write-assignment-probs` by spilling read names
+    to an lz4-compressed disk vec (swapvec, `bulk.rs:221-229`); here
+    each chunk's kept-name blob is appended to an anonymous temp file
+    and the final NameBlob wraps a read-only memmap — peak RSS for
+    names becomes page-cache-managed instead of resident (int64
+    offsets, 8 B/read, stay in RAM)."""
+
+    def __init__(self, dir=None):
+        import tempfile
+
+        self._fh = tempfile.TemporaryFile(dir=dir)
+        self._off_parts = [np.zeros(1, np.int64)]
+        self._base = 0
+
+    def add(self, blob: NameBlob) -> None:
+        o = blob.offsets_array()
+        n = int(o[-1])
+        self._fh.write(bytes(blob._buf[:n]) if n else b"")
+        self._off_parts.append(o[1:] + self._base)
+        self._base += n
+
+    def finish(self) -> NameBlob:
+        self._fh.flush()
+        off = np.concatenate(self._off_parts)
+        if self._base == 0:
+            self._fh.close()
+            return NameBlob(b"", off)
+        mm = np.memmap(self._fh, dtype=np.uint8, mode="r",
+                       shape=(self._base,))
+        return NameBlob(mm, off)
 
 
 @dataclass

@@ -347,8 +347,12 @@ def _v4_layout(
     # harmlessly (their slots stay all-zero).
     bp, bq = (envelope.get("big_pq", (1, 1)) if envelope else (1, 1))
 
-    def _bphys(r):
-        return (r // bq) * bp + r % bq
+    if bp == 1 and bq == 1:
+        def _bphys(r):  # identity in the common undiluted case — the
+            return r    # div/mod form costs ~0.7s of A-sized passes
+    else:
+        def _bphys(r):
+            return (r // bq) * bp + r % bq
 
     n_big_rows_phys = int(_bphys(n_big_rows - 1)) + 1 if n_big_rows else 0
     big_rows_pad = _pad128(n_big_rows_phys)

@@ -100,9 +100,19 @@ def sharded_em_global(
     sh = ShardedCsr(txp_id, weights, boundaries, num_txps, D)
     run = make_sharded_em(mesh, num_txps, sh.r_pad, max_iter)
 
+    # only THIS process's devices are addressable in a multi-process run:
+    # place the mesh positions owned by local devices (every process
+    # computes the full shard set from the same CSR; the global array is
+    # assembled from each process's local pieces)
+    local_pos = [
+        i
+        for i, d in enumerate(mesh.devices.flat)
+        if d.process_index == jax.process_index()
+    ]
+
     def shard_rows(arr, dt):
         return assemble_global_shards(
-            mesh, [arr[d : d + 1] for d in range(D)], dt
+            mesh, [arr[p : p + 1] for p in local_pos], dt
         )
 
     init_p = jnp.concatenate(

@@ -51,22 +51,22 @@ def choose_auto_impl(
 ) -> str:
     """Pick the EM implementation for `--em-impl auto` on a device
     backend. The routed v4 iteration is ~20x faster than 'fast' per
-    iteration (PERF_NOTES.md cost table) but pays a host-side route
-    build of a few seconds per million alignments; break-even is ~175
-    EM iterations independent of problem size (both costs scale
-    ~linearly with alignments). So v4 wins whenever the run does real
-    work — bootstraps, or a plain EM allowed past a couple hundred
-    iterations (the reference default caps at 1000, `prog_opts.rs:532`).
-    A failed route build falls back to 'fast' at run time, so the risk
-    of choosing v4 is a few wasted seconds. OARFISH_AUTO_V4=0 pins the
-    old behavior."""
+    iteration (PERF_NOTES.md cost table) but pays a one-shot host route
+    build + table upload; break-even is a few hundred EM iterations.
+    Measured end-to-end (scripts/e2e_bench.py, R=2M/A=6M): a plain run
+    converges in ~200 iterations, where 'fast' wins (no build); with
+    bootstraps the same tables serve every replicate's iterations and
+    v4 wins decisively. So: v4 for bootstrap runs at scale, fast
+    otherwise. A failed route build falls back to 'fast' at run time.
+    OARFISH_AUTO_V4=1 forces v4 at scale, =0 forbids it."""
     if backend == "cpu":
         return "segsum"
+    force = os.environ.get("OARFISH_AUTO_V4")
+    if force == "0":
+        return "fast"
     expected_iters = min(max_em_iter, 1000) * (1 + num_bootstraps)
-    if (
-        num_alignments >= V4_MIN_ALNS
-        and expected_iters >= 250
-        and os.environ.get("OARFISH_AUTO_V4") != "0"
+    if num_alignments >= V4_MIN_ALNS and (
+        (num_bootstraps > 0 and expected_iters >= 250) or force == "1"
     ):
         return "v4"
     return "fast"
@@ -152,6 +152,12 @@ def perform_inference_and_write_output(
 
     dtype = resolve_em_dtype(args.em_dtype)
     import jax
+
+    if jax.process_count() > 1:
+        return _multiprocess_inference_and_write(
+            store, txps_name, txps_len, opts, args, digest, aln_time_s,
+            dens_prob, init, dtype,
+        )
 
     impl = args.em_impl
     # Tiny problems: per-dispatch device latency (and, under the axon
@@ -527,6 +533,76 @@ def perform_inference_and_write_output(
             == ReadAssignmentProbOut.COMPRESSED,
         )
 
+    return counts
+
+
+def _multiprocess_inference_and_write(
+    store, txps_name, txps_len, opts, args, digest, aln_time_s,
+    dens_prob, init, dtype,
+) -> np.ndarray:
+    """Multi-host inference: every process executes the global-mesh
+    data-parallel EM (one psum of partial transcript counts per
+    iteration over ICI/DCN — SURVEY §5's first-class distribution
+    axis; the reference has no multi-process capability), then process
+    0 alone writes the outputs. Every process currently packs the same
+    BAM, so the CSR is identical everywhere and shards are taken by
+    global device position."""
+    import jax
+
+    from ..parallel.multihost import global_data_mesh, sharded_em_global
+
+    T = len(txps_name)
+    w = store.as_prob.astype(np.float64)
+    if opts.model_coverage:
+        w = w * store.cov_prob
+    if dens_prob is not None:
+        w = w * dens_prob
+    init_arr = (
+        np.asarray(init, dtype=np.float64)
+        if init is not None
+        else np.full(T, store.num_reads / T)
+    )
+    mesh = global_data_mesh()
+    t0 = time.time()
+    counts, niter = sharded_em_global(
+        store.txp_id, w, store.boundaries, T,
+        init_arr,
+        max_iter=args.max_em_iter,
+        convergence_thresh=args.convergence_thresh,
+        dtype=dtype,
+        mesh=mesh,
+    )
+    log.info(
+        "multi-host EM (%d processes, %d devices) converged after %d "
+        "iterations in %.3fs",
+        jax.process_count(), jax.device_count(), niter, time.time() - t0,
+    )
+    if jax.process_index() != 0:
+        return counts
+    unique, total = get_aux_counts(store, T)
+    info = get_json_info(args, opts, store.discard, digest, aln_time_s)
+    write_output(args.output, info, txps_name, txps_len, counts, unique, total)
+    if args.num_bootstraps > 0:
+        # replicates run on process 0's local devices (vmapped batch);
+        # cheap next to the main EM and avoids a second global program
+        data = build_em_inputs(store, T, opts.model_coverage, dens_prob, dtype)
+        breps = bootstrap_ops.bootstrap(
+            data, args.num_bootstraps,
+            max_iter=args.max_em_iter,
+            convergence_thresh=args.convergence_thresh,
+            init_abundances=init,
+            dtype=dtype,
+            seed=args.seed,
+            accel=args.em_accel,
+        )
+        write_infrep_file(args.output, np.asarray(breps))
+    if args.write_assignment_probs is not None:
+        write_out_prob(
+            args.output, store, counts, txps_name,
+            args.display_thresh, opts.model_coverage,
+            compressed=args.write_assignment_probs
+            == ReadAssignmentProbOut.COMPRESSED,
+        )
     return counts
 
 

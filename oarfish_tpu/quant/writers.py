@@ -176,8 +176,8 @@ def write_out_prob(
     # exact reference line shape (`write_function.rs:296,330`):
     # "<name>\t<k>\t<ids...>\t<probs...>" — the two tab-joins are
     # written even when empty, leaving trailing tabs for k == 0
-    id_tok = np.char.mod("\t%d", kept_t.astype(np.int64))
-    pv_tok = np.char.mod(f"\t%.{decimals}f", kept_p)
+    id_tok = np.char.mod(b"\t%d", kept_t.astype(np.int64))
+    pv_tok = np.char.mod(f"\t%.{decimals}f".encode(), kept_p)
     K = int(k.sum())
     starts = np.zeros(R + 1, dtype=np.int64)
     np.cumsum(1 + 2 * k, out=starts[1:])
@@ -185,19 +185,34 @@ def write_out_prob(
     np.cumsum(k, out=koff[1:])
     within = np.arange(K) - np.repeat(koff[:-1], k)
     tok = np.empty(int(starts[-1]), dtype=object)
-    tok[starts[:-1]] = [
-        (
-            f"\n{names[r].rstrip(chr(0))}\t{k[r]}"
-            if k[r]
-            else f"\n{names[r].rstrip(chr(0))}\t0\t\t"
+    # vectorized "\n<name>\t<k>" prefix tokens (a per-read Python loop
+    # costs ~10s at 5M reads): names gathered into a padded bytes
+    # matrix per 1M-read slab (bounds transient memory when a stray
+    # name is long), NumPy's S dtype strips the trailing NUL padding —
+    # the same semantics as the reference's name store
+    k_tok = np.char.mod(b"\t%d", k.astype(np.int64))
+    k_tok = np.where(k == 0, np.char.add(k_tok, b"\t\t"), k_tok)
+    buf = names.buffer_array()
+    n_off = names.offsets_array()
+    n_lens = n_off[1:] - n_off[:-1]
+    SLAB = 1 << 20
+    for lo in range(0, R, SLAB):
+        hi = min(lo + SLAB, R)
+        ln = n_lens[lo:hi]
+        m = max(int(ln.max()) if hi > lo else 0, 1)
+        cols = np.arange(m)
+        valid = cols < ln[:, None]
+        mat = np.zeros((hi - lo, m), np.uint8)
+        mat[valid] = buf[(n_off[lo:hi, None] + cols)[valid]]
+        names_b = mat.view(f"S{m}").ravel()
+        tok[starts[lo:hi]] = np.char.add(
+            np.char.add(b"\n", names_b), k_tok[lo:hi]
         )
-        for r in range(R)
-    ]
     tok[np.repeat(starts[:-1] + 1, k) + within] = id_tok
     tok[np.repeat(starts[:-1] + 1 + k, k) + within] = pv_tok
 
     header = "\n".join([f"{len(txps_name)}\t{R}", *txps_name])
-    payload = (header + "".join(tok.tolist()) + "\n").encode()
+    payload = header.encode() + b"".join(tok.tolist()) + b"\n"
     if compressed:
         with open(_with_extension(output, ".prob.lz4"), "wb") as fh:
             fh.write(lz4f.compress_frame(payload))

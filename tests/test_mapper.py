@@ -117,6 +117,28 @@ def test_index_save_load_roundtrip(sirv_mapper, tmp_path):
     np.testing.assert_array_equal(h1.score, h2.score)
 
 
+def test_foreign_index_rejected_with_migration_path(tmp_path):
+    """The reference accepts rammap RMMI / minimap2 .mmi indexes
+    (`aligner.rs:72-98`); this build detects those magics and fails
+    with an actionable rebuild message rather than a bare error."""
+    import pytest
+
+    mmi = tmp_path / "legacy.mmi"
+    mmi.write_bytes(b"MMI\x02" + b"\x00" * 64)
+    with pytest.raises(ValueError, match=r"minimap2 .mmi.*--index-out"):
+        mp.Mapper.load(mmi)
+
+    rmmi = tmp_path / "ram.rmi"
+    rmmi.write_bytes(b"RMMI" + b"\x00" * 64)
+    with pytest.raises(ValueError, match=r"rammap RMMI.*--index-out"):
+        mp.Mapper.load(rmmi)
+
+    junk = tmp_path / "junk.idx"
+    junk.write_bytes(b"\x7fELFjunkjunk")
+    with pytest.raises(ValueError, match="OTMI"):
+        mp.Mapper.load(junk)
+
+
 def test_banded_align_vs_gotoh_oracle(sirv_mapper):
     """The C banded affine aligner must equal a full Needleman/Gotoh
     NumPy oracle whenever the optimum fits in the band."""

@@ -115,14 +115,18 @@ def test_choose_auto_impl_policy(monkeypatch):
     monkeypatch.delenv("OARFISH_AUTO_V4", raising=False)
     # CPU backend always uses the segment-sum EM
     assert choose_auto_impl("cpu", 10 * V4_MIN_ALNS, 1000, 50) == "segsum"
-    # big problem, default iteration budget: v4
-    assert choose_auto_impl("tpu", 6_000_000, 1000, 0) == "v4"
-    # bootstraps multiply the work: v4 even with a small per-run cap
+    # plain EM converges in ~200 iters (measured, scripts/e2e_bench.py):
+    # the route build never amortizes without bootstraps
+    assert choose_auto_impl("tpu", 6_000_000, 1000, 0) == "fast"
+    # bootstraps reuse the tables across every replicate: v4
+    assert choose_auto_impl("tpu", 6_000_000, 1000, 50) == "v4"
     assert choose_auto_impl("tpu", 2_000_000, 100, 30) == "v4"
     # too few alignments for a viable route geometry: fast
     assert choose_auto_impl("tpu", V4_MIN_ALNS - 1, 1000, 50) == "fast"
-    # capped iterations, no bootstraps: build never amortizes
-    assert choose_auto_impl("tpu", 6_000_000, 100, 0) == "fast"
-    # opt-out pin
+    # tiny bootstrap runs don't amortize either
+    assert choose_auto_impl("tpu", 6_000_000, 100, 1) == "fast"
+    # pins
+    monkeypatch.setenv("OARFISH_AUTO_V4", "1")
+    assert choose_auto_impl("tpu", 6_000_000, 100, 0) == "v4"
     monkeypatch.setenv("OARFISH_AUTO_V4", "0")
     assert choose_auto_impl("tpu", 6_000_000, 1000, 50) == "fast"

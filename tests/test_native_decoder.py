@@ -322,3 +322,31 @@ def test_streaming_windows_match_single_window(fixture_bam, monkeypatch):
             getattr(small.columns, f), getattr(big.columns, f), err_msg=f
         )
     assert list(small.group_names) == list(big.group_names)
+
+
+def test_name_spill_matches_resident(fixture_bam, monkeypatch):
+    """The disk-spilled name store (NameSpill, the analogue of the
+    reference's swapvec spill, `bulk.rs:221-229`) must be element-equal
+    to the memory-resident NameBlob and be memmap-backed (names live in
+    page cache, not RSS)."""
+    import numpy as np
+
+    from oarfish_tpu.host.packer import pack_bam_stream
+
+    opts = FilterOpts()
+    monkeypatch.setenv("OARFISH_NAME_SPILL", "0")
+    res = pack_bam_stream(fixture_bam, opts, bin_width=0, keep_names=True)
+    if res is None:
+        pytest.skip("native decoder unavailable")
+    _, s_res, _, _ = res
+    monkeypatch.delenv("OARFISH_NAME_SPILL", raising=False)
+    _, s_sp, _, _ = pack_bam_stream(
+        fixture_bam, opts, bin_width=0, keep_names=True
+    )
+    assert isinstance(s_sp.read_names._buf, np.memmap)
+    assert len(s_sp.read_names) == len(s_res.read_names)
+    assert s_sp.read_names == s_res.read_names
+    # random access through the memmap decodes correctly
+    assert s_sp.read_names[0] == s_res.read_names[0]
+    n = len(s_res.read_names)
+    assert s_sp.read_names[n - 1] == s_res.read_names[n - 1]
