@@ -52,13 +52,17 @@ def choose_auto_impl(
     """Pick the EM implementation for `--em-impl auto` on a device
     backend. The routed v4 iteration is ~20x faster than 'fast' per
     iteration (PERF_NOTES.md cost table) but pays a one-shot host route
-    build + table upload; break-even is a few hundred EM iterations.
-    Measured end-to-end (scripts/e2e_bench.py, R=2M/A=6M): a plain run
-    converges in ~200 iterations, where 'fast' wins (no build); with
-    bootstraps the same tables serve every replicate's iterations and
-    v4 wins decisively. So: v4 for bootstrap runs at scale, fast
-    otherwise. A failed route build falls back to 'fast' at run time.
-    OARFISH_AUTO_V4=1 forces v4 at scale, =0 forbids it."""
+    build + table upload (~12s warm at A=6M on this 4-vCPU VM).
+    Measured end-to-end on the real chip (scripts/e2e_bench.py,
+    R=2M/A=6M, warm jit, same tunnel conditions, 2026-08-19): a plain
+    run converging in ~196 iterations took 24.4s wall with v4 (12s
+    build + 2.6s EM) vs 65.9s with 'fast' (32.3s EM while-loop) — v4
+    wins well before bootstraps, and with bootstraps the same tables
+    serve every replicate. So: v4 whenever the run is big enough for a
+    viable route geometry and does >=150 expected iterations. A failed
+    route build falls back to 'fast' at run time, so the risk of
+    choosing v4 is the wasted build seconds. OARFISH_AUTO_V4=1 forces
+    v4 at scale, =0 forbids it."""
     if backend == "cpu":
         return "segsum"
     force = os.environ.get("OARFISH_AUTO_V4")
@@ -66,7 +70,7 @@ def choose_auto_impl(
         return "fast"
     expected_iters = min(max_em_iter, 1000) * (1 + num_bootstraps)
     if num_alignments >= V4_MIN_ALNS and (
-        (num_bootstraps > 0 and expected_iters >= 250) or force == "1"
+        expected_iters >= 150 or force == "1"
     ):
         return "v4"
     return "fast"

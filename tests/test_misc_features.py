@@ -115,16 +115,16 @@ def test_choose_auto_impl_policy(monkeypatch):
     monkeypatch.delenv("OARFISH_AUTO_V4", raising=False)
     # CPU backend always uses the segment-sum EM
     assert choose_auto_impl("cpu", 10 * V4_MIN_ALNS, 1000, 50) == "segsum"
-    # plain EM converges in ~200 iters (measured, scripts/e2e_bench.py):
-    # the route build never amortizes without bootstraps
-    assert choose_auto_impl("tpu", 6_000_000, 1000, 0) == "fast"
+    # big plain run at the default 1000-iter cap: v4 (measured e2e on
+    # chip: 24.4s v4 vs 65.9s fast at R=2M — scripts/e2e_bench.py)
+    assert choose_auto_impl("tpu", 6_000_000, 1000, 0) == "v4"
     # bootstraps reuse the tables across every replicate: v4
     assert choose_auto_impl("tpu", 6_000_000, 1000, 50) == "v4"
     assert choose_auto_impl("tpu", 2_000_000, 100, 30) == "v4"
     # too few alignments for a viable route geometry: fast
     assert choose_auto_impl("tpu", V4_MIN_ALNS - 1, 1000, 50) == "fast"
-    # tiny bootstrap runs don't amortize either
-    assert choose_auto_impl("tpu", 6_000_000, 100, 1) == "fast"
+    # a tightly capped plain run never amortizes the route build
+    assert choose_auto_impl("tpu", 6_000_000, 100, 0) == "fast"
     # pins
     monkeypatch.setenv("OARFISH_AUTO_V4", "1")
     assert choose_auto_impl("tpu", 6_000_000, 100, 0) == "v4"
