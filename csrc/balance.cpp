@@ -430,3 +430,60 @@ int64_t oarfish_flows2d(int64_t n, const int64_t* a, const int64_t* b,
 }
 
 }  // extern "C"
+
+// Big-transcript side: alignment k of a big transcript (big_index[tid]
+// >= 0) occupies column rank[k] % capk of physical row
+// bphys(big_off_log[bi] + rank[k]/capk); non-big alignments are left
+// untouched. Replaces four boolean-masked A-sized NumPy passes with one
+// threaded scan (em_v4._v4_layout "big_slots" phase).
+extern "C" void oarfish_v4_big_slots(
+    int64_t n, const int64_t* tid, const int64_t* rank,
+    const int64_t* big_index, const int64_t* big_off_log, int64_t capk,
+    int64_t big_start, int64_t bp, int64_t bq, int64_t* slot_out,
+    int32_t n_threads) {
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  const bool ident = (bp == 1 && bq == 1);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+      for (int64_t k = lo; k < hi; k++) {
+        const int64_t bi = big_index[tid[k]];
+        if (bi < 0) continue;
+        const int64_t rl = big_off_log[bi] + rank[k] / capk;
+        const int64_t row = ident ? rl : (rl / bq) * bp + rl % bq;
+        slot_out[k] = big_start + (row >> 7) * (capk << 7) +
+                      ((rank[k] % capk) << 7) + (row & 127);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Fused gather + divide + narrow: out[i] = src[idx[i]] / div as int32
+// (idx == nullptr: out[i] = src[i] / div). The placement passes call
+// the NumPy form (gather, floordiv, astype — three A-sized temporaries)
+// repeatedly inside the repair loop.
+extern "C" void oarfish_gather_div_i32(
+    int64_t n, const int64_t* src, const int64_t* idx, int64_t div,
+    int32_t* out, int32_t n_threads) {
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+      if (idx) {
+        for (int64_t i = lo; i < hi; i++)
+          out[i] = (int32_t)(src[idx[i]] / div);
+      } else {
+        for (int64_t i = lo; i < hi; i++)
+          out[i] = (int32_t)(src[i] / div);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}

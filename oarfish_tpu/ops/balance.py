@@ -69,7 +69,7 @@ def get_lib():
     except OSError as e:  # pragma: no cover
         log.warning("could not load balance library: %s", e)
         return None
-    if not hasattr(lib, "oarfish_rank_by_key"):
+    if not hasattr(lib, "oarfish_gather_div_i32"):
         # stale library from before the newest helpers: rebuild (the
         # old .so survives if the rebuild fails, but its entry points
         # no longer match — treat as unavailable). Load the rebuilt
@@ -81,7 +81,7 @@ def get_lib():
         if not build():
             return None
         lib = load_fresh_so(_LIB_PATH)
-        if lib is None or not hasattr(lib, "oarfish_rank_by_key"):
+        if lib is None or not hasattr(lib, "oarfish_gather_div_i32"):
             return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -117,6 +117,17 @@ def get_lib():
     lib.oarfish_flows2d.argtypes = [
         ctypes.c_int64, i64p, i64p, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p,
+    ]
+    lib.oarfish_v4_big_slots.restype = None
+    lib.oarfish_v4_big_slots.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p,
+        ctypes.c_int32,
+    ]
+    lib.oarfish_gather_div_i32.restype = None
+    lib.oarfish_gather_div_i32.argtypes = [
+        ctypes.c_int64, i64p, ctypes.c_void_p, ctypes.c_int64, i32p,
+        ctypes.c_int32,
     ]
     _lib = lib
     return lib
@@ -162,6 +173,45 @@ def small_slots(tid, rank, out_pos, bst, bK, row_of, slot_out,
         np.ascontiguousarray(row_of, np.int64), slot_out, threads,
     )
     return True
+
+
+def big_slots(tid, rank, big_index, big_off_log, capk: int,
+              big_start: int, bp: int, bq: int, slot_out,
+              threads: int = 0) -> bool:
+    """Native fill of big-transcript slots in ONE pass over all
+    alignments (non-big entries untouched). Returns False when the
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.oarfish_v4_big_slots(
+        len(tid), np.ascontiguousarray(tid, np.int64),
+        np.ascontiguousarray(rank, np.int64),
+        np.ascontiguousarray(big_index, np.int64),
+        np.ascontiguousarray(big_off_log, np.int64),
+        capk, big_start, bp, bq, slot_out, threads,
+    )
+    return True
+
+
+def gather_div_i32(src, idx, div: int, threads: int = 0):
+    """Native out[i] = src[idx[i]] // div as int32 (idx None:
+    elementwise). Returns None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    n = len(src) if idx is None else len(idx)
+    out = np.empty(n, dtype=np.int32)
+    if idx is None:
+        lib.oarfish_gather_div_i32(n, src, None, div, out, threads)
+    else:
+        idx = np.ascontiguousarray(idx, np.int64)
+        lib.oarfish_gather_div_i32(
+            n, src, idx.ctypes.data_as(ctypes.c_void_p), div, out,
+            threads,
+        )
+    return out
 
 
 def ramp_fill(off, base, total: int):

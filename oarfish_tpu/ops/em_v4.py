@@ -287,6 +287,15 @@ def _v4_layout(
     quota Q toward the mean flow (random placement leaves it 2-3x
     higher). Rows not chosen stay pads (all-zero slots, inert)."""
     import os as _os
+    import time as _time
+
+    _phases: List[Tuple[str, float]] = []
+    _t_last = [_time.perf_counter()]
+
+    def _tick(label: str) -> None:
+        now = _time.perf_counter()
+        _phases.append((label, now - _t_last[0]))
+        _t_last[0] = now
 
     txp_id = np.asarray(txp_id, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.float64)
@@ -312,6 +321,7 @@ def _v4_layout(
         align_groups=True,
     )
     row_space_r = sum(rp for rp, _ in read_shapes)
+    _tick("read_buckets")
 
     # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
     counts = np.bincount(txp_id, minlength=T)
@@ -325,6 +335,7 @@ def _v4_layout(
         else ([], [], [], 0)
     )
     row_space_s = sum(rp for rp, _ in small_shapes)
+    _tick("small_buckets")
 
     big_txps = np.nonzero(counts > CAPK)[0]
     big_txps = rng_t.permutation(big_txps)
@@ -369,6 +380,7 @@ def _v4_layout(
         )
     big_start = n_small_slots
     n_slots_t = n_small_slots + big_rows_pad * CAPK
+    _tick("big_tables")
 
     # per-alignment rank within its transcript (native counting sort;
     # the NumPy form costs an A-sized stable argsort + 4 more passes)
@@ -382,20 +394,30 @@ def _v4_layout(
         rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
         rank = np.zeros(A, dtype=np.int64)
         rank[ord2] = rank_sorted
+    _tick("rank")
 
     # ---- big-transcript slots (fixed contiguous rows; their alignment
     # slots smear across many chunks per group, self-decorrelating)
     txp_slot_of_aln = np.zeros(A, dtype=np.int64)
     small_aln = small_mask[txp_id]
     big_aln = counts[txp_id] > CAPK
+    # big-alignment index, computed once: boolean-mask gathers over the
+    # A-sized arrays were ~45% of this function's own time at A=6M
+    big_idx = np.nonzero(big_aln)[0] if n_big_real else None
     if n_big_real:
         big_index = np.full(T, -1, dtype=np.int64)
         big_index[big_txps] = np.arange(n_big_real)
-        bi = big_index[txp_id[big_aln]]
-        row = _bphys(big_off_log[bi] + rank[big_aln] // CAPK)
-        txp_slot_of_aln[big_aln] = _colmajor_slot(
-            big_start, CAPK, row, rank[big_aln] % CAPK
-        )
+        if not _balance.big_slots(
+            txp_id, rank, big_index, big_off_log, CAPK, big_start,
+            bp, bq, txp_slot_of_aln,
+        ):
+            bi = big_index[txp_id[big_idx]]
+            rk_big = rank[big_idx]
+            row = _bphys(big_off_log[bi] + rk_big // CAPK)
+            txp_slot_of_aln[big_idx] = _colmajor_slot(
+                big_start, CAPK, row, rk_big % CAPK
+            )
+    _tick("big_slots")
 
     BCHn = ((max(n_slots_r, n_slots_t) + BCH - 1) // BCH) * BCH
     n_chk = BCHn // BCH
@@ -423,10 +445,16 @@ def _v4_layout(
     ]
     off_t = np.zeros(len(items_t) + 1, dtype=np.int64)
     np.cumsum(sizes_t, out=off_t[1:])
+    def _gdiv(arr, idx, div):
+        """out = (arr[idx] // div).astype(i32) fused natively (the
+        repair loop recomputes these A-sized keys repeatedly)."""
+        out = _balance.gather_div_i32(arr, idx, div)
+        if out is None:
+            g = arr[idx] if idx is not None else arr
+            out = (g // div).astype(np.int32)
+        return out
+
     rng_b = np.random.default_rng(7)
-    # big-alignment index, computed once: boolean-mask gathers over the
-    # A-sized arrays were ~45% of this function's own time at A=6M
-    big_idx = np.nonzero(big_aln)[0] if n_big_real else None
     if use_balance and len(items_t):
         p = rng_b.permutation(len(items_t))
         order_t = p[np.argsort(-sizes_t[p], kind="stable")]
@@ -485,6 +513,9 @@ def _v4_layout(
         return row_of, pos
 
     row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
+    _tick("small_pass1")
+
+    # ---- read placement
 
     # ---- read placement (pass 2: greedy on (txp-chunk, read-chunk)
     # cells — the flow matrix both routes share)
@@ -511,6 +542,7 @@ def _v4_layout(
     off_r = np.zeros(len(items_r) + 1, dtype=np.int64)
     np.cumsum(sizes_r, out=off_r[1:])
     tot_r = int(off_r[-1])
+    _tick("rp2.setup")
     aln_idx_r = _balance.ramp_fill(off_r, boundaries[items_r], tot_r)
     if aln_idx_r is None:
         col_r = np.arange(tot_r) - np.repeat(off_r[:-1], sizes_r)
@@ -519,14 +551,17 @@ def _v4_layout(
         # only the NumPy _apply_reads fallback needs col_r, and native
         # ramp_fill implies the native read_slots path is available
         col_r = None
+    _tick("rp2.ramp")
     if use_balance and len(items_r):
         p = rng_b.permutation(len(items_r))
         order_r = p[np.argsort(-sizes_r[p], kind="stable")]
+        _tick("rp2.order")
         row_within_r, _, _ = _balance.greedy_place(
             off_r,
-            (txp_slot_of_aln[aln_idx_r] // BCH).astype(np.int32),
+            _gdiv(txp_slot_of_aln, aln_idx_r, BCH),
             ib_r, buckets_r, n_chk, n_chk, order_r,
         )
+        _tick("rp2.greedy")
     else:
         row_within_r = (
             np.concatenate(
@@ -564,6 +599,7 @@ def _v4_layout(
                 )
 
     _apply_reads(row_within_r)
+    _tick("read_pass2")
 
     # ---- pass 3: re-place small transcripts against the chosen read
     # layout (transposed flow matrix, big flows preloaded)
@@ -576,7 +612,7 @@ def _v4_layout(
                 off_t[:-1], sizes_t
             )
             idx_t = np.repeat(run_start[items_t], sizes_t) + col_t
-        src3 = (slot_of_aln[ord2[idx_t]] // BCH).astype(np.int32)
+        src3 = _gdiv(slot_of_aln, ord2[idx_t], BCH)
         F3 = None
         if n_big_real:
             F3 = _balance.flows2d(
@@ -596,6 +632,7 @@ def _v4_layout(
             off_t, src3, ib_t, buckets_t, n_chk, n_chk, order_t, F3,
         )
         row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
+    _tick("small_pass3")
 
     NPAD = ((max(n_slots_r, n_slots_t) + CH - 1) // CH) * CH
 
@@ -704,7 +741,7 @@ def _v4_layout(
             rw_t, rw_r = row_within_t, row_within_r
             row_r2, _, _ = _balance.greedy_place(
                 off_r,
-                (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(np.int32),
+                _gdiv(txp_slot_of_aln, aln_idx_r, CHR_sel),
                 ib_r, buckets_r, nR, nT, order_r,
                 np.ascontiguousarray(_big_F().T), chunk=CHR_sel,
             )
@@ -712,7 +749,7 @@ def _v4_layout(
             _apply_reads(row_within_r)
             if len(items_t):
                 F3s = _big_F()
-                src_t = (slot_of_aln[aln_t] // CHR_sel).astype(np.int32)
+                src_t = _gdiv(slot_of_aln, aln_t, CHR_sel)
                 row_t2, mx_t, _ = _balance.greedy_place(
                     off_t, src_t, ib_t, buckets_t, nT, nR, order_t,
                     F3s, chunk=CHR_sel,
@@ -739,7 +776,7 @@ def _v4_layout(
             while target >= LANES:
                 Ff = _flows()
                 row_t2, mx_t, Ff = _balance.repair_place(
-                    off_t, (slot_of_aln[aln_t] // CHR_sel).astype(np.int32),
+                    off_t, _gdiv(slot_of_aln, aln_t, CHR_sel),
                     ib_t, buckets_t, nT, nR, row_within_t, Ff,
                     target, CHR_sel, max_rounds=8,
                 )
@@ -751,9 +788,7 @@ def _v4_layout(
                     F2 = np.ascontiguousarray(Ff.T)
                     row_r2, mx_r, _ = _balance.repair_place(
                         off_r,
-                        (txp_slot_of_aln[aln_idx_r] // CHR_sel).astype(
-                            np.int32
-                        ),
+                        _gdiv(txp_slot_of_aln, aln_idx_r, CHR_sel),
                         ib_r, buckets_r, nR, nT, row_within_r, F2,
                         target, CHR_sel, max_rounds=8,
                     )
@@ -768,6 +803,7 @@ def _v4_layout(
                     break
                 target -= LANES
             rect_maxflow = mf
+    _tick("repair_pass4")
 
     # ---- tiny T-space tile permutes
     t_rows = _tile_rows(max(T, row_space_s + n_big, 1))
@@ -807,6 +843,14 @@ def _v4_layout(
     t_out = BatchTilePermute.build(
         [DeviceTilePlan.build(perm_out, t_rows)]
     )
+    _tick("tile_permutes")
+    if _os.environ.get("OARFISH_V4_BUILD_TIMING"):
+        import logging as _logging
+
+        _logging.getLogger("oarfish_tpu").info(
+            "v4 layout phases: %s",
+            " ".join(f"{k}={v:.2f}s" for k, v in _phases),
+        )
 
     return {
         "slot_of_aln": slot_of_aln,
