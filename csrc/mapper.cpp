@@ -29,6 +29,9 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 #include <vector>
 
 namespace {
@@ -254,61 +257,193 @@ inline int32_t score_diag(const uint8_t* t, const uint8_t* q, int32_t n,
 // Banded affine-gap DP of t[0..lt) vs q[0..lq). Global in both starts.
 // extend_mode: free end — returns the best cell and its (i, j) extents
 // with x-drop row termination; otherwise returns the (lt, lq) cell.
+//
+// Vectorized two-pass row recurrence (same cell values as the classic
+// in-order Gotoh loop, proven by the gap-opening dominance argument):
+//   pass 1 (auto-vectorizes, no intra-row deps):
+//       F[c]  = max(H_up - go, F_up) - ge
+//       Ht[c] = max(H_diag + sub(c), F[c])
+//   pass 2 (serial scan, 3 ops/cell):
+//       E[c]  = max(Ht[c-1] - go, E[c-1]) - ge
+//       H[c]  = max(Ht[c], E[c])
+// Using Ht (not the final H) in E's chain is exact: a gap opened FROM a
+// gap cell (H[j'] == E[j']) is always dominated by extending that gap
+// (go >= 0), and every extension chain bottoms out at an Ht cell.
+// Row-local column c = j - i - dlo; diag = prev row same c, vertical =
+// prev row c+1, horizontal = same row c-1. Arrays carry one NEG guard
+// cell on each side so the c+1 reads need no branches.
 int32_t banded_align(const uint8_t* t, int32_t lt, const uint8_t* q,
                      int32_t lq, const AlnParams& P, bool extend_mode,
                      int32_t* out_i = nullptr, int32_t* out_j = nullptr) {
   const int32_t NEG = INT32_MIN / 4;
-  int32_t dlo = std::min(0, lq - lt) - P.band;
-  int32_t dhi = std::max(0, lq - lt) + P.band;
-  int32_t W = dhi - dlo + 1;
-  // row-local column c = j - i - dlo; diag move = same c from prev row,
-  // vertical (i-1, j) = prev row c+1, horizontal (i, j-1) = same row c-1
-  std::vector<int32_t> H(W, NEG), F(W, NEG), Hn(W), Fn(W);
+  const int32_t dlo = std::min(0, lq - lt) - P.band;
+  const int32_t dhi = std::max(0, lq - lt) + P.band;
+  const int32_t W = dhi - dlo + 1;
+  const int32_t ma = P.ma, mm = P.mm, go = P.go, ge = P.ge;
+
+  thread_local std::vector<int32_t> bH, bF, bHn, bFn, bHt;
+  thread_local std::vector<int8_t> bq4;
+  // +24 slack: the AVX-512 row kernel issues full 16-lane LOADS past
+  // chi (stores are masked); loads must stay in-bounds
+  if ((int32_t)bH.size() < W + 24) {
+    bH.resize(W + 24);
+    bF.resize(W + 24);
+    bHn.resize(W + 24);
+    bFn.resize(W + 24);
+    bHt.resize(W + 24);
+  }
+  if ((int32_t)bq4.size() < lq + 18) bq4.resize(lq + 18);
+  // q codes shifted by one: bq4[j] is the code of q[j-1]; bq4[0] is a
+  // sentinel that never matches (the j == 0 boundary cell's pass-1
+  // value is overwritten, the read just has to be in bounds)
+  int8_t* __restrict q4 = bq4.data();
+  q4[0] = 127;
+  for (int32_t j = 0; j < lq; j++) q4[j + 1] = (int8_t)nt4(q[j]);
+
+  // index shift: array position c+1, guards at 0 and W+1..W+3
+  int32_t* __restrict H = bH.data();
+  int32_t* __restrict F = bF.data();
+  int32_t* __restrict Hn = bHn.data();
+  int32_t* __restrict Fn = bFn.data();
+  int32_t* __restrict Ht = bHt.data();
+  std::fill(H, H + W + 24, NEG);
+  std::fill(F, F + W + 24, NEG);
+  std::fill(Hn, Hn + W + 24, NEG);
+  std::fill(Fn, Fn + W + 24, NEG);
+
   int32_t best = 0, best_i = 0, best_j = 0;
   for (int32_t j = 0; j <= std::min(lq, dhi); j++) {
     int32_t c = j - dlo;
     if (c < 0 || c >= W) continue;
-    H[c] = (j == 0) ? 0 : -(P.go + P.ge * j);
+    H[c + 1] = (j == 0) ? 0 : -(go + ge * j);
   }
   for (int32_t i = 1; i <= lt; i++) {
-    std::fill(Hn.begin(), Hn.end(), NEG);
-    std::fill(Fn.begin(), Fn.end(), NEG);
-    int32_t jlo = std::max(0, i + dlo), jhi = std::min(lq, i + dhi);
-    int32_t E = NEG;
+    const int32_t jbase = i + dlo;  // j at c == 0
+    const int32_t clo = std::max<int32_t>(0, -jbase);
+    const int32_t chi = std::min<int32_t>(W - 1, lq - jbase);
     int32_t row_best = NEG;
-    for (int32_t j = jlo; j <= jhi; j++) {
-      int32_t c = j - i - dlo;
-      if (j == 0) {
-        Hn[c] = -(P.go + P.ge * i);
-        Fn[c] = Hn[c];
-        E = NEG;
-        row_best = std::max(row_best, Hn[c]);
-        continue;
+    if (clo <= chi) {
+      const int32_t tc = nt4(t[i - 1]);
+      const int8_t tcode = (tc < 4) ? (int8_t)tc : (int8_t)-1;
+      const int8_t* __restrict qrow = q4 + jbase;  // qrow[c] = code(q[j-1])
+      const int32_t h0 = -(go + ge * i);
+#ifdef __AVX512F__
+      // Fused single pass per 16-lane block: diag+F, then E through an
+      // EXACT in-register inclusive prefix max with a scalar carry
+      // between blocks — no lazy fix-up needed. Closed form:
+      //   E[c] = max_{c'<c}(Ht[c'] - go + ge*c') - ge*c
+      // so with G[c] = Ht[c] - go + ge*(c-clo) the exclusive running
+      // max of G minus ge*(c-clo) is E exactly.
+      {
+        const __m512i vNEG = _mm512_set1_epi32(NEG);
+        const __m512i vgo = _mm512_set1_epi32(go);
+        const __m512i vge = _mm512_set1_epi32(ge);
+        const __m512i vma = _mm512_set1_epi32(ma);
+        const __m512i vmmn = _mm512_set1_epi32(-mm);
+        const __m128i vtc8 = _mm_set1_epi8((char)tcode);
+        const __m512i vramp = _mm512_mullo_epi32(
+            _mm512_set_epi32(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4,
+                             3, 2, 1, 0),
+            vge);
+        __m512i vrowbest = vNEG;
+        int32_t carry = NEG;
+        for (int32_t c0 = clo; c0 <= chi; c0 += 16) {
+          const int32_t left = chi - c0 + 1;
+          const __mmask16 mk =
+              left >= 16 ? (__mmask16)0xFFFF
+                         : (__mmask16)((1u << left) - 1);
+          const __m512i hd =
+              _mm512_loadu_si512((const void*)(H + c0 + 1));
+          const __m512i hu =
+              _mm512_loadu_si512((const void*)(H + c0 + 2));
+          const __m512i fu =
+              _mm512_loadu_si512((const void*)(F + c0 + 2));
+          __m512i f = _mm512_sub_epi32(
+              _mm512_max_epi32(_mm512_sub_epi32(hu, vgo), fu), vge);
+          const __m128i q8 =
+              _mm_loadu_si128((const __m128i*)(qrow + c0));
+          const __mmask16 meq = _mm_cmpeq_epi8_mask(q8, vtc8);
+          const __m512i sub = _mm512_mask_blend_epi32(meq, vmmn, vma);
+          __m512i ht =
+              _mm512_max_epi32(_mm512_add_epi32(hd, sub), f);
+          if (jbase <= 0 && c0 == clo) {
+            // j == 0 boundary cell sits in lane 0 of the first block
+            ht = _mm512_mask_set1_epi32(ht, 1, h0);
+            f = _mm512_mask_set1_epi32(f, 1, h0);
+          }
+          _mm512_mask_storeu_epi32((void*)(Fn + c0 + 1), mk, f);
+          ht = _mm512_mask_mov_epi32(vNEG, mk, ht);  // tail lanes inert
+          const __m512i gec = _mm512_add_epi32(
+              _mm512_set1_epi32(ge * (c0 - clo)), vramp);
+          __m512i g = _mm512_add_epi32(_mm512_sub_epi32(ht, vgo), gec);
+          g = _mm512_max_epi32(g, _mm512_alignr_epi32(g, vNEG, 15));
+          g = _mm512_max_epi32(g, _mm512_alignr_epi32(g, vNEG, 14));
+          g = _mm512_max_epi32(g, _mm512_alignr_epi32(g, vNEG, 12));
+          g = _mm512_max_epi32(g, _mm512_alignr_epi32(g, vNEG, 8));
+          const __m512i vcar = _mm512_set1_epi32(carry);
+          const __m512i pfx = _mm512_max_epi32(g, vcar);
+          // exclusive prefix: shift left one lane, carry enters lane 0
+          const __m512i excl = _mm512_alignr_epi32(pfx, vcar, 15);
+          const __m512i e = _mm512_sub_epi32(excl, gec);
+          const __m512i h = _mm512_max_epi32(ht, e);
+          _mm512_mask_storeu_epi32((void*)(Hn + c0 + 1), mk, h);
+          vrowbest = _mm512_mask_max_epi32(vrowbest, mk, vrowbest, h);
+          carry = _mm_extract_epi32(
+              _mm512_extracti32x4_epi32(pfx, 3), 3);
+        }
+        row_best = std::max(row_best, _mm512_reduce_max_epi32(vrowbest));
       }
-      // E: gap in t (came from (i, j-1) = same row c-1)
-      int32_t hl = (c - 1 >= 0) ? Hn[c - 1] : NEG;
-      E = std::max(hl - P.go, E) - P.ge;
-      // F: gap in q (came from (i-1, j) = prev row c+1)
-      int32_t hu = (c + 1 < W) ? H[c + 1] : NEG;
-      int32_t fu = (c + 1 < W) ? F[c + 1] : NEG;
-      int32_t f = std::max(hu - P.go, fu) - P.ge;
-      Fn[c] = f;
-      // diagonal from (i-1, j-1) = prev row same c
-      int32_t hd = H[c];
-      int32_t sc = (hd <= NEG / 2)
-                       ? NEG
-                       : hd + (base_match(t[i - 1], q[j - 1]) ? P.ma : -P.mm);
-      int32_t h = std::max(sc, std::max(E, f));
-      Hn[c] = h;
-      row_best = std::max(row_best, h);
-      if (extend_mode && h > best) {
-        best = h;
-        best_i = i;
-        best_j = j;
+#else
+      // pass 1: diag + F (no intra-row dependency — vectorizes)
+      for (int32_t c = clo; c <= chi; c++) {
+        const int32_t f =
+            std::max(H[c + 2] - go, F[c + 2]) - ge;
+        const int32_t sub = (qrow[c] == tcode) ? ma : -mm;
+        Fn[c + 1] = f;
+        Ht[c + 1] = std::max(H[c + 1] + sub, f);
       }
+      // j == 0 boundary column (always c == clo when present)
+      if (jbase <= 0) {
+        Ht[clo + 1] = h0;
+        Fn[clo + 1] = h0;
+      }
+      // pass 2: E scan + final H (serial, 3 ops/cell; a log-step
+      // array-based prefix-max was MEASURED SLOWER at W~65)
+      int32_t e = NEG, htl = NEG;
+      for (int32_t c = clo; c <= chi; c++) {
+        e = std::max(htl - go, e) - ge;
+        const int32_t ht = Ht[c + 1];
+        const int32_t h = std::max(ht, e);
+        Hn[c + 1] = h;
+        row_best = std::max(row_best, h);
+        htl = ht;
+      }
+#endif
+      // clear stale cells outside [clo, chi] for the next row's reads
+      for (int32_t c = 0; c < clo; c++) {
+        Hn[c + 1] = NEG;
+        Fn[c + 1] = NEG;
+      }
+      for (int32_t c = chi + 1; c < W; c++) {
+        Hn[c + 1] = NEG;
+        Fn[c + 1] = NEG;
+      }
+      if (extend_mode && row_best > best) {
+        for (int32_t c = clo; c <= chi; c++) {
+          if (Hn[c + 1] == row_best) {
+            best = row_best;
+            best_i = i;
+            best_j = jbase + c;
+            break;
+          }
+        }
+      }
+    } else {
+      std::fill(Hn, Hn + W + 2, NEG);
+      std::fill(Fn, Fn + W + 2, NEG);
     }
-    H.swap(Hn);
-    F.swap(Fn);
+    std::swap(H, Hn);
+    std::swap(F, Fn);
     if (extend_mode && row_best < best - P.xdrop) break;
   }
   if (extend_mode) {
@@ -316,8 +451,8 @@ int32_t banded_align(const uint8_t* t, int32_t lt, const uint8_t* q,
     if (out_j) *out_j = best_j;
     return best;
   }
-  int32_t c_end = lq - lt - dlo;
-  return (c_end >= 0 && c_end < W) ? H[c_end] : NEG;
+  const int32_t c_end = lq - lt - dlo;
+  return (c_end >= 0 && c_end < W) ? H[c_end + 1] : NEG;
 }
 
 // Rescore one (unspliced) hit against the bases. `q` is the read in hit
