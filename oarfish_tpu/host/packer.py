@@ -84,20 +84,24 @@ def pack_bam(
     )
     builder = StoreBuilder(coverage, keep_names=keep_names)
 
+    from ..utils.progress import Progress
+
     gen = iter_name_groups(reader.records(), sort_check_num)
     n_groups = 0
-    for name, group in gen:
-        fg = filter_group(opts, builder.discard, txp_len, group)
-        if fg is not None and builder.add_filtered_group(
-            fg, name if name else EMPTY_READ_NAME
-        ):
-            # the reference filters the group in place, so uniqueness is
-            # judged on the POST-filter size (`alignment_parser.rs:384-388`)
-            if len(fg.txp_id) == 1:
-                builder.num_unique_alignments += 1
-        n_groups += 1
-        if n_groups % 500_000 == 0:
-            log.info("processed %d read groups", n_groups)
+    with Progress("parsing alignments", unit="read groups") as prog:
+        for name, group in gen:
+            fg = filter_group(opts, builder.discard, txp_len, group)
+            if fg is not None and builder.add_filtered_group(
+                fg, name if name else EMPTY_READ_NAME
+            ):
+                # the reference filters the group in place, so uniqueness is
+                # judged on the POST-filter size (`alignment_parser.rs:384-388`)
+                if len(fg.txp_id) == 1:
+                    builder.num_unique_alignments += 1
+            n_groups += 1
+            prog.update()
+            if n_groups % 500_000 == 0:
+                log.info("processed %d read groups", n_groups)
 
     num_unmapped = getattr(iter_name_groups, "num_unmapped", 0)
     store = builder.finalize()
@@ -184,11 +188,14 @@ def pack_bam_stream(
         from .store import NameSpill
 
         spill = NameSpill()
+    from ..utils.progress import Progress
+
     discard = DiscardTable()
     num_unique = 0
     num_unmapped = 0
     t_filter = 0.0
     n_chunks = 0
+    prog = Progress("parsing alignments", unit="records")
     try:
         while True:
             item = q.get()
@@ -228,8 +235,10 @@ def pack_bam_stream(
             discard.aggregate(packed.discard)
             num_unique += packed.num_unique_alignments
             num_unmapped += chunk.num_unmapped
+            prog.update(len(chunk.columns.flag) + chunk.num_unmapped)
             t_filter += _time.perf_counter() - t0
     finally:
+        prog.close()
         # drain so the producer can exit (it blocks on a full queue)
         while th.is_alive():
             try:

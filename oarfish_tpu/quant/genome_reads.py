@@ -182,17 +182,22 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
                 if e - s == 1:
                     builder.num_unique_alignments += 1
 
+    from ..utils.progress import Progress
+
     names_buf: List[str] = []
     seqs_buf: List[bytes] = []
-    for path in args.reads:
-        for name, seq in iter_fastx(path):
-            names_buf.append(name)
-            seqs_buf.append(seq)
-            if len(seqs_buf) >= CHUNK_READS:
-                process_chunk(names_buf, seqs_buf)
-                names_buf, seqs_buf = [], []
-    if seqs_buf:
-        process_chunk(names_buf, seqs_buf)
+    with Progress("mapping + projecting reads", unit="reads") as prog:
+        for path in args.reads:
+            for name, seq in iter_fastx(path):
+                names_buf.append(name)
+                seqs_buf.append(seq)
+                if len(seqs_buf) >= CHUNK_READS:
+                    process_chunk(names_buf, seqs_buf)
+                    prog.update(CHUNK_READS)
+                    names_buf, seqs_buf = [], []
+        if seqs_buf:
+            process_chunk(names_buf, seqs_buf)
+            prog.update(len(seqs_buf))
 
     store = builder.finalize()
     aln_time_s = time.time() - t0

@@ -154,17 +154,22 @@ def quantify_bulk_alignments_raw_reads(args: Args, opts: FilterOpts):
             for g in packed.group_of_read:
                 names_out.append(hit_names[g] or EMPTY_READ_NAME)
 
+    from ..utils.progress import Progress
+
     names_buf: List[str] = []
     seqs_buf: List[bytes] = []
-    for path in args.reads:
-        for name, seq in iter_fastx(path):
-            names_buf.append(name)
-            seqs_buf.append(seq)
-            if len(seqs_buf) >= CHUNK_READS:
-                process_chunk(names_buf, seqs_buf)
-                names_buf, seqs_buf = [], []
-    if seqs_buf:
-        process_chunk(names_buf, seqs_buf)
+    with Progress("mapping reads", unit="reads") as prog:
+        for path in args.reads:
+            for name, seq in iter_fastx(path):
+                names_buf.append(name)
+                seqs_buf.append(seq)
+                if len(seqs_buf) >= CHUNK_READS:
+                    process_chunk(names_buf, seqs_buf)
+                    prog.update(CHUNK_READS)
+                    names_buf, seqs_buf = [], []
+        if seqs_buf:
+            process_chunk(names_buf, seqs_buf)
+            prog.update(len(seqs_buf))
 
     sizes = (
         np.concatenate(csr_sizes) if csr_sizes else np.empty(0, np.int64)

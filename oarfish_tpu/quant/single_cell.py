@@ -300,12 +300,16 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
     digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
     dtype = resolve_em_dtype(args.em_dtype)
 
+    from ..utils.progress import Progress
+
     t_start = time.time()
     barcodes: List[str] = []
     buckets: Dict[Tuple[int, int, int], CellBatch] = {}
     num_cells = 0
     skipped_empty = 0
+    prog = Progress("packing cells", unit="cells")
     for bc, cell in cell_iter:
+        prog.update()
         barcodes.append(bc)
         idx_cell = num_cells
         num_cells += 1
@@ -347,6 +351,7 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
         if num_cells % 100 == 0:
             log.info("Processed %d cells.", num_cells)
 
+    prog.close()
     log.info(
         "parsed %d cells (%d with no surviving alignments) in %s; "
         "%d size buckets",
@@ -370,13 +375,17 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
 
     dtype = resolve_em_dtype(args.em_dtype)
 
+    from ..utils.progress import Progress
+
     t_start = time.time()
     barcodes: List[str] = []
     buckets: Dict[Tuple[int, int, int], CellBatch] = {}
     num_cells = 0
     skipped_empty = 0
 
+    prog = Progress("packing cells", unit="cells")
     for barcode, records in iter_barcode_groups(reader.records()):
+        prog.update()
         store, coverage = build_cell_store(records, txps_len, opts, args.bin_width)
         if store.num_reads == 0:
             # the reference still runs the EM (yielding all-zero counts) and
@@ -415,6 +424,7 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
         if num_cells % 100 == 0:
             log.info("Processed %d cells.", num_cells)
 
+    prog.close()
     log.info(
         "parsed %d cells (%d with no surviving alignments) in %s; "
         "%d size buckets",
