@@ -123,6 +123,15 @@ class CellBatch:
         """Batched EM over this bucket; returns per-cell (global_ids,
         counts) in bucket order.
 
+        Two device formulations:
+        - "dense" (default on TPU): the bucket's incidence structure as
+          one-hot matrices and the E/M step as four batched MXU matmuls
+          (`ops/em_dense.py`) — sparse gather/scatter at these tiny
+          shapes is pinned to XLA's ~7 ns/element dynamic-index floor.
+        - "segsum" (default on CPU, where it is faster and is the
+          pinned-golden parity path): vmapped sparse segment-sum EM.
+        `OARFISH_SC_IMPL={auto,dense,segsum}` overrides.
+
         With `mesh` (a 1-D "cells" device mesh), the batch axis is
         sharded across the mesh devices: cell EMs are independent, so
         the partitioned program's only cross-device traffic is the
@@ -130,6 +139,13 @@ class CellBatch:
         "single-cell batches laid out on the chip axis" (SURVEY §5;
         the reference runs a worker-thread pool of scalar EMs instead,
         `single_cell.rs:91-193`)."""
+        import os
+
+        impl = os.environ.get("OARFISH_SC_IMPL", "auto")
+        if impl == "auto":
+            impl = "segsum" if jax.default_backend() == "cpu" else "dense"
+        if impl == "dense":
+            return self._run_dense(args, dtype, mesh)
         B = len(self.txp_local)
         Bp = B
         if mesh is not None:
@@ -191,6 +207,66 @@ class CellBatch:
         for i in range(B):
             t_c = len(self.global_ids[i])
             out.append((self.cell_index[i], self.global_ids[i], counts[i, :t_c]))
+        return out
+
+    def _run_dense(self, args: Args, dtype, mesh=None):
+        """Dense one-hot MXU formulation (see `run`)."""
+        from ..ops.em_dense import (
+            DenseCellEm,
+            run_em_dense,
+            run_em_dense_squarem,
+        )
+
+        B = len(self.txp_local)
+        Bp = B
+        if mesh is not None:
+            D = int(mesh.devices.size)
+            Bp = ((B + D - 1) // D) * D
+
+        def put(x):
+            if mesh is None:
+                return jnp.asarray(x)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return jax.device_put(
+                x, NamedSharding(mesh, PartitionSpec("cells"))
+            )
+
+        txp_local = list(self.txp_local)
+        weights = list(self.weights)
+        read_id = list(self.read_id)
+        num_reads = list(self.num_reads)
+        for _ in range(Bp - B):
+            # whole dummy cells: all-zero incidence rows, zero init
+            empty_i = np.empty(0, dtype=np.int32)
+            txp_local.append(empty_i)
+            weights.append(np.empty(0, dtype=np.float64))
+            read_id.append(empty_i)
+            num_reads.append(0)
+        data = DenseCellEm.build(
+            txp_local, weights, read_id,
+            self.a_pad, self.r_pad, self.t_pad,
+            dtype=dtype, put=put,
+        )
+        init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
+            self.t_global
+        ) * np.ones((Bp, self.t_pad))
+        run = (
+            run_em_dense_squarem
+            if args.em_accel == "squarem"
+            else run_em_dense
+        )
+        counts, _ = run(
+            data, put(init.astype(dtype)),
+            args.max_em_iter, args.convergence_thresh,
+        )
+        counts = np.asarray(counts[:B], dtype=np.float64)
+        out = []
+        for i in range(B):
+            t_c = len(self.global_ids[i])
+            out.append(
+                (self.cell_index[i], self.global_ids[i], counts[i, :t_c])
+            )
         return out
 
 

@@ -121,8 +121,9 @@ def make_cells(rng, n_cells, t_global, quick):
     return cells
 
 
-def bench_single_cell(quick):
+def bench_single_cell(quick, impls=("segsum", "dense")):
     from oarfish_tpu.ops.em import EmData, _m_step
+    from oarfish_tpu.ops.em_dense import DenseCellEm, _m_step_dense
     from oarfish_tpu.quant.single_cell import CellBatch, _ceil_pow2
 
     t_global = 30_000
@@ -173,36 +174,56 @@ def bench_single_cell(quick):
             num_reads=r_p + 1, num_txps=t_p + 1,
         ), jnp.asarray(init)
 
-    def make(n):
+    def pack_dense(batch):
+        B = len(batch.txp_local)
+        data = DenseCellEm.build(
+            batch.txp_local, batch.weights, batch.read_id,
+            batch.a_pad, batch.r_pad, batch.t_pad,
+        )
+        init = np.asarray(batch.num_reads, dtype=np.float64)[:, None] / (
+            t_global
+        ) * np.ones((B, batch.t_pad))
+        return data, jnp.asarray(init.astype(np.float32))
+
+    def make(n, step):
         def f(d, i0):
             def body(_, prev):
-                nxt = jax.vmap(lambda dd, p: _m_step(dd, p, None))(d, prev)
-                return nxt * 0.5 + prev * 0.5
+                return step(d, prev) * 0.5 + prev * 0.5
             return jax.lax.fori_loop(0, n, body, i0)
         return jax.jit(f)
 
-    f1, f2 = make(N1), make(N2)
-    dev_s_per_iter = 0.0
-    per_bucket = []
-    for key in sorted(buckets):
-        batch = buckets[key]
-        data, init = pack(batch)
-        dt, _ = delta_time(f1, f2, data, init)
-        dev_s_per_iter += dt
-        per_bucket.append(
-            (key, len(batch.cell_index), round(dt * 1e3, 3))
-        )
-    for key, nb, ms in per_bucket:
-        sys.stderr.write(f"sc bucket {key} B={nb}: {ms} ms/iter\n")
-    cell_iters_per_s = n_cells / dev_s_per_iter
-    return {
+    steps = {
+        "segsum": (
+            pack,
+            lambda d, p: jax.vmap(lambda dd, pp: _m_step(dd, pp, None))(d, p),
+        ),
+        "dense": (pack_dense, lambda d, p: _m_step_dense(d, p)),
+    }
+    out = {
         "sc_cells": n_cells,
         "sc_total_reads": total_reads,
         "sc_buckets": len(buckets),
-        "sc_cell_iters_per_s": round(cell_iters_per_s, 1),
-        "sc_cells_per_s_100iter": round(cell_iters_per_s / 100.0, 1),
-        "sc_device_s_per_iter_all_buckets": round(dev_s_per_iter, 5),
     }
+    for impl in impls:
+        packer, step = steps[impl]
+        f1, f2 = make(N1, step), make(N2, step)
+        dev_s_per_iter = 0.0
+        for key in sorted(buckets):
+            batch = buckets[key]
+            data, init = packer(batch)
+            dt, _ = delta_time(f1, f2, data, init)
+            dev_s_per_iter += max(dt, 0.0)
+            sys.stderr.write(
+                f"sc[{impl}] bucket {key} B={len(batch.cell_index)}: "
+                f"{dt * 1e3:.3f} ms/iter\n"
+            )
+        cell_iters_per_s = n_cells / dev_s_per_iter
+        out[f"sc_{impl}_cell_iters_per_s"] = round(cell_iters_per_s, 1)
+        out[f"sc_{impl}_cells_per_s_100iter"] = round(
+            cell_iters_per_s / 100.0, 1
+        )
+        out[f"sc_{impl}_device_s_per_iter"] = round(dev_s_per_iter, 5)
+    return out
 
 
 def main():
@@ -210,11 +231,15 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-boot", action="store_true")
     ap.add_argument("--skip-sc", action="store_true")
+    ap.add_argument("--sc-impl", default="segsum,dense",
+                    help="comma list of single-cell arms to time")
     args = ap.parse_args()
     enable_persistent_jax_cache()
     out = {"device": jax.devices()[0].platform}
     if not args.skip_sc:
-        out.update(bench_single_cell(args.quick))
+        out.update(
+            bench_single_cell(args.quick, args.sc_impl.split(","))
+        )
     if not args.skip_boot:
         out.update(bench_bootstrap(args.quick))
     print(json.dumps(out))
