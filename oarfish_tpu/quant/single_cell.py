@@ -98,6 +98,64 @@ def _ceil_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+def _bucket_cost(key) -> int:
+    """Per-cell per-iteration work of a bucket shape: the dense MXU
+    formulation moves/multiplies the S [a,t] and R [r,a] incidence
+    matrices (the segsum path's element count scales the same way)."""
+    a, r, t = key
+    return a * t + r * a
+
+
+def coarsen_buckets(buckets: Dict[tuple, "CellBatch"],
+                    max_buckets: int = 12) -> Dict[tuple, "CellBatch"]:
+    """Merge pow2 size buckets until at most `max_buckets` distinct
+    shapes remain. Every distinct bucket shape costs 1-2 XLA
+    compilations (tens of seconds through a cold cache), so a long tail
+    of rare shapes costs far more in compile time than the padding it
+    saves: measured 24 shapes on a 4k-cell workload. Greedy: repeatedly
+    take the bucket with the smallest total padded work and move its
+    cells into the existing bucket that dominates it on all three dims
+    at the least added per-cell cost; if none dominates, merge with the
+    cheapest elementwise-max partner. Pure repacking — cell contents and
+    EM semantics are untouched. OARFISH_SC_MAX_BUCKETS overrides."""
+    import os
+
+    env = os.environ.get("OARFISH_SC_MAX_BUCKETS")
+    if env is not None:
+        max_buckets = max(1, int(env))
+    while len(buckets) > max_buckets:
+        # victim: least total padded work (cheapest to re-pad upward)
+        victim = min(
+            buckets,
+            key=lambda k: _bucket_cost(k) * len(buckets[k].cell_index),
+        )
+        dom = [
+            k for k in buckets
+            if k != victim and all(x >= y for x, y in zip(k, victim))
+        ]
+        if dom:
+            target = min(dom, key=_bucket_cost)
+        else:
+            others = [k for k in buckets if k != victim]
+            target = min(
+                others,
+                key=lambda k: _bucket_cost(
+                    tuple(max(x, y) for x, y in zip(k, victim))
+                ) * (len(buckets[k].cell_index)
+                     + len(buckets[victim].cell_index)),
+            )
+        merged = tuple(max(x, y) for x, y in zip(target, victim))
+        vb, tb = buckets.pop(victim), buckets.pop(target)
+        nb = buckets.get(merged)
+        if nb is None:
+            nb = buckets[merged] = CellBatch(*merged, tb.t_global)
+        for b in (tb, vb):
+            for i in range(len(b.cell_index)):
+                nb.add(b.cell_index[i], b.txp_local[i], b.weights[i],
+                       b.read_id[i], b.num_reads[i], b.global_ids[i])
+    return buckets
+
+
 class CellBatch:
     """One size bucket of cells, padded and stacked for a vmapped EM."""
 
@@ -428,11 +486,13 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
             log.info("Processed %d cells.", num_cells)
 
     prog.close()
+    n_raw = len(buckets)
+    buckets = coarsen_buckets(buckets)
     log.info(
         "parsed %d cells (%d with no surviving alignments) in %s; "
-        "%d size buckets",
+        "%d size buckets (%d before coarsening)",
         num_cells, skipped_empty, humantime(time.time() - t_start),
-        len(buckets),
+        len(buckets), n_raw,
     )
     return _finish_single_cell(
         args, buckets, barcodes, num_cells, txps_name, digest, dtype
@@ -501,13 +561,15 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
             log.info("Processed %d cells.", num_cells)
 
     prog.close()
+    n_raw = len(buckets)
+    buckets = coarsen_buckets(buckets)
     log.info(
         "parsed %d cells (%d with no surviving alignments) in %s; "
-        "%d size buckets",
+        "%d size buckets (%d before coarsening)",
         num_cells,
         skipped_empty,
         humantime(time.time() - t_start),
-        len(buckets),
+        len(buckets), n_raw,
     )
     return _finish_single_cell(
         args, buckets, barcodes, num_cells, txps_name, digest, dtype

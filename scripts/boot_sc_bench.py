@@ -124,7 +124,11 @@ def make_cells(rng, n_cells, t_global, quick):
 def bench_single_cell(quick, impls=("segsum", "dense")):
     from oarfish_tpu.ops.em import EmData, _m_step
     from oarfish_tpu.ops.em_dense import DenseCellEm, _m_step_dense
-    from oarfish_tpu.quant.single_cell import CellBatch, _ceil_pow2
+    from oarfish_tpu.quant.single_cell import (
+        CellBatch,
+        _ceil_pow2,
+        coarsen_buckets,
+    )
 
     t_global = 30_000
     n_cells = 512 if quick else 4096
@@ -143,6 +147,7 @@ def bench_single_cell(quick, impls=("segsum", "dense")):
         sizes = np.diff(b)
         rid = np.repeat(np.arange(len(b) - 1, dtype=np.int32), sizes)
         batch.add(i, local.astype(np.int32), w, rid, len(b) - 1, gids)
+    buckets = coarsen_buckets(buckets)
     sys.stderr.write(
         f"sc: {n_cells} cells, {total_reads} reads, "
         f"{len(buckets)} buckets: "

@@ -125,6 +125,38 @@ def test_run_em_dense_squarem_same_fixed_point():
 BARCODES = ["ACGTACGT", "CCCCAAAA", "GGGGTTTT", "TTTTCCCC", "AAAACCCC"]
 
 
+def test_coarsen_buckets_bounds_shapes_and_keeps_cells():
+    from oarfish_tpu.quant.single_cell import (
+        CellBatch,
+        _ceil_pow2,
+        coarsen_buckets,
+    )
+
+    rng = np.random.default_rng(2)
+    cells = make_cells(rng, 120, t_global=64)
+    buckets = {}
+    for i, (txp, w, rid, r_c) in enumerate(cells):
+        key = (_ceil_pow2(len(txp)), _ceil_pow2(r_c),
+               _ceil_pow2(int(txp.max()) + 1))
+        b = buckets.get(key)
+        if b is None:
+            b = buckets[key] = CellBatch(*key, 64)
+        b.add(i, txp, w, rid, r_c, np.unique(txp))
+    n_raw = len(buckets)
+    out = coarsen_buckets(dict(buckets), max_buckets=4)
+    assert len(out) <= min(4, n_raw)
+    # every cell survives, in a bucket that fits it
+    seen = {}
+    for key, b in out.items():
+        for i, ci in enumerate(b.cell_index):
+            seen[ci] = (key, len(b.txp_local[i]))
+            a, r, t = key
+            assert len(b.txp_local[i]) <= a
+            assert b.num_reads[i] <= r
+            assert int(b.txp_local[i].max()) < t
+    assert sorted(seen) == list(range(120))
+
+
 def _read_mtx_text(path):
     out = {}
     lines = path.read_text().splitlines()
