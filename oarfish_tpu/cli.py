@@ -350,6 +350,28 @@ def main(argv=None) -> int:
 
         initialize_distributed(coordinator, num_processes, process_id)
 
+    # per-process input sharding: a "{proc}" placeholder in the input
+    # path resolves to this process's index, so each host packs only its
+    # own shard of the reads (distributed ingest; the global CSR is the
+    # disjoint union — inference merges per-transcript partials with the
+    # same per-iteration psum)
+    def _resolve_proc(p):
+        if p is None or "{proc}" not in str(p):
+            return p, False
+        import jax
+
+        pid = jax.process_index() if (num_processes or 0) > 1 else 0
+        return type(p)(str(p).replace("{proc}", str(pid))), True
+
+    args.alignments, sh_a = _resolve_proc(args.alignments)
+    sh_r = False
+    if args.reads:
+        resolved = [_resolve_proc(p) for p in args.reads]
+        args.reads = [p for p, _ in resolved]
+        sh_r = any(s for _, s in resolved)
+    if (sh_a or sh_r) and (num_processes or 0) > 1:
+        args.sharded_inputs = True
+
     if ns.profile_dir is not None:
         # trace the whole run (the TPU-era analogue of the reference's
         # tracing spans, SURVEY §5); view with tensorboard/xprof

@@ -263,6 +263,10 @@ class Args:
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
+    # True when the input path contained "{proc}": each process packed
+    # only ITS shard of the reads (distributed ingest) — the global CSR
+    # is the disjoint union across processes
+    sharded_inputs: bool = False
     seed: int = 0
 
 

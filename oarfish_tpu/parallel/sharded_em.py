@@ -37,7 +37,12 @@ class ShardedCsr:
         boundaries: np.ndarray,
         num_txps: int,
         num_shards: int,
+        r_pad: int = 0,
+        a_pad: int = 0,
     ):
+        """`r_pad`/`a_pad` force the padded shard shape (multi-host
+        runs agree on the max across processes so every process's
+        shards stack into one global array)."""
         R = len(boundaries) - 1
         A = len(txp_id)
         D = num_shards
@@ -53,14 +58,18 @@ class ShardedCsr:
         self.read_ranges = [
             (int(cuts[d]), int(cuts[d + 1])) for d in range(D)
         ]
-        r_pad = max(1, max(e - s for s, e in self.read_ranges))
-        a_pad = max(
+        r_need = max(1, max(e - s for s, e in self.read_ranges))
+        a_need = max(
             1,
             max(
                 int(boundaries[e] - boundaries[s])
                 for s, e in self.read_ranges
             ),
         )
+        assert not r_pad or r_pad >= r_need, (r_pad, r_need)
+        assert not a_pad or a_pad >= a_need, (a_pad, a_need)
+        r_pad = r_pad or r_need
+        a_pad = a_pad or a_need
         Tslot = self.num_txps  # dummy transcript slot index
         self.r_pad, self.a_pad = r_pad, a_pad
 
@@ -107,9 +116,12 @@ def make_sharded_em(
     max_iter: int,
     min_iters: int = 50,
     accel: str = "none",
+    with_mult: bool = False,
 ):
     """Build the pjit-compiled sharded EM. Returns a function
-    (shard arrays..., init, conv_thresh) -> (counts, niter)."""
+    (shard arrays..., init, conv_thresh) -> (counts, niter). With
+    `with_mult` the function takes a trailing [D, r_pad] per-read
+    multiplicity shard (bootstrap replicates over sharded reads)."""
 
     def m_step(prev, txp_id, weights, read_id, perm, tsorted, mult):
         contrib = prev[txp_id] * weights
@@ -165,6 +177,31 @@ def make_sharded_em(
         prev = jnp.where(prev < MIN_READ_THRESH, 0.0, prev)
         counts = m_step(prev, txp_id, weights, read_id, perm, tsorted, mult)
         return counts, niter
+
+    if with_mult:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("data", None),
+                P("data", None),
+                P("data", None),
+                P("data", None),
+                P("data", None),
+                P(),
+                P(),
+                P("data", None),
+            ),
+            out_specs=(P(), P()),
+        )
+        def run_m(txp_id, weights, read_id, perm, tsorted, init, conv,
+                  mult):
+            return em_loop(
+                txp_id[0], weights[0], read_id[0], perm[0], tsorted[0],
+                init, conv, mult[0],
+            )
+
+        return jax.jit(run_m)
 
     @functools.partial(
         jax.shard_map,

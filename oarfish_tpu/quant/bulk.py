@@ -135,6 +135,27 @@ def perform_inference_and_write_output(
     """Shared inference + output tail (`bulk.rs:83-210`)."""
     log.info("discard table:\n%s", store.discard.to_table())
 
+    if args.sharded_inputs:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            if args.use_kde:
+                log.warning(
+                    "--use-kde with sharded ingest builds the KDE from "
+                    "this process's reads only"
+                )
+            if opts.model_coverage:
+                # the coverage model is a GLOBAL per-transcript statistic:
+                # reduce the bin accumulators across processes before
+                # evaluating it (bin layout depends only on txp lengths,
+                # identical everywhere)
+                from ..parallel.multihost import allgather_hosts
+
+                coverage.bins = allgather_hosts(coverage.bins).sum(axis=0)
+                coverage.total_weight = allgather_hosts(
+                    coverage.total_weight
+                ).sum(axis=0)
+
     dens_prob = None
     if args.use_kde:
         kde = get_kde_model(store, coverage.lenf)
@@ -548,12 +569,21 @@ def _multiprocess_inference_and_write(
     data-parallel EM (one psum of partial transcript counts per
     iteration over ICI/DCN — SURVEY §5's first-class distribution
     axis; the reference has no multi-process capability), then process
-    0 alone writes the outputs. Every process currently packs the same
-    BAM, so the CSR is identical everywhere and shards are taken by
+    0 alone writes the outputs. With `--alignments x.{proc}.bam`
+    (args.sharded_inputs) each process packed only ITS shard of the
+    reads — distributed ingest — and the per-transcript aux counts and
+    discard counters are reduced across processes before writing;
+    otherwise every process packs the same BAM and shards are taken by
     global device position."""
     import jax
 
     from ..parallel.multihost import global_data_mesh, sharded_em_global
+
+    if args.sharded_inputs:
+        return _sharded_input_inference_and_write(
+            store, txps_name, txps_len, opts, args, digest, aln_time_s,
+            dens_prob, init, dtype,
+        )
 
     T = len(txps_name)
     w = store.as_prob.astype(np.float64)
@@ -607,6 +637,112 @@ def _multiprocess_inference_and_write(
             compressed=args.write_assignment_probs
             == ReadAssignmentProbOut.COMPRESSED,
         )
+    return counts
+
+
+def _sharded_input_inference_and_write(
+    store, txps_name, txps_len, opts, args, digest, aln_time_s,
+    dens_prob, init, dtype,
+) -> np.ndarray:
+    """Distributed-ingest inference: this process's `store` holds only
+    its own shard of the reads (disjoint across processes). The EM runs
+    over the global mesh with shard shapes agreed across processes; the
+    global read count seeds the uniform init; per-transcript aux counts
+    and discard counters are host-allgathered and summed before process
+    0 writes. Bootstrap replicates are jointly one global multinomial
+    via the splitting property (`split_bootstrap_multiplicities`).
+    `--write-assignment-probs` emits one part file per process
+    (P.part{i}.prob[.lz4]) since read names live only on their owner."""
+    import dataclasses
+
+    import jax
+
+    from ..host.filters import DiscardTable
+    from ..parallel.multihost import (
+        allgather_hosts,
+        sharded_em_global_local,
+        split_bootstrap_multiplicities,
+    )
+
+    T = len(txps_name)
+    w = store.as_prob.astype(np.float64)
+    if opts.model_coverage:
+        w = w * store.cov_prob
+    if dens_prob is not None:
+        w = w * dens_prob
+    r_global = int(
+        allgather_hosts(np.array([store.num_reads], dtype=np.int64)).sum()
+    )
+    init_arr = (
+        np.asarray(init, dtype=np.float64)
+        if init is not None
+        else np.full(T, r_global / T)
+    )
+    t0 = time.time()
+    counts, niter = sharded_em_global_local(
+        store.txp_id, w, store.boundaries, T, init_arr,
+        max_iter=args.max_em_iter,
+        convergence_thresh=args.convergence_thresh,
+        dtype=dtype,
+        accel=args.em_accel,
+    )
+    log.info(
+        "multi-host EM (%d processes, %d devices, sharded ingest: "
+        "%d/%d local reads) converged after %d iterations in %.3fs",
+        jax.process_count(), jax.device_count(), store.num_reads,
+        r_global, niter, time.time() - t0,
+    )
+
+    # reduce the write-side statistics across processes (tiny)
+    unique_l, total_l = get_aux_counts(store, T)
+    unique = allgather_hosts(unique_l).sum(axis=0)
+    total = allgather_hosts(total_l).sum(axis=0)
+    dfields = [f.name for f in dataclasses.fields(DiscardTable)]
+    dvals = allgather_hosts(
+        np.array([getattr(store.discard, f) for f in dfields],
+                 dtype=np.int64)
+    ).sum(axis=0)
+    discard = DiscardTable(**{f: int(v) for f, v in zip(dfields, dvals)})
+
+    breps = None
+    if args.num_bootstraps > 0:
+        t0 = time.time()
+        mult_local = split_bootstrap_multiplicities(
+            args.num_bootstraps, store.num_reads, args.seed
+        )
+        breps, _ = sharded_em_global_local(
+            store.txp_id, w, store.boundaries, T, init_arr,
+            max_iter=args.max_em_iter,
+            convergence_thresh=args.convergence_thresh,
+            dtype=dtype,
+            accel=args.em_accel,
+            mult_local=mult_local,
+        )
+        log.info(
+            "%d bootstrap replicates (sharded ingest) in %.3fs",
+            args.num_bootstraps, time.time() - t0,
+        )
+
+    if args.write_assignment_probs is not None:
+        # every process owns its reads' names/probs: per-process parts
+        part = type(args.output)(
+            f"{args.output}.part{jax.process_index()}"
+        )
+        write_out_prob(
+            part, store, counts, txps_name,
+            args.display_thresh, opts.model_coverage,
+            compressed=args.write_assignment_probs
+            == ReadAssignmentProbOut.COMPRESSED,
+        )
+        log.info("assignment probabilities written per process: %s.prob",
+                 part)
+
+    if jax.process_index() != 0:
+        return counts
+    info = get_json_info(args, opts, discard, digest, aln_time_s)
+    write_output(args.output, info, txps_name, txps_len, counts, unique, total)
+    if breps is not None:
+        write_infrep_file(args.output, np.asarray(breps))
     return counts
 
 

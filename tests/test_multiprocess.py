@@ -96,3 +96,97 @@ def test_two_process_cli_matches_single(tmp_path):
     a = np.array([c_mp[k] for k in sorted(c_mp)])
     b = np.array([c_sp[k] for k in sorted(c_sp)])
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_two_process_sharded_ingest_matches_merged(tmp_path):
+    """Distributed ingest: each process packs only ITS shard of the
+    reads (--alignments shard.{proc}.bam). The quant, ambig counts,
+    aggregated discard table, and coverage-model behavior must match a
+    single-process run over the merged read set; bootstrap replicates
+    (one global multinomial via the splitting property) must carry the
+    global read mass."""
+    merged = tmp_path / "merged.bam"
+    simulate_bam(merged, num_reads=360, seed=77)
+    simulate_bam(tmp_path / "shard.0.bam", num_reads=360, seed=77,
+                 keep=lambda r: r % 2 == 0)
+    simulate_bam(tmp_path / "shard.1.bam", num_reads=360, seed=77,
+                 keep=lambda r: r % 2 == 1)
+    port = _free_port()
+    repo = Path(__file__).resolve().parent.parent
+
+    def env_for():
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["OARFISH_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = str(repo) + os.pathsep + env.get(
+            "PYTHONPATH", ""
+        )
+        return env
+
+    base = ["--em-dtype", "float64", "--model-coverage"]
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "oarfish_tpu",
+                    "--alignments", str(tmp_path / "shard.{proc}.bam"),
+                    "-o", str(tmp_path / f"sh{pid}"),
+                    *base,
+                    "--num-bootstraps", "4",
+                    "--coordinator", f"localhost:{port}",
+                    "--num-processes", "2",
+                    "--process-id", str(pid),
+                ],
+                env=env_for(), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True, cwd=repo,
+            )
+        )
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{se[-3000:]}"
+    assert any("sharded ingest: 180/360 local reads" in se
+               for _, se in outs), outs[0][1][-2000:]
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "oarfish_tpu",
+            "--alignments", str(merged),
+            "-o", str(tmp_path / "single"),
+            *base, "--em-impl", "segsum",
+        ],
+        env=env_for(), capture_output=True, text=True, cwd=repo,
+        timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    def counts(path):
+        rows = [ln.split("\t") for ln in
+                Path(path).read_text().splitlines()[1:]]
+        return {x[0]: float(x[2]) for x in rows}
+
+    c_mp = counts(tmp_path / "sh0.quant")
+    c_sp = counts(tmp_path / "single.quant")
+    a = np.array([c_mp[k] for k in sorted(c_mp)])
+    b = np.array([c_sp[k] for k in sorted(c_sp)])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    # ambig unique/total counts aggregate exactly across processes
+    assert (tmp_path / "sh0.ambig_info.tsv").read_text() == (
+        tmp_path / "single.ambig_info.tsv"
+    ).read_text()
+
+    # discard table was reduced across processes before writing
+    meta_mp = json.loads((tmp_path / "sh0.meta_info.json").read_text())
+    meta_sp = json.loads((tmp_path / "single.meta_info.json").read_text())
+    assert meta_mp["discard_table"] == meta_sp["discard_table"]
+
+    # bootstrap replicates carry the global read mass
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(tmp_path / "sh0.infreps.pq")
+    assert tbl.num_columns == 4
+    mass = sum(c_sp.values())
+    for col in tbl.column_names:
+        s = float(np.asarray(tbl[col]).sum())
+        assert abs(s - mass) < 0.02 * mass, (col, s, mass)

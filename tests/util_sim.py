@@ -51,9 +51,14 @@ def simulate_bam(
     secondary_rate=0.6,
     names=None,
     lengths=None,
+    keep=None,
 ):
     """Simulate a name-collated transcriptome BAM. Returns (names, lengths,
-    truth). With `barcodes`, emits CB tags grouped by barcode (CB-collated)."""
+    truth). With `barcodes`, emits CB tags grouped by barcode (CB-collated).
+    `keep(rid) -> bool` writes only selected reads while drawing the SAME
+    rng stream as the unfiltered call — the same seed with complementary
+    filters yields disjoint shards of one identical read universe (the
+    multi-host sharded-ingest fixtures)."""
     rng = np.random.default_rng(seed)
     if names is None:
         names, lengths = load_sirv_lengths()
@@ -102,7 +107,9 @@ def simulate_bam(
     records = []
     if barcodes is None:
         for r in range(num_reads):
-            records.extend(make_read_records(r))
+            recs = make_read_records(r)
+            if keep is None or keep(r):
+                records.extend(recs)
     else:
         rid = 0
         for bc in barcodes:
