@@ -58,7 +58,6 @@ from .static_permute import (
     BatchTilePermute,
     DeviceTilePlan,
     _run_middle_stage,
-    build_route_pair,
 )
 
 CAPK = 2048  # max bucket row width; wider transcripts are row-chunked
@@ -1092,12 +1091,14 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
     device state. The routes over the unified rounded space are partial
     injective maps: uncovered outputs — the bucket pads — come out
     ZERO, which is exactly the invariant both row-sum stages need."""
+    from .static_permute import build_route_pair_async
+
     if geometry is None and "rect" in lay:
         # rectangular geometry from _try_rect_rebuild: txp side at its
         # natural chunk count, read side diluted to n_dst chunks
         CR, n_src, n_dst, Q = lay["rect"]
         CHR = CR * LANES
-        p_a, p_b = build_route_pair(
+        routes = build_route_pair_async(
             lay["slot_of_aln"], lay["txp_slot_of_aln"], n_src * CHR,
             n_pad_out=n_dst * CHR,
             force_geometry=(n_src, n_dst, Q), chunk_rows=CR,
@@ -1107,21 +1108,27 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
             CR, NPAD, geo = route_config(lay, lay["NPAD"])
         else:
             CR, NPAD, geo = geometry
-        p_a, p_b = build_route_pair(
+        routes = build_route_pair_async(
             lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
             force_geometry=geo, chunk_rows=CR,
         )
+    # geometry is known immediately; build + ship everything that only
+    # depends on it WHILE the native coloring/table fill runs on its
+    # worker thread (it releases the GIL)
     seg_id = _read_lvl_ids(
-        lay["read_shapes"], lay["read_starts"], p_a.n_dst, CR
+        lay["read_shapes"], lay["read_starts"], routes.n_dst, CR
     )
+    seg_id_dev = None if seg_id is None else jnp.asarray(seg_id)
     # weights stored at the route's padded length so the fused-mul
     # expand kernel takes them without a pad copy per iteration
-    w_txp = np.zeros(p_a.n_src * CR * LANES, dtype=np.float64)
+    w_txp = np.zeros(routes.n_src * CR * LANES, dtype=np.float64)
     w_txp[lay["txp_slot_of_aln"]] = lay["weights"]
     lay["dbg"]["w_txp"] = w_txp[: lay["n_slots_t"]]
+    w_txp_dev = jnp.asarray(w_txp, dtype=jnp.float32)
+    p_a, p_b = routes()
 
     return EmV4Data(
-        w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
+        w_txp=w_txp_dev,
         p_a=p_a,
         p_b=p_b,
         t_in=lay["t_in"],

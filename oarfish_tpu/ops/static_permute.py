@@ -1355,6 +1355,30 @@ def build_route_pair(
     table-build cost (~2.1 s per route at the A=6M bench shape on 4
     cores). Returns (fwd.plan, rev.plan); falls back to two independent
     builds when the native pair entry point is unavailable."""
+    handle = build_route_pair_async(
+        out_idx, in_idx, n_pad, force_geometry=force_geometry,
+        chunk_rows=chunk_rows, n_pad_out=n_pad_out,
+    )
+    return handle()
+
+
+def build_route_pair_async(
+    out_idx: np.ndarray,
+    in_idx: np.ndarray,
+    n_pad: int,
+    force_geometry: Optional[Tuple[int, ...]] = None,
+    chunk_rows: int = LANES,
+    n_pad_out: Optional[int] = None,
+):
+    """`build_route_pair` with the heavy table fill running on a worker
+    thread (the native entry point releases the GIL and runs its own
+    pool). Geometry is resolved EAGERLY — `handle.n_src/.n_dst/.Q/
+    .chunk_rows` are valid immediately — so the caller can build and
+    device-transfer everything geometry-dependent (w_txp, seg_id)
+    concurrently with the coloring. Call the handle to join and get
+    (fwd.plan, rev.plan)."""
+    import threading
+
     from .permute_plan import route_tables_pair_native
 
     fwd = GlobalRoute(out_idx, in_idx, n_pad,
@@ -1366,13 +1390,31 @@ def build_route_pair(
                       force_geometry=(fwd.n_dst, fwd.n_src, fwd.Q),
                       chunk_rows=chunk_rows, n_pad_out=n_pad,
                       _defer=True)
-    if not route_tables_pair_native(
-        out_idx, in_idx, chunk_rows, fwd.n_src, fwd.n_dst, fwd.Q,
-        fwd._tables, rev._tables,
-    ):
-        fwd._fill_tables()
-        rev._fill_tables()
-    fwd._finalize()
-    rev._finalize()
-    return fwd.plan, rev.plan
+    state = {}
+
+    def fill():
+        try:
+            if not route_tables_pair_native(
+                out_idx, in_idx, chunk_rows, fwd.n_src, fwd.n_dst, fwd.Q,
+                fwd._tables, rev._tables,
+            ):
+                fwd._fill_tables()
+                rev._fill_tables()
+        except BaseException as e:  # noqa: BLE001 — re-raised at join
+            state["err"] = e
+
+    th = threading.Thread(target=fill, daemon=True)
+    th.start()
+
+    def handle():
+        th.join()
+        if "err" in state:
+            raise state["err"]
+        fwd._finalize()
+        rev._finalize()
+        return fwd.plan, rev.plan
+
+    handle.n_src, handle.n_dst = fwd.n_src, fwd.n_dst
+    handle.Q, handle.chunk_rows = fwd.Q, fwd.chunk_rows
+    return handle
 

@@ -55,17 +55,26 @@ def main():
     data, _ = EmV4Data.build(txp_id, w, boundaries, T)
     print(f"A={A} build {time.perf_counter() - t0:.0f}s", flush=True)
     init = jnp.full(T, 10.0, dtype=jnp.float32)
-    for mb, cap, label in [
-        (None, None, "default (4MB, cap 4/8)"),
-        ("8", "8", "8MB, cap 8"),
-        ("16", "16", "16MB, cap 16"),
-        (None, None, "default again"),
-    ]:
+    import json
+
+    variants = os.environ.get("OARFISH_AB_VARIANTS")
+    if variants:
+        plan = json.loads(variants)  # [[mb|null, cap|null, label], ...]
+    else:
+        plan = [
+            (None, None, "default (4MB, cap 4/8)"),
+            ("8", "8", "8MB, cap 8"),
+            ("16", "16", "16MB, cap 16"),
+            (None, None, "default again"),
+        ]
+    for mb, cap, label in plan:
         if mb is None:
             os.environ.pop("OARFISH_ROUTE_VMEM_MB", None)
-            os.environ.pop("OARFISH_ROUTE_CPP_CAP", None)
         else:
             os.environ["OARFISH_ROUTE_VMEM_MB"] = mb
+        if cap is None:
+            os.environ.pop("OARFISH_ROUTE_CPP_CAP", None)
+        else:
             os.environ["OARFISH_ROUTE_CPP_CAP"] = cap
         time_variant(data, init, label)
 

@@ -190,3 +190,80 @@ def test_two_process_sharded_ingest_matches_merged(tmp_path):
     for col in tbl.column_names:
         s = float(np.asarray(tbl[col]).sum())
         assert abs(s - mass) < 0.02 * mass, (col, s, mass)
+
+
+def test_two_process_sharded_raw_reads(tmp_path):
+    """Distributed ingest in RAW-READ mode: each process maps only its
+    own FASTA shard (--reads reads.{proc}.fa); quant matches the
+    single-process run over all reads."""
+    from oarfish_tpu.host import mapper as mp
+
+    if not mp.available():
+        import pytest
+
+        pytest.skip("native mapper not built")
+    from test_mapper import load_sirv, mutate
+
+    names, seqs = load_sirv()
+    ref_fa = tmp_path / "ref.fa"
+    with open(ref_fa, "w") as fh:
+        for n, s in zip(names, seqs):
+            fh.write(f">{n}\n{s.decode()}\n")
+    rng = np.random.default_rng(9)
+    usable = [i for i, s in enumerate(seqs) if len(s) >= 500]
+    shards = [open(tmp_path / f"reads.{p}.fa", "w") for p in range(2)]
+    full = open(tmp_path / "reads.fa", "w")
+    for r in range(160):
+        t = usable[int(rng.integers(len(usable)))]
+        s = seqs[t]
+        span = int(rng.integers(300, min(len(s), 2000)))
+        pos = int(rng.integers(0, len(s) - span + 1))
+        frag = mutate(rng, s[pos : pos + span]).decode()
+        for fh in (shards[r % 2], full):
+            fh.write(f">read{r}\n{frag}\n")
+    for fh in (*shards, full):
+        fh.close()
+
+    port = _free_port()
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["OARFISH_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+
+    base = ["--annotated", str(ref_fa), "--seq-tech", "ont-cdna",
+            "--em-dtype", "float64", "--quiet"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "oarfish_tpu",
+             "--reads", str(tmp_path / "reads.{proc}.fa"),
+             "-o", str(tmp_path / f"rr{pid}"), *base,
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{se[-3000:]}"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "oarfish_tpu",
+         "--reads", str(tmp_path / "reads.fa"),
+         "-o", str(tmp_path / "rr_single"), *base],
+        env=env, capture_output=True, text=True, cwd=repo, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    def counts(path):
+        rows = [ln.split("\t") for ln in
+                Path(path).read_text().splitlines()[1:]]
+        return {x[0]: float(x[2]) for x in rows}
+
+    c_mp = counts(tmp_path / "rr0.quant")
+    c_sp = counts(tmp_path / "rr_single.quant")
+    a = np.array([c_mp[k] for k in sorted(c_mp)])
+    b = np.array([c_sp[k] for k in sorted(c_sp)])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
