@@ -28,7 +28,7 @@ from ..models.coverage import logistic_prob, normalize_read_probs
 from ..models.kde import get_kde_model
 from ..ops import bootstrap as bootstrap_ops
 from ..ops.em import EmData, em
-from ..utils.digest import digest_from_header
+from ..utils.digest import LazyDigest, digest_from_header
 from .meta import get_json_info
 from .short_read import read_short_quant_vec
 from .writers import (
@@ -765,7 +765,7 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
     txps_name = header.ref_names
     txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
     log.info("parsed reference information for %d transcripts.", len(txps_name))
-    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+    digest = {"bam_digest": LazyDigest(digest_from_header, txps_name, txps_len)}
     aln_time_s = time.time() - t0
     log.info("Parsing of alignments from input took %.3fs", aln_time_s)
 

@@ -31,7 +31,7 @@ from ..genome.project import (
 )
 from ..host.store import StoreBuilder, TranscriptCoverage
 from ..io.bam import BamReader, verify_header
-from ..utils.digest import digest_from_header
+from ..utils.digest import LazyDigest, digest_from_header
 from .bulk import perform_inference_and_write_output
 
 log = logging.getLogger("oarfish_tpu")
@@ -88,7 +88,9 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
     log.info("built g2t index over %d transcripts", g2t.num_transcripts)
 
     digest = {
-        "transcriptome_digest": digest_from_header(txps_name, txps_len)
+        "transcriptome_digest": LazyDigest(
+            digest_from_header, txps_name, txps_len
+        )
     }
 
     coverage = TranscriptCoverage(

@@ -34,7 +34,7 @@ from ..genome.project import ProjectedAlnRecord, filter_projected, project_block
 from ..host.mapper import Mapper
 from ..host.store import StoreBuilder, TranscriptCoverage
 from ..io.fasta import iter_fastx, read_fasta_concat
-from ..utils.digest import digest_result_json
+from ..utils.digest import LazyDigest, digest_result_json
 from .bulk import perform_inference_and_write_output
 
 log = logging.getLogger("oarfish_tpu")
@@ -104,7 +104,9 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     txps_len = g2t.transcript_lengths()
     log.info("built g2t index over %d transcripts", g2t.num_transcripts)
     digest = {
-        "transcriptome_digest": digest_from_names_lengths(txps_name, txps_len)
+        "transcriptome_digest": LazyDigest(
+            digest_from_names_lengths, txps_name, txps_len
+        )
     }
 
     coverage = TranscriptCoverage(

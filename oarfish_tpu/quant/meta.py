@@ -11,6 +11,7 @@ from typing import Optional
 
 from ..config import Args, FilterGroup, FilterOpts
 from ..host.filters import DiscardTable
+from ..utils.digest import resolve_lazy_digests
 
 
 def humantime(seconds: float) -> str:
@@ -78,5 +79,5 @@ def get_json_info(
         "write_assignment_probs": wap,
         "short_quant": args.short_quant,
         "num_bootstraps": args.num_bootstraps,
-        "digest": digest,
+        "digest": resolve_lazy_digests(digest),
     }

@@ -25,7 +25,11 @@ from ..host.mapper import Mapper, index_digest_footer
 from ..host.store import AlignmentStore, NameBlob, TranscriptCoverage
 from ..host.vector_filter import RecordColumns, filter_records
 from ..io.fasta import iter_fastx, read_fasta_concat
-from ..utils.digest import digest_result_json
+from ..utils.digest import (
+    LazyDigest,
+    digest_result_json,
+    resolve_lazy_digests,
+)
 from .bulk import perform_inference_and_write_output
 
 log = logging.getLogger("oarfish_tpu")
@@ -51,7 +55,9 @@ def build_or_load_mapper(args: Args):
                 "header-only digest"
             )
             digest = {
-                "index_digest": digest_result_json(m.names, m.lengths)
+                "index_digest": LazyDigest(
+                    digest_result_json, m.names, m.lengths
+                )
             }
         return m, digest
 
@@ -60,22 +66,28 @@ def build_or_load_mapper(args: Args):
     names, seqs = read_fasta_concat(paths)
     if not names:
         raise ValueError("no reference sequences found to index")
+
+    # Sequence digests re-read each FASTA and hash its full content;
+    # start them on background threads so they overlap the index build
+    # (the reference spawns digest threads too, `digest_utils.rs:11-25`,
+    # joined before the `--index-out` persist, `aligner.rs:196-204`).
+    def _fasta_digest(path):
+        f_names, f_seqs = read_fasta_concat([path])
+        return digest_result_json(
+            f_names, [len(s) for s in f_seqs], [s.decode() for s in f_seqs]
+        )
+
+    digest = {}
+    if args.annotated is not None:
+        digest["annotated_digest"] = LazyDigest(_fasta_digest, args.annotated)
+    if args.novel is not None:
+        digest["novel_digest"] = LazyDigest(_fasta_digest, args.novel)
+
     m = Mapper.from_sequences(
         names, seqs, tech=args.seq_tech, threads=max(args.threads, 1)
     )
-    digest = {}
-    if args.annotated is not None:
-        a_names, a_seqs = read_fasta_concat([args.annotated])
-        digest["annotated_digest"] = digest_result_json(
-            a_names, [len(s) for s in a_seqs], [s.decode() for s in a_seqs]
-        )
-    if args.novel is not None:
-        n_names, n_seqs = read_fasta_concat([args.novel])
-        digest["novel_digest"] = digest_result_json(
-            n_names, [len(s) for s in n_seqs], [s.decode() for s in n_seqs]
-        )
     if args.index_out is not None:
-        m.save(args.index_out, digest_map=digest)
+        m.save(args.index_out, digest_map=resolve_lazy_digests(digest))
         log.info("wrote index to %s", args.index_out)
     return m, digest
 

@@ -34,7 +34,11 @@ from ..host.store import AlignmentStore, StoreBuilder, TranscriptCoverage
 from ..io.bam import BamReader, BamRecord, verify_header
 from ..models.coverage import binomial_continuous_prob, normalize_read_probs
 from ..ops.em import EmData, run_em
-from ..utils.digest import digest_from_header
+from ..utils.digest import (
+    LazyDigest,
+    digest_from_header,
+    resolve_lazy_digests,
+)
 from .meta import humantime
 from .writers import write_single_cell_output
 
@@ -431,7 +435,7 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
     txps_name = header.ref_names
     txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
     T = len(txps_name)
-    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+    digest = {"bam_digest": LazyDigest(digest_from_header, txps_name, txps_len)}
     dtype = resolve_em_dtype(args.em_dtype)
 
     from ..utils.progress import Progress
@@ -505,7 +509,7 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
     txps_name = reader.header.ref_names
     txps_len = np.asarray(reader.header.ref_lengths, dtype=np.int64)
     T = len(txps_name)
-    digest = {"bam_digest": digest_from_header(txps_name, txps_len)}
+    digest = {"bam_digest": LazyDigest(digest_from_header, txps_name, txps_len)}
 
     from .bulk import resolve_em_dtype
 
@@ -622,7 +626,7 @@ def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
         "threads": args.threads,
         "filter_group": None,
         "short_quant": args.short_quant,
-        "digest": digest,
+        "digest": resolve_lazy_digests(digest),
     }
     write_single_cell_output(
         args.output,

@@ -51,14 +51,14 @@ def _ensure_parent(output: Path) -> None:
 def get_aux_counts(store: AlignmentStore, num_txps: int):
     """Per-transcript unique/total alignment-record counts
     (`aux_counts.rs:23-50`)."""
-    total = np.zeros(num_txps, dtype=np.int64)
-    unique = np.zeros(num_txps, dtype=np.int64)
-    np.add.at(total, store.txp_id, 1)
+    total = np.bincount(store.txp_id, minlength=num_txps).astype(np.int64)
     sizes = np.diff(store.boundaries)
     uniq_rows = np.nonzero(sizes == 1)[0]
     if len(uniq_rows):
         uniq_tids = store.txp_id[store.boundaries[uniq_rows]]
-        np.add.at(unique, uniq_tids, 1)
+        unique = np.bincount(uniq_tids, minlength=num_txps).astype(np.int64)
+    else:
+        unique = np.zeros(num_txps, dtype=np.int64)
     return unique, total
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import re
+import threading
 from typing import Dict, List, Optional, Sequence
 
 
@@ -33,6 +35,11 @@ def refget_sequence_digest(seq: str) -> str:
     return "SQ." + sha512t24u(seq.upper().encode())
 
 
+# canonical JSON passes these through verbatim under ensure_ascii=False;
+# anything else (quote, backslash, control chars) needs real escaping
+_JSON_PLAIN = re.compile(r'^[^"\\\x00-\x1f]*$')
+
+
 def seqcol_level1(
     names: Sequence[str],
     lengths: Sequence[int],
@@ -44,9 +51,20 @@ def seqcol_level1(
         "names": sha512t24u(_canon(list(names))),
     }
     # sorted_name_length_pairs: digest each canonical {"length","name"}
-    # object, sort the digests, digest the array of them
+    # object, sort the digests, digest the array of them. The canonical
+    # bytes are assembled directly for escape-free names (the common
+    # case; large headers make the json.dumps round trip the hot spot)
+    # — `tests/test_digest.py` pins equality with the json.dumps form.
+    _sha512, _b64 = hashlib.sha512, base64.urlsafe_b64encode
+    _plain = _JSON_PLAIN.match
     pair_digests = sorted(
-        sha512t24u(_canon({"length": int(l), "name": n}))
+        _b64(
+            _sha512(
+                b'{"length":%d,"name":"%s"}' % (int(l), n.encode())
+                if _plain(n)
+                else _canon({"length": int(l), "name": n})
+            ).digest()[:24]
+        ).decode("ascii")
         for n, l in zip(names, lengths)
     )
     out["sorted_name_length_pairs"] = sha512t24u(_canon(pair_digests))
@@ -81,6 +99,40 @@ def digest_from_header(names: Sequence[str], lengths: Sequence[int]) -> dict:
     """Digest computed from a BAM header (names + lengths only),
     mirroring `digest_from_header` (`digest_utils.rs:179-202`)."""
     return digest_result_json(names, lengths)
+
+
+class LazyDigest:
+    """A digest computed on a background thread (the reference computes
+    digests on spawned threads too, `digest_utils.rs:11-25`), so large
+    headers don't serialize against route build / EM. `resolve()` joins
+    and returns the dict; `get_json_info` resolves these transparently."""
+
+    def __init__(self, fn, *fn_args):
+        self._value = None
+        self._err = None
+
+        def run():
+            try:
+                self._value = fn(*fn_args)
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                self._err = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def resolve(self) -> dict:
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._value
+
+
+def resolve_lazy_digests(digest: dict) -> dict:
+    """Resolve any LazyDigest values in a digest map (in place)."""
+    for k, v in digest.items():
+        if isinstance(v, LazyDigest):
+            digest[k] = v.resolve()
+    return digest
 
 
 # ---------------------------------------------------------------------------

@@ -107,6 +107,65 @@ def test_digest_footer_roundtrip(tmp_path):
     )
 
 
+def test_pair_digest_fast_path_matches_canonical_json():
+    """seqcol_level1 assembles pair-digest bytes directly for plain
+    names; the digest must equal the json.dumps canonical form for any
+    name, including ones that need real JSON escaping (fallback path)."""
+    import base64
+    import hashlib
+    import json
+
+    from oarfish_tpu.utils.digest import seqcol_level1
+
+    names = ["t1", "weird\"quote", "back\\slash", "tab\tname",
+             "unicode-é-名", "", "spaces ok", "ctrl\x01char"]
+    lengths = [5, 10, 15, 20, 25, 30, 35, 40]
+
+    def ref_pairs(ns, ls):
+        ds = sorted(
+            base64.urlsafe_b64encode(
+                hashlib.sha512(
+                    json.dumps(
+                        {"length": int(l), "name": n},
+                        separators=(",", ":"), sort_keys=True,
+                        ensure_ascii=False,
+                    ).encode()
+                ).digest()[:24]
+            ).decode("ascii")
+            for n, l in zip(ns, ls)
+        )
+        return base64.urlsafe_b64encode(
+            hashlib.sha512(
+                json.dumps(ds, separators=(",", ":"), sort_keys=True,
+                           ensure_ascii=False).encode()
+            ).digest()[:24]
+        ).decode("ascii")
+
+    got = seqcol_level1(names, lengths)["sorted_name_length_pairs"]
+    assert got == ref_pairs(names, lengths)
+
+
+def test_lazy_digest_resolution():
+    from oarfish_tpu.utils.digest import (
+        LazyDigest,
+        digest_from_header,
+        resolve_lazy_digests,
+    )
+
+    lazy = {"bam_digest": LazyDigest(digest_from_header, ["a", "b"], [1, 2])}
+    assert resolve_lazy_digests(lazy)["bam_digest"] == digest_from_header(
+        ["a", "b"], [1, 2]
+    )
+
+    def boom():
+        raise ValueError("digest failed")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="digest failed"):
+        resolve_lazy_digests({"d": LazyDigest(boom)})
+
+
 def test_choose_auto_impl_policy(monkeypatch):
     """auto picks v4 only on a device backend with enough alignments
     and enough expected iteration work to amortize the route build."""
