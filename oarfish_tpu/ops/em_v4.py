@@ -453,10 +453,22 @@ def _v4_layout(
             out = (g // div).astype(np.int32)
         return out
 
+    def _desc_order(sz, rng):
+        """Descending-size placement order with randomized ties: shuffle,
+        then stable-sort by size. The native counting sort replaces the
+        R-sized argsort (sizes are small ints); stability makes the two
+        forms bit-identical."""
+        p = rng.permutation(len(sz))
+        s = sz[p]
+        mx = int(s.max()) if len(s) else 0
+        rk = _balance.rank_by_key(mx - s, mx + 1)
+        if rk is not None:
+            return p[rk[0]]
+        return p[np.argsort(-s, kind="stable")]
+
     rng_b = np.random.default_rng(7)
     if use_balance and len(items_t):
-        p = rng_b.permutation(len(items_t))
-        order_t = p[np.argsort(-sizes_t[p], kind="stable")]
+        order_t = _desc_order(sizes_t, rng_b)
         F1 = np.zeros((1, n_chk), dtype=np.int32)
         if n_big_real:
             F1[0] = np.bincount(
@@ -552,8 +564,7 @@ def _v4_layout(
         col_r = None
     _tick("rp2.ramp")
     if use_balance and len(items_r):
-        p = rng_b.permutation(len(items_r))
-        order_r = p[np.argsort(-sizes_r[p], kind="stable")]
+        order_r = _desc_order(sizes_r, rng_b)
         _tick("rp2.order")
         row_within_r, _, _ = _balance.greedy_place(
             off_r,
