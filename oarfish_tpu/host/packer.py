@@ -160,13 +160,26 @@ def pack_bam_stream(
     t_wall0 = _time.perf_counter()
     q: "queue.Queue" = queue.Queue(maxsize=2)
     t_decode = [0.0]
+    # set on a consumer-side error so the producer stops decoding
+    # immediately instead of inflating the rest of the file (a
+    # collation failure surfaces within the first chunks; without this
+    # a 50 GB BAM would decode to completion before the error shows)
+    stop = threading.Event()
 
     def produce():
         try:
             t0 = _time.perf_counter()
             for chunk in gen:
                 t_decode[0] += _time.perf_counter() - t0
-                q.put(chunk)
+                while not stop.is_set():
+                    try:
+                        q.put(chunk, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    gen.close()
+                    return
                 t0 = _time.perf_counter()
             q.put(None)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
@@ -239,14 +252,14 @@ def pack_bam_stream(
             t_filter += _time.perf_counter() - t0
     finally:
         prog.close()
-        # drain so the producer can exit (it blocks on a full queue)
+        stop.set()  # cancel the producer's decode-in-progress
+        # drain one slot in case the producer is mid-put
         while th.is_alive():
             try:
-                item = q.get(timeout=0.5)
+                q.get(timeout=0.2)
             except queue.Empty:
-                continue
-            if item is None or isinstance(item, BaseException):
-                break
+                pass
+            th.join(timeout=0.2)
         th.join(timeout=60.0)
 
     # --- concatenate chunk CSRs
@@ -314,8 +327,6 @@ def pack_bam_fast(
     `pack_bam` (streaming per-group) remains as the differential oracle;
     OARFISH_STREAM_PACK=0 pins the old whole-file-decode-then-filter
     path for A/B."""
-    import os
-
     from ..io.bam import BamReader
     from . import native
     from .filters import DiscardTable

@@ -526,8 +526,6 @@ def _v4_layout(
     row_of_small_txp, small_txp_row_pos = _apply_small(row_within_t)
     _tick("small_pass1")
 
-    # ---- read placement
-
     # ---- read placement (pass 2: greedy on (txp-chunk, read-chunk)
     # cells — the flow matrix both routes share)
     items_r = (
@@ -1148,7 +1146,7 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
         big_row_offsets=jnp.asarray(
             lay["big_row_offsets"], dtype=jnp.int32
         ),
-        seg_id=None if seg_id is None else jnp.asarray(seg_id),
+        seg_id=seg_id_dev,
         read_shapes=lay["read_shapes"],
         read_starts=lay["read_starts"],
         n_slots_r=lay["n_slots_r"],

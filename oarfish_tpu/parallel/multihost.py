@@ -217,6 +217,7 @@ def sharded_em_global(
     convergence_thresh: float = 1e-3,
     dtype=jnp.float32,
     mesh: Optional[Mesh] = None,
+    accel: str = "none",
 ) -> Tuple[np.ndarray, int]:
     """Data-parallel EM where the CSR shards are placed per device through
     the global-assembly path (multi-host capable; on one host this equals
@@ -225,7 +226,7 @@ def sharded_em_global(
         mesh = global_data_mesh()
     D = len(list(mesh.devices.flat))
     sh = ShardedCsr(txp_id, weights, boundaries, num_txps, D)
-    run = make_sharded_em(mesh, num_txps, sh.r_pad, max_iter)
+    run = make_sharded_em(mesh, num_txps, sh.r_pad, max_iter, accel=accel)
 
     # only THIS process's devices are addressable in a multi-process run:
     # place the mesh positions owned by local devices (every process

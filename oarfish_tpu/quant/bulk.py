@@ -605,6 +605,7 @@ def _multiprocess_inference_and_write(
         convergence_thresh=args.convergence_thresh,
         dtype=dtype,
         mesh=mesh,
+        accel=args.em_accel,
     )
     log.info(
         "multi-host EM (%d processes, %d devices) converged after %d "

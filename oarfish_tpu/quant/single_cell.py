@@ -271,8 +271,30 @@ class CellBatch:
             out.append((self.cell_index[i], self.global_ids[i], counts[i, :t_c]))
         return out
 
+    def _dense_sub_batch(self, n_devices: int) -> int:
+        """Cells per dense sub-batch under a device-memory budget: the
+        one-hot matrices scale as B*(a_pad*t_pad + r_pad*a_pad), so a
+        populous bucket run as one batch would OOM (host AND device) at
+        production cell counts. ~8 bytes/element covers the bf16 store,
+        the compute-dtype widen, and einsum temporaries.
+        OARFISH_SC_DENSE_BUDGET_MB overrides (default 1024)."""
+        import os
+
+        budget = int(
+            os.environ.get("OARFISH_SC_DENSE_BUDGET_MB", "1024")
+        ) << 20
+        per_cell = 8 * (
+            self.a_pad * self.t_pad + self.r_pad * self.a_pad
+        )
+        sub = max(1, budget // max(per_cell, 1))
+        # keep the batch divisible over the cells mesh
+        return max(n_devices, (sub // n_devices) * n_devices)
+
     def _run_dense(self, args: Args, dtype, mesh=None):
-        """Dense one-hot MXU formulation (see `run`)."""
+        """Dense one-hot MXU formulation (see `run`). Large buckets run
+        as fixed-size sub-batches (one compiled shape; the tail is
+        padded with inert dummy cells) so memory stays bounded by the
+        budget rather than the bucket's cell count."""
         from ..ops.em_dense import (
             DenseCellEm,
             run_em_dense,
@@ -280,10 +302,8 @@ class CellBatch:
         )
 
         B = len(self.txp_local)
-        Bp = B
-        if mesh is not None:
-            D = int(mesh.devices.size)
-            Bp = ((B + D - 1) // D) * D
+        D = int(mesh.devices.size) if mesh is not None else 1
+        sub = min(self._dense_sub_batch(D), ((B + D - 1) // D) * D)
 
         def put(x):
             if mesh is None:
@@ -294,35 +314,44 @@ class CellBatch:
                 x, NamedSharding(mesh, PartitionSpec("cells"))
             )
 
-        txp_local = list(self.txp_local)
-        weights = list(self.weights)
-        read_id = list(self.read_id)
-        num_reads = list(self.num_reads)
-        for _ in range(Bp - B):
-            # whole dummy cells: all-zero incidence rows, zero init
-            empty_i = np.empty(0, dtype=np.int32)
-            txp_local.append(empty_i)
-            weights.append(np.empty(0, dtype=np.float64))
-            read_id.append(empty_i)
-            num_reads.append(0)
-        data = DenseCellEm.build(
-            txp_local, weights, read_id,
-            self.a_pad, self.r_pad, self.t_pad,
-            dtype=dtype, put=put,
-        )
-        init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
-            self.t_global
-        ) * np.ones((Bp, self.t_pad))
         run = (
             run_em_dense_squarem
             if args.em_accel == "squarem"
             else run_em_dense
         )
-        counts, _ = run(
-            data, put(init.astype(dtype)),
-            args.max_em_iter, args.convergence_thresh,
+        empty_i = np.empty(0, dtype=np.int32)
+        empty_f = np.empty(0, dtype=np.float64)
+        counts_parts = []
+        for lo in range(0, B, sub):
+            hi = min(lo + sub, B)
+            txp_local = list(self.txp_local[lo:hi])
+            weights = list(self.weights[lo:hi])
+            read_id = list(self.read_id[lo:hi])
+            num_reads = list(self.num_reads[lo:hi])
+            for _ in range(sub - (hi - lo)):
+                # whole dummy cells: all-zero incidence rows, zero init
+                txp_local.append(empty_i)
+                weights.append(empty_f)
+                read_id.append(empty_i)
+                num_reads.append(0)
+            data = DenseCellEm.build(
+                txp_local, weights, read_id,
+                self.a_pad, self.r_pad, self.t_pad,
+                dtype=dtype, put=put,
+            )
+            init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
+                self.t_global
+            ) * np.ones((sub, self.t_pad))
+            cc, _ = run(
+                data, put(init.astype(dtype)),
+                args.max_em_iter, args.convergence_thresh,
+            )
+            counts_parts.append(np.asarray(cc[: hi - lo], dtype=np.float64))
+        counts = (
+            np.concatenate(counts_parts)
+            if len(counts_parts) > 1
+            else counts_parts[0]
         )
-        counts = np.asarray(counts[:B], dtype=np.float64)
         out = []
         for i in range(B):
             t_c = len(self.global_ids[i])

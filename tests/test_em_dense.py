@@ -196,3 +196,36 @@ def test_quant_path_dense_matches_segsum(monkeypatch, tmp_path, shards):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) <= 1e-6 * max(1.0, abs(a[k])), k
+
+
+def test_quant_path_dense_sub_batched_identical(monkeypatch, tmp_path):
+    """A tiny dense budget forces multi-sub-batch buckets (bounded
+    memory at production cell counts); the count matrix must be
+    IDENTICAL to the unbatched dense run — sub-batching only regroups
+    independent cells."""
+    import sys
+
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__)).parent))
+    from util_sim import simulate_bam
+
+    from oarfish_tpu.cli import main
+
+    bam = tmp_path / "sc.bam"
+    simulate_bam(bam, num_reads=300, seed=9, barcodes=BARCODES)
+    monkeypatch.setenv("OARFISH_SC_IMPL", "dense")
+
+    mats = {}
+    for label, budget in (("one", None), ("sub", "0")):
+        if budget is None:
+            monkeypatch.delenv("OARFISH_SC_DENSE_BUDGET_MB", raising=False)
+        else:
+            # zero budget -> sub == 1: every cell runs as its own batch
+            monkeypatch.setenv("OARFISH_SC_DENSE_BUDGET_MB", budget)
+        out = tmp_path / f"out_{label}" / "sc"
+        rc = main([
+            "--alignments", str(bam), "--single-cell", "-o", str(out),
+            "--em-dtype", "float64", "--quiet",
+        ])
+        assert rc == 0
+        mats[label] = _read_mtx_text(out.parent / (out.name + ".count.mtx"))
+    assert mats["one"] == mats["sub"]

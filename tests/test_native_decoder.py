@@ -296,6 +296,53 @@ def test_stream_pack_collation_error(tmp_path, monkeypatch):
         pack_bam_stream(p, FilterOpts(), bin_width=0)
 
 
+def test_stream_pack_consumer_error_cancels_decode(fixture_bam, monkeypatch):
+    """A consumer-side failure must stop the producer after at most the
+    queued chunks — not decode the rest of the file (a collation error
+    on a 50 GB BAM would otherwise stall for the full decode)."""
+    from oarfish_tpu.host import native as native_mod
+    from oarfish_tpu.host import packer as packer_mod
+    from oarfish_tpu.host.packer import pack_bam_stream
+
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+    pulled = [0]
+    orig_stream = native_mod.stream_bam
+
+    def counting_stream(*a, **kw):
+        gen = orig_stream(*a, **kw)
+        if gen is None:
+            return None
+
+        def wrap():
+            try:
+                for chunk in gen:
+                    pulled[0] += 1
+                    yield chunk
+            finally:
+                gen.close()
+
+        return wrap()
+
+    monkeypatch.setattr(native_mod, "stream_bam", counting_stream)
+
+    def boom(*a, **kw):
+        raise RuntimeError("consumer exploded")
+
+    import oarfish_tpu.host.vector_filter as vf
+
+    # pack_bam_stream imports filter_records from the module at call time
+    monkeypatch.setattr(vf, "filter_records", boom)
+
+    with pytest.raises(RuntimeError, match="consumer exploded"):
+        pack_bam_stream(fixture_bam, FilterOpts(), bin_width=0)
+
+    # sanity: the tiny window really does split this file into many chunks
+    total = sum(1 for _ in orig_stream(fixture_bam))
+    assert total > 6, total
+    # producer stopped early: first chunk + at most the queue capacity
+    assert pulled[0] <= 4, (pulled[0], total)
+
+
 def test_streaming_windows_match_single_window(fixture_bam, monkeypatch):
     """Tiny inflate windows (forcing record-tail carries and cross-
     window group stitching) must produce byte-identical columns, group

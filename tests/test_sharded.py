@@ -74,6 +74,31 @@ def test_global_assembly_path_matches_oracle():
     np.testing.assert_allclose(counts, want, rtol=1e-9, atol=1e-9)
 
 
+def test_global_assembly_honors_accel():
+    """`--em-accel squarem` must reach the global-mesh EM (it was
+    silently dropped): the accelerated run lands at the same fixed point
+    as plain EM at a tight threshold."""
+    import jax
+
+    from oarfish_tpu.parallel.multihost import (
+        global_data_mesh,
+        sharded_em_global,
+    )
+
+    rng = np.random.default_rng(8)
+    txp_id, w, boundaries, read_id, R, T = random_csr(rng, R=300, T=40)
+    init = np.full(T, R / T, dtype=np.float64)
+    kw = dict(max_iter=600, convergence_thresh=1e-7, dtype=jnp.float64,
+              mesh=global_data_mesh())
+    c_plain, n_plain = sharded_em_global(
+        txp_id, w, boundaries, T, init, **kw
+    )
+    c_sq, n_sq = sharded_em_global(
+        txp_id, w, boundaries, T, init, accel="squarem", **kw
+    )
+    np.testing.assert_allclose(c_sq, c_plain, rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_squarem_matches_unsharded():
     """SQUAREM over the mesh (segsum + v4) reaches the unsharded
     accelerated fixed point; per-shard psum summation order makes the
