@@ -380,11 +380,22 @@ void oarfish_v4_small_slots(int64_t n, const int64_t* tid,
 // expansion in one pass.
 void oarfish_ramp_fill(int64_t n_items, const int64_t* off,
                        const int64_t* base, int64_t* out) {
-  for (int64_t i = 0; i < n_items; i++) {
-    int64_t* o = out + off[i];
-    const int64_t m = off[i + 1] - off[i], b = base[i];
-    for (int64_t j = 0; j < m; j++) o[j] = b + j;
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (n_items < 4096) nt = 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    pool.emplace_back([&, t] {
+      const int64_t lo = n_items * t / nt, hi = n_items * (t + 1) / nt;
+      for (int64_t i = lo; i < hi; i++) {
+        int64_t* o = out + off[i];
+        const int64_t m = off[i + 1] - off[i], b = base[i];
+        for (int64_t j = 0; j < m; j++) o[j] = b + j;
+      }
+    });
   }
+  for (auto& th : pool) th.join();
 }
 
 // Stable counting sort by small int key: writes order (positions sorted
@@ -394,18 +405,61 @@ void oarfish_ramp_fill(int64_t n_items, const int64_t* off,
 int64_t oarfish_rank_by_key(int64_t n, const int64_t* key, int64_t T,
                             int64_t* order, int64_t* rank,
                             int64_t* run_start) {
-  for (int64_t i = 0; i < n; i++)
-    if (key[i] < 0 || key[i] >= T) return 1;
-  std::vector<int64_t> cnt(T + 1, 0);
-  for (int64_t i = 0; i < n; i++) cnt[key[i] + 1]++;
-  for (int64_t t = 0; t < T; t++) cnt[t + 1] += cnt[t];
-  memcpy(run_start, cnt.data(), size_t(T + 1) * sizeof(int64_t));
-  std::vector<int64_t> pos(cnt.begin(), cnt.end() - 1);
-  for (int64_t i = 0; i < n; i++) {
-    const int64_t k = key[i];
-    const int64_t p = pos[k]++;
-    order[p] = i;
-    rank[i] = p - run_start[k];
+  int nt = (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  // parallel stable counting sort: per-range histograms, per-(thread,
+  // key) offset combine, then each thread scatters its own input range
+  // — positions within a key stay in input order (stability), output
+  // identical to the serial form for any thread count.
+  std::vector<std::vector<int64_t>> cnt_p(nt);
+  std::vector<int64_t> bad(nt, 0);
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+      pool.emplace_back([&, t] {
+        auto& c = cnt_p[t];
+        c.assign(size_t(T) + 1, 0);
+        const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        for (int64_t i = lo; i < hi; i++) {
+          const int64_t k = key[i];
+          if (k < 0 || k >= T) { bad[t] = 1; return; }
+          c[size_t(k) + 1]++;
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int t = 0; t < nt; t++)
+    if (bad[t]) return 1;
+  // run_start[k+1] = total count of key k (exclusive-prefixed below);
+  // cnt_p[t][k] becomes thread t's starting offset within key k's run
+  for (int64_t k = 0; k < T; k++) {
+    int64_t acc = 0;
+    for (int t = 0; t < nt; t++) {
+      const int64_t c = cnt_p[t][size_t(k) + 1];
+      cnt_p[t][size_t(k) + 1] = acc;
+      acc += c;
+    }
+    run_start[k + 1] = acc;
+  }
+  run_start[0] = 0;
+  for (int64_t t = 0; t < T; t++) run_start[t + 1] += run_start[t];
+  {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; t++) {
+      pool.emplace_back([&, t] {
+        auto& off = cnt_p[t];
+        const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        for (int64_t i = lo; i < hi; i++) {
+          const int64_t k = key[i];
+          const int64_t r = off[size_t(k) + 1]++;
+          order[run_start[k] + r] = i;
+          rank[i] = r;
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
   }
   return 0;
 }
