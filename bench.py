@@ -110,6 +110,50 @@ def tpu_phase():
                       "mass": float(counts.sum())}))
 
 
+BASELINE_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def cpu_s_per_iter(txp_id, w, boundaries, read_id):
+    """Per-iteration CPU cost, PINNED across rounds.
+
+    The raw measurement swings with hypervisor contention (observed
+    13.1s -> 40.8s across rounds for identical work), which made the
+    headline `vs_baseline` incomparable round-to-round (VERDICT r2
+    weak-3). Fix: measure min-of-N once per (R,T,MEAN_K) shape, persist
+    it to BENCH_BASELINE.json (committed), and reuse; the pinned number
+    only updates when it IMPROVES (a lower minimum is strictly less
+    contended — the estimator converges downward to the true cost).
+    Delete the file or set OARFISH_BENCH_REBASE=1 to force remeasure."""
+    key = f"R={R},T={T},K={MEAN_K}"
+    cache = {}
+    if os.environ.get("OARFISH_BENCH_REBASE") != "1":
+        try:
+            with open(BASELINE_CACHE) as f:
+                cache = json.load(f)
+        except Exception:  # noqa: BLE001
+            cache = {}
+    measured = bench_cpu(txp_id, w, boundaries, read_id, 1)
+    prev = cache.get(key)
+    if prev is None or measured < prev["cpu_s_per_iter"]:
+        cache[key] = {
+            "cpu_s_per_iter": measured,
+            "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime()),
+        }
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except Exception:  # noqa: BLE001
+            pass
+    pinned = cache[key]["cpu_s_per_iter"]
+    sys.stderr.write(
+        f"cpu baseline: measured {measured:.3f}s/iter, pinned "
+        f"{pinned:.3f}s/iter ({key})\n"
+    )
+    return pinned
+
+
 def bench_cpu(txp_id, w, boundaries, read_id, iters):
     """Vectorized NumPy m-step (f64, like the reference accumulators).
 
@@ -272,19 +316,23 @@ def main():
     if scale.startswith("quick") or scale.startswith("cpu"):
         R, T, ITERS = 200_000, 50_000, 20
     reads_per_s = res["R"] * res["iters"] / res["dt_per_iters"]
+    ms_per_iter = 1000.0 * res["dt_per_iters"] / res["iters"]
     txp_id, w, boundaries, read_id, A = make_csr()
-    cpu_dt = bench_cpu(txp_id, w, boundaries, read_id, res["iters"])
+    cpu_iter = cpu_s_per_iter(txp_id, w, boundaries, read_id)
+    cpu_dt = cpu_iter * res["iters"]
     sys.stderr.write(
-        f"tpu: {res['dt_per_iters']:.3f}s/{res['iters']} iters; "
-        f"cpu extrapolated {cpu_dt:.3f}s; scale={scale}\n"
+        f"tpu: {res['dt_per_iters']:.3f}s/{res['iters']} iters "
+        f"({ms_per_iter:.2f} ms/iter); cpu pinned {cpu_dt:.3f}s; "
+        f"scale={scale}\n"
     )
     print(json.dumps({
         "metric": "em_reads_per_sec",
         "value": round(reads_per_s, 1),
         "unit": (
             f"reads*iters/s (R={res['R']}, T={T}, f32 scatter-free EM, "
-            f"1 chip, scale={scale})"
+            f"1 chip, scale={scale}, {ms_per_iter:.2f} ms/iter)"
         ),
+        "ms_per_iter": round(ms_per_iter, 3),
         "vs_baseline": round(cpu_dt / res["dt_per_iters"], 2),
     }))
 

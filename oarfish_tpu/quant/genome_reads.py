@@ -6,11 +6,18 @@ spliced-aligned to the genome with the native mapper, the chained anchor
 blocks are projected onto the annotation's transcripts, filtered
 (`filter_projected`), and quantified on device.
 
-Differences from the reference's pipeline (documented descoping):
-soft-clip rescue against neighboring exon sequence is not yet performed,
-and the spliced mapper reports chained anchor blocks rather than
-base-level CIGARs (block edges are anchor-resolution, so junction
-matching uses a tolerance).
+Soft-clip rescue against neighboring exon sequence (bramble's
+default-on feature, disabled by `--no-rescue`) IS implemented: the
+genome sequences are in hand from the FASTA being indexed, a `RescueDb`
+is built over them, and each mapped read's soft-clipped tails are
+re-aligned against flanking exon sequence during projection
+(`genome/rescue.py`; measured in `scripts/rescue_eval.py` — rescue
+roughly halves MARD on a simulated skipped-exon world).
+
+Remaining difference from the reference's pipeline (documented
+descoping, PARITY.md): the spliced mapper reports chained anchor blocks
+rather than base-level CIGARs, so block edges are anchor-resolution and
+junction matching uses a tolerance.
 """
 
 from __future__ import annotations
