@@ -127,6 +127,7 @@ def pack_bam_stream(
     sort_check_num: int = 100_000,
     keep_names: bool = False,
     timings: Optional[dict] = None,
+    chunk_observer=None,
 ):
     """Overlapped streaming pack: the C++ decoder produces group-aligned
     columnar chunks on a producer thread (the ctypes call releases the
@@ -245,6 +246,11 @@ def pack_bam_stream(
                         f"{path}: stream chunk missing group names"
                     )
             packed_chunks.append(packed)
+            if chunk_observer is not None:
+                # feed the routed-EM prebuilder (ops/em_v4.V4Prebuild):
+                # layout pre-work runs on its thread while later chunks
+                # decode — the pack→build overlap (VERDICT r2 next-1)
+                chunk_observer(packed)
             discard.aggregate(packed.discard)
             num_unique += packed.num_unique_alignments
             num_unmapped += chunk.num_unmapped
@@ -318,6 +324,7 @@ def pack_bam_fast(
     sort_check_num: int = 100_000,
     keep_names: bool = False,
     timings: Optional[dict] = None,
+    chunk_observer=None,
 ):
     """Fast pack: overlapped streaming decode + vectorized filtering +
     CSR assembly (C++ decoder), falling back to the Python reader when
@@ -341,6 +348,7 @@ def pack_bam_fast(
             sort_check_num=sort_check_num,
             keep_names=keep_names,
             timings=timings,
+            chunk_observer=chunk_observer,
         )
         if res is not None:
             return res

@@ -118,6 +118,176 @@ def _pow2_buckets(sizes: np.ndarray, shuffle_rng, buckets=None,
     return shapes, starts, row_parts, n_slots
 
 
+_POW2 = 1 << np.arange(63, dtype=np.int64)
+
+
+def _pow2_buckets_pre(class_rows, max_size, shuffle_rng, buckets=None,
+                      align_groups: bool = False):
+    """`_pow2_buckets` from prebuilt per-class member lists (ascending
+    ids — the chunk-incremental path). Mirrors `_pow2_buckets` exactly,
+    including rng consumption order, so the resulting layout is
+    bit-identical to the monolithic build (differential-tested in
+    tests/test_static_routing.py)."""
+    if buckets is None:
+        maxk = max(int(max_size), 1)
+        ks: List[int] = []
+        K = 1
+        while K < maxk:
+            ks.append(K)
+            K *= 2
+        ks.append(max(K, 1))
+        buckets = [
+            (K, _pad128(len(class_rows[K])))
+            for K in ks
+            if len(class_rows.get(K, ())) > 0
+        ]
+    shapes = []
+    starts = []
+    row_parts = []
+    n_slots = 0
+    empty = np.empty(0, dtype=np.int64)
+    for K, rows_pad in buckets:
+        rows = class_rows.get(K, empty)
+        assert _pad128(len(rows)) <= rows_pad
+        rows = shuffle_rng.permutation(rows)
+        if align_groups:
+            span = K * LANES
+            n_slots = ((n_slots + span - 1) // span) * span
+        starts.append(n_slots)
+        shapes.append((int(rows_pad), int(K)))
+        row_parts.append(rows)
+        n_slots += rows_pad * K
+    return shapes, starts, row_parts, n_slots
+
+
+class V4Prebuild:
+    """Chunk-incremental precomputation of the v4 layout's A-sized
+    inputs, overlapped with the streaming pack (the reference's
+    producer→consumer ingest shape, `bulk.rs:364-682`, extended to the
+    routing build the reference doesn't have).
+
+    As filtered CSR chunks land (`host/packer.py` `chunk_observer`), a
+    worker thread accumulates, off the post-pack critical path:
+      - per-transcript alignment counts (running bincount),
+      - each alignment's global rank within its transcript
+        (chunk-local counting-sort rank + the running prefix count),
+      - read power-of-two size-class member lists (class of a read is
+        final when its chunk lands — groups never straddle chunks).
+    `_v4_layout(pre=...)` then skips its own `rank`/`read_buckets`/
+    `bincount` passes and reconstructs `ord2` with one scatter. The
+    results are bit-identical to the monolithic path."""
+
+    def __init__(self, queue_depth: int = 8):
+        import queue as _queue
+        import threading as _threading
+
+        self.counts = np.zeros(1024, dtype=np.int64)
+        self.rank_chunks: List[np.ndarray] = []
+        self.class_rows: dict = {}
+        self.read_off = 0
+        self.aln_off = 0
+        self.max_size = 0
+        self._err: Optional[BaseException] = None
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=queue_depth)
+        self._th = _threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    # -- producer side (pack consumer thread)
+    def observe(self, packed) -> None:
+        if self._err is None:
+            self._q.put((packed.txp_id, np.diff(packed.boundaries)))
+
+    # -- worker
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is not None:
+                continue  # drain
+            try:
+                self._ingest(*item)
+            except BaseException as e:  # noqa: BLE001 — falls back
+                self._err = e
+
+    def _ingest(self, txp_id: np.ndarray, sizes: np.ndarray) -> None:
+        from . import balance as _balance
+
+        t64 = np.ascontiguousarray(txp_id, dtype=np.int64)
+        if len(t64):
+            tmax = int(t64.max())
+            if tmax >= len(self.counts):
+                grown = np.zeros(
+                    max(tmax + 1, 2 * len(self.counts)), dtype=np.int64
+                )
+                grown[: len(self.counts)] = self.counts
+                self.counts = grown
+            rk = _balance.rank_by_key(t64, len(self.counts))
+            if rk is not None:
+                local_rank = rk[1]
+            else:
+                ordc = np.argsort(t64, kind="stable")
+                cc = np.bincount(t64, minlength=len(self.counts))
+                rs = np.zeros(len(cc) + 1, dtype=np.int64)
+                np.cumsum(cc, out=rs[1:])
+                lr = np.arange(len(t64), dtype=np.int64) - rs[t64[ordc]]
+                local_rank = np.empty(len(t64), dtype=np.int64)
+                local_rank[ordc] = lr
+            self.rank_chunks.append(local_rank + self.counts[t64])
+            self.counts[: tmax + 1] += np.bincount(t64, minlength=tmax + 1)
+        sizes = np.asarray(sizes, dtype=np.int64)
+        if len(sizes):
+            self.max_size = max(self.max_size, int(sizes.max()))
+            cls = np.searchsorted(_POW2, sizes, side="left")
+            for c in np.unique(cls):
+                K = int(_POW2[c])
+                ids = self.read_off + np.nonzero(cls == c)[0]
+                self.class_rows.setdefault(K, []).append(ids)
+        self.read_off += len(sizes)
+        self.aln_off += len(t64)
+
+    def finish(self, num_txps: int) -> Optional[dict]:
+        """Join the worker and assemble the layout inputs; None when
+        ingestion failed (the caller builds monolithically)."""
+        self._q.put(None)
+        self._th.join()
+        if self._err is not None:
+            import logging
+
+            logging.getLogger("oarfish_tpu").warning(
+                "v4 prebuild failed (%s); building monolithically",
+                self._err,
+            )
+            return None
+        if len(self.counts) < num_txps:
+            grown = np.zeros(num_txps, dtype=np.int64)
+            grown[: len(self.counts)] = self.counts
+            self.counts = grown
+        empty = np.empty(0, dtype=np.int64)
+        return {
+            "counts": self.counts[:num_txps],
+            "rank": (
+                np.concatenate(self.rank_chunks)
+                if self.rank_chunks
+                else empty
+            ),
+            "classes": {
+                K: np.concatenate(parts)
+                for K, parts in self.class_rows.items()
+            },
+            "max_size": self.max_size,
+            "A": self.aln_off,
+            "R": self.read_off,
+        }
+
+    def abort(self) -> None:
+        self._err = self._err or RuntimeError("aborted")
+        try:
+            self._q.put_nowait(None)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def compute_envelope(txp_id, boundaries, num_txps) -> dict:
     """Static-shape requirements of this dataset's v4 layout. Merging
     envelopes across read shards (`merge_envelopes`) and passing the
@@ -237,14 +407,49 @@ class EmV4Data:
         debug: bool = False,
         envelope: Optional[dict] = None,
         geometry: Optional[Tuple[int, int]] = None,
+        pre: Optional[dict] = None,
     ):
         """Build the routed device state. `envelope` (see
         `compute_envelope`/`merge_envelopes`) forces the bucket/t-space
         static shapes and `geometry` the route (chunk-pad, Q) — both are
-        required to be shard-uniform for the sharded v4 path."""
+        required to be shard-uniform for the sharded v4 path. `pre`
+        (from `V4Prebuild.finish`) supplies the A-sized layout inputs
+        precomputed during the streaming pack.
+
+        Single-shard non-debug builds consult the persistent plan cache
+        (ops/plan_cache.py): the layout + route tables depend only on
+        the CSR structure, so re-quantifying the same alignments skips
+        the whole build (weights re-enter via one w_txp scatter)."""
+        import logging as _logging
         import os as _os
 
-        lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope)
+        from . import plan_cache
+
+        _plog = _logging.getLogger("oarfish_tpu")
+        cache_key = None
+        if (
+            not debug and envelope is None and geometry is None
+            and plan_cache.enabled()
+        ):
+            cache_key = plan_cache.layout_key(txp_id, boundaries, num_txps)
+            hit = plan_cache.load(cache_key)
+            if hit is not None:
+                try:
+                    out = plan_cache.finish_from_cache(
+                        hit, np.asarray(weights, dtype=np.float64)
+                    )
+                    _plog.info(
+                        "v4 plan cache hit (%s…): route build skipped",
+                        cache_key[:12],
+                    )
+                    return out
+                except Exception as e:  # noqa: BLE001 — treat as miss
+                    _plog.warning(
+                        "v4 plan cache entry unusable (%s); rebuilding", e
+                    )
+
+        lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope,
+                         pre=pre)
         # rect rebuild is OPT-IN: the same-process A/B at the bench
         # shape (scripts/rect_ab_bench.py, 2026-08-17) has the square
         # Q=256 strided exchange at 1.76 ms/iter vs rect 256x384 Q=128
@@ -260,7 +465,7 @@ class EmV4Data:
             )
             if lay2 is not None:
                 lay = lay2
-        data = _v4_finish(lay, geometry)
+        data = _v4_finish(lay, geometry, cache_key=cache_key)
         if debug:
             return data, lay["read_order"], lay["dbg"]
         return data, lay["read_order"]
@@ -273,6 +478,7 @@ def _v4_layout(
     num_txps: int,
     envelope: Optional[dict] = None,
     rect_hint: Optional[Tuple[int, int, int, int]] = None,
+    pre: Optional[dict] = None,
 ) -> dict:
     """Phase 1 of the v4 build: bucket layouts, slot maps, and the tiny
     T-space tile permutes — everything except the two GlobalRoutes (whose
@@ -304,6 +510,17 @@ def _v4_layout(
     T = int(num_txps)
     sizes = np.diff(boundaries)
 
+    if pre is not None and (
+        pre["A"] != A or pre["R"] != R or len(pre["counts"]) != T
+    ):
+        import logging as _logging
+
+        _logging.getLogger("oarfish_tpu").warning(
+            "v4 prebuild shape mismatch (A %d/%d, R %d/%d); building "
+            "monolithically", pre["A"], A, pre["R"], R,
+        )
+        pre = None
+
     from . import balance as _balance
 
     use_balance = (
@@ -314,16 +531,28 @@ def _v4_layout(
 
     # ---- read-side buckets (membership only; rows assigned below)
     rng_r = np.random.default_rng(3)
-    read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
-        sizes, rng_r,
-        envelope["read_buckets"] if envelope else None,
-        align_groups=True,
-    )
+    if pre is not None:
+        read_shapes, read_starts, read_row_parts, n_slots_r = (
+            _pow2_buckets_pre(
+                pre["classes"], pre["max_size"], rng_r,
+                envelope["read_buckets"] if envelope else None,
+                align_groups=True,
+            )
+        )
+    else:
+        read_shapes, read_starts, read_row_parts, n_slots_r = _pow2_buckets(
+            sizes, rng_r,
+            envelope["read_buckets"] if envelope else None,
+            align_groups=True,
+        )
     row_space_r = sum(rp for rp, _ in read_shapes)
     _tick("read_buckets")
 
     # ---- transcript-side buckets (pow2 up to CAPK, then row-chunked)
-    counts = np.bincount(txp_id, minlength=T)
+    counts = (
+        pre["counts"] if pre is not None
+        else np.bincount(txp_id, minlength=T)
+    )
     rng_t = np.random.default_rng(5)
     small_mask = (counts > 0) & (counts <= CAPK)
     small_sizes = np.where(small_mask, counts, 0)
@@ -382,17 +611,26 @@ def _v4_layout(
     _tick("big_tables")
 
     # per-alignment rank within its transcript (native counting sort;
-    # the NumPy form costs an A-sized stable argsort + 4 more passes)
-    _rk = _balance.rank_by_key(txp_id, T)
-    if _rk is not None:
-        ord2, rank, run_start = _rk
-    else:
-        ord2 = np.argsort(txp_id, kind="stable")
+    # the NumPy form costs an A-sized stable argsort + 4 more passes).
+    # With a prebuild, ranks arrived chunk-incrementally during the
+    # pack and ord2 is one scatter (rank IS the stable position).
+    if pre is not None:
+        rank = pre["rank"]
         run_start = np.zeros(T + 1, dtype=np.int64)
         np.cumsum(counts, out=run_start[1:])
-        rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
-        rank = np.zeros(A, dtype=np.int64)
-        rank[ord2] = rank_sorted
+        ord2 = np.empty(A, dtype=np.int64)
+        ord2[run_start[txp_id] + rank] = np.arange(A, dtype=np.int64)
+    else:
+        _rk = _balance.rank_by_key(txp_id, T)
+        if _rk is not None:
+            ord2, rank, run_start = _rk
+        else:
+            ord2 = np.argsort(txp_id, kind="stable")
+            run_start = np.zeros(T + 1, dtype=np.int64)
+            np.cumsum(counts, out=run_start[1:])
+            rank_sorted = np.arange(A) - run_start[txp_id[ord2]]
+            rank = np.zeros(A, dtype=np.int64)
+            rank[ord2] = rank_sorted
     _tick("rank")
 
     # ---- big-transcript slots (fixed contiguous rows; their alignment
@@ -1094,14 +1332,17 @@ def _read_lvl_ids(read_shapes, read_starts, n_chunks: int,
     ).copy()
 
 
-def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
+def _v4_finish(lay: dict, geometry=None, cache_key=None) -> EmV4Data:
     """Phase 2: construct the two GlobalRoutes (optionally with a forced
     shard-uniform (chunk_rows, npad, (npd, Q)) config) and assemble the
     device state. The routes over the unified rounded space are partial
     injective maps: uncovered outputs — the bucket pads — come out
-    ZERO, which is exactly the invariant both row-sum stages need."""
+    ZERO, which is exactly the invariant both row-sum stages need.
+    With `cache_key` the host-side products are persisted to the plan
+    cache on a background thread (ops/plan_cache.py)."""
     from .static_permute import build_route_pair_async
 
+    keep_host = cache_key is not None
     if geometry is None and "rect" in lay:
         # rectangular geometry from _try_rect_rebuild: txp side at its
         # natural chunk count, read side diluted to n_dst chunks
@@ -1111,6 +1352,7 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
             lay["slot_of_aln"], lay["txp_slot_of_aln"], n_src * CHR,
             n_pad_out=n_dst * CHR,
             force_geometry=(n_src, n_dst, Q), chunk_rows=CR,
+            keep_host=keep_host,
         )
     else:
         if geometry is None:
@@ -1120,6 +1362,7 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
         routes = build_route_pair_async(
             lay["slot_of_aln"], lay["txp_slot_of_aln"], NPAD,
             force_geometry=geo, chunk_rows=CR,
+            keep_host=keep_host,
         )
     # geometry is known immediately; build + ship everything that only
     # depends on it WHILE the native coloring/table fill runs on its
@@ -1135,6 +1378,13 @@ def _v4_finish(lay: dict, geometry=None) -> EmV4Data:
     lay["dbg"]["w_txp"] = w_txp[: lay["n_slots_t"]]
     w_txp_dev = jnp.asarray(w_txp, dtype=jnp.float32)
     p_a, p_b = routes()
+    if cache_key is not None and hasattr(routes, "host"):
+        from . import plan_cache
+
+        plan_cache.store_async(
+            cache_key,
+            plan_cache.payload_from_build(lay, routes.host, seg_id),
+        )
 
     return EmV4Data(
         w_txp=w_txp_dev,

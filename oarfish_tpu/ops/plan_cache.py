@@ -1,0 +1,233 @@
+"""Persistent v4 routing-plan cache.
+
+The v4 layout + route tables are a pure function of the CSR STRUCTURE
+(`txp_id`, `boundaries`, `num_txps`) plus a handful of layout env knobs
+— per-alignment weights only enter at the final `w_txp` fill. Building
+them costs tens of seconds at GENCODE scale (the dominant host phase of
+a warm run; VERDICT r2 weak-1), so re-quantifying the same alignments
+(different filters downstream of packing don't change the CSR? they do
+— the key hashes the POST-filter CSR, so any change that alters the
+retained alignments changes the key) with different EM options,
+bootstrap counts, or output surfaces should not pay it twice.
+
+This is the same design point as JAX's persistent compilation cache
+(already enabled by the CLI): key = blake2b over the structure bytes +
+knob fingerprint + format version; value = the host-side layout products
+and the nine int8 routing tables per route, pickled. On a hit the build
+reduces to one `w_txp` scatter + device transfers.
+
+Cache location: `$OARFISH_PLAN_CACHE_DIR` or
+`~/.cache/oarfish_tpu/plans`; disable with `OARFISH_PLAN_CACHE=0`. Total
+size is capped (`OARFISH_PLAN_CACHE_GB`, default 4) with oldest-first
+eviction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("oarfish_tpu")
+
+VERSION = 1
+
+# env knobs that change the layout/route construction — part of the key
+_KNOBS = (
+    "OARFISH_RECT",
+    "OARFISH_NO_REPAIR",
+    "OARFISH_ROUTE_Q128",
+    "OARFISH_V4_NO_BALANCE",
+    "OARFISH_FORCE_CR",
+)
+
+# lay fields the cached finish needs (everything except the A-sized
+# slot_of_aln — only the route build consumes it — and weights/dbg)
+_LAY_FIELDS = (
+    "txp_slot_of_aln", "read_order", "big_row_of_txp", "big_row_offsets",
+    "read_shapes", "read_starts", "n_slots_r", "row_space_r",
+    "small_shapes", "small_starts", "row_space_s", "big_rows_pad",
+    "n_big", "n_slots_t", "t_space", "num_reads", "num_txps",
+)
+
+
+def enabled() -> bool:
+    return os.environ.get("OARFISH_PLAN_CACHE", "1") != "0"
+
+
+def cache_dir() -> Path:
+    d = os.environ.get("OARFISH_PLAN_CACHE_DIR")
+    if d:
+        return Path(d)
+    return Path.home() / ".cache" / "oarfish_tpu" / "plans"
+
+
+def layout_key(txp_id: np.ndarray, boundaries: np.ndarray,
+               num_txps: int) -> str:
+    h = hashlib.blake2b(digest_size=20)
+    h.update(f"v{VERSION};T={num_txps};".encode())
+    for k in _KNOBS:
+        h.update(f"{k}={os.environ.get(k, '')};".encode())
+    t = np.ascontiguousarray(txp_id)
+    b = np.ascontiguousarray(boundaries)
+    h.update(str(t.dtype).encode())
+    h.update(t.tobytes())
+    h.update(str(b.dtype).encode())
+    h.update(b.tobytes())
+    return h.hexdigest()
+
+
+def load(key: str) -> Optional[dict]:
+    p = cache_dir() / f"{key}.plan"
+    try:
+        with open(p, "rb") as fh:
+            payload = pickle.load(fh)
+        if payload.get("version") != VERSION:
+            return None
+        os.utime(p)  # LRU touch
+        return payload
+    except FileNotFoundError:
+        return None
+    except Exception as e:  # noqa: BLE001 — a corrupt entry is a miss
+        log.warning("plan cache entry %s unreadable (%s); rebuilding",
+                    p.name, e)
+        try:
+            p.unlink()
+        except OSError:
+            pass
+        return None
+
+
+def _evict(budget_bytes: int, incoming: int) -> None:
+    d = cache_dir()
+    try:
+        entries = sorted(
+            ((p.stat().st_mtime, p.stat().st_size, p)
+             for p in d.glob("*.plan")),
+        )
+    except OSError:
+        return
+    total = sum(s for _, s, _ in entries) + incoming
+    for _, size, p in entries:
+        if total <= budget_bytes:
+            break
+        try:
+            p.unlink()
+            total -= size
+        except OSError:
+            pass
+
+
+def store_async(key: str, payload: dict) -> threading.Thread:
+    """Serialize + write on a background thread (the payload is already
+    host-resident; pickling ~hundreds of MB costs ~1s we keep off the
+    run's critical path)."""
+
+    def write():
+        try:
+            import jax
+
+            d = cache_dir()
+            d.mkdir(parents=True, exist_ok=True)
+            payload["version"] = VERSION
+            # t_in/t_out arrive as device trees; fetch them here so the
+            # transfer (one tunnel round trip) stays off the run's
+            # critical path
+            payload["t_io"] = jax.device_get(payload["t_io"])
+            blob = pickle.dumps(payload, protocol=5)
+            budget = int(
+                float(os.environ.get("OARFISH_PLAN_CACHE_GB", "4")) * 1e9
+            )
+            _evict(budget, len(blob))
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, d / f"{key}.plan")
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            log.warning("plan cache store failed: %s", e)
+
+    th = threading.Thread(target=write, daemon=True)
+    th.start()
+    return th
+
+
+def payload_from_build(lay: dict, routes_host: Tuple[dict, dict],
+                       seg_id: Optional[np.ndarray]) -> dict:
+    return {
+        "lay": {k: lay[k] for k in _LAY_FIELDS},
+        "routes": routes_host,
+        "seg_id": seg_id,
+        "t_io": (lay["t_in"], lay["t_out"]),  # device; fetched at store
+    }
+
+
+def finish_from_cache(payload: dict, weights: np.ndarray):
+    """Reassemble (EmV4Data, read_order) from a cache hit + this run's
+    weights. Mirrors `_v4_finish` minus the route build."""
+    import jax
+    import jax.numpy as jnp
+
+    from .em_v4 import EmV4Data
+    from .gather_pallas import LANES
+    from .static_permute import GlobalRoutePlan
+
+    lay = payload["lay"]
+
+    def plan(h):
+        t = h["tables"]
+        (n_in, n_out, n_src, n_dst, Q, R1, R3, CR) = h["meta"]
+        return GlobalRoutePlan(
+            s1_r1=jnp.asarray(t[0]),
+            s1_src=None if t[1] is None else jnp.asarray(t[1]),
+            s1_row=jnp.asarray(t[2]),
+            s1_r2=jnp.asarray(t[3]),
+            s3_r1=jnp.asarray(t[4]),
+            s3_src=jnp.asarray(t[5]),
+            s3_row=jnp.asarray(t[6]),
+            s3_r2=jnp.asarray(t[7]),
+            s3_mask=jnp.asarray(t[8]),
+            n_in=n_in, n_out=n_out, n_src=n_src, n_dst=n_dst,
+            Q=Q, R1=R1, R3=R3, chunk_rows=CR,
+        )
+
+    p_a = plan(payload["routes"][0])
+    p_b = plan(payload["routes"][1])
+    n_src = payload["routes"][0]["meta"][2]
+    CR = payload["routes"][0]["meta"][7]
+    w_txp = np.zeros(n_src * CR * LANES, dtype=np.float64)
+    w_txp[lay["txp_slot_of_aln"]] = weights
+    t_in, t_out = jax.tree_util.tree_map(jnp.asarray, payload["t_io"])
+    seg_id = payload["seg_id"]
+    data = EmV4Data(
+        w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
+        p_a=p_a,
+        p_b=p_b,
+        t_in=t_in,
+        t_out=t_out,
+        big_row_of_txp=jnp.asarray(lay["big_row_of_txp"],
+                                   dtype=jnp.int32),
+        big_row_offsets=jnp.asarray(lay["big_row_offsets"],
+                                    dtype=jnp.int32),
+        seg_id=None if seg_id is None else jnp.asarray(seg_id),
+        read_shapes=lay["read_shapes"],
+        read_starts=lay["read_starts"],
+        n_slots_r=lay["n_slots_r"],
+        row_space_r=lay["row_space_r"],
+        small_shapes=lay["small_shapes"],
+        small_starts=lay["small_starts"],
+        row_space_s=lay["row_space_s"],
+        big_rows_pad=lay["big_rows_pad"],
+        n_big=lay["n_big"],
+        n_slots_t=lay["n_slots_t"],
+        t_space=lay["t_space"],
+        num_reads=lay["num_reads"],
+        num_txps=lay["num_txps"],
+    )
+    return data, lay["read_order"]

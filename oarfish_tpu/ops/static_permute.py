@@ -1369,6 +1369,7 @@ def build_route_pair_async(
     force_geometry: Optional[Tuple[int, ...]] = None,
     chunk_rows: int = LANES,
     n_pad_out: Optional[int] = None,
+    keep_host: bool = False,
 ):
     """`build_route_pair` with the heavy table fill running on a worker
     thread (the native entry point releases the GIL and runs its own
@@ -1376,7 +1377,8 @@ def build_route_pair_async(
     .chunk_rows` are valid immediately — so the caller can build and
     device-transfer everything geometry-dependent (w_txp, seg_id)
     concurrently with the coloring. Call the handle to join and get
-    (fwd.plan, rev.plan)."""
+    (fwd.plan, rev.plan). With `keep_host=True` the host-side tables
+    survive as `handle.host` (for the persistent plan cache)."""
     import threading
 
     from .permute_plan import route_tables_pair_native
@@ -1410,6 +1412,15 @@ def build_route_pair_async(
         th.join()
         if "err" in state:
             raise state["err"]
+        if keep_host:
+            handle.host = tuple(
+                {
+                    "tables": r._tables,
+                    "meta": (r.n_in, r.n_out, r.n_src, r.n_dst, r.Q,
+                             r.R1, r.R3, r.chunk_rows),
+                }
+                for r in (fwd, rev)
+            )
         fwd._finalize()
         rev._finalize()
         return fwd.plan, rev.plan

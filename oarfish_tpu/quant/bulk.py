@@ -131,8 +131,10 @@ def perform_inference_and_write_output(
     args: Args,
     digest: dict,
     aln_time_s: float,
+    pre: Optional[dict] = None,
 ) -> np.ndarray:
-    """Shared inference + output tail (`bulk.rs:83-210`)."""
+    """Shared inference + output tail (`bulk.rs:83-210`). `pre` carries
+    the v4 layout inputs prebuilt during the streaming pack."""
     log.info("discard table:\n%s", store.discard.to_table())
 
     if args.sharded_inputs:
@@ -248,7 +250,8 @@ def perform_inference_and_write_output(
         try:
             t0 = time.time()
             v3data, _order = _Data.build(
-                store.txp_id, w, store.boundaries, T
+                store.txp_id, w, store.boundaries, T,
+                **({"pre": pre} if impl == "v4" else {}),
             )
             log.info("%s routing built in %.1fs", impl, time.time() - t0)
             runner = make_runner(v3data, accel=args.em_accel)
@@ -751,22 +754,44 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
     """Alignment-mode entry (`bulk.rs:212-259`)."""
     from ..host.packer import pack_bam_fast
 
+    # Overlap the routed-EM layout pre-work with the streaming pack
+    # (VERDICT r2 next-1): a V4Prebuild worker consumes filtered CSR
+    # chunks as they land and accumulates the A-sized layout inputs
+    # (counts / ranks / read size classes) that _v4_layout would
+    # otherwise recompute serially after the pack.
+    prebuilder = None
+    if (
+        args.em_impl in ("auto", "v4")
+        and args.num_shards <= 1
+        and os.environ.get("OARFISH_PREBUILD") != "0"
+    ):
+        from ..ops.em_v4 import V4Prebuild
+
+        prebuilder = V4Prebuild()
+
     t0 = time.time()
     pack_timings: dict = {}
-    header, store, coverage, _num_unmapped = pack_bam_fast(
-        args.alignments,
-        opts,
-        bin_width=args.bin_width,
-        threads=max(args.threads - 1, 1),
-        sort_check_num=args.sort_check_num,
-        keep_names=opts.write_assignment_probs,
-        timings=pack_timings,
-    )
+    try:
+        header, store, coverage, _num_unmapped = pack_bam_fast(
+            args.alignments,
+            opts,
+            bin_width=args.bin_width,
+            threads=max(args.threads - 1, 1),
+            sort_check_num=args.sort_check_num,
+            keep_names=opts.write_assignment_probs,
+            timings=pack_timings,
+            chunk_observer=prebuilder.observe if prebuilder else None,
+        )
+    except BaseException:
+        if prebuilder is not None:
+            prebuilder.abort()
+        raise
     verify_header(header, args.alignments)
     txps_name = header.ref_names
     txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
     log.info("parsed reference information for %d transcripts.", len(txps_name))
     digest = {"bam_digest": LazyDigest(digest_from_header, txps_name, txps_len)}
+    pre = prebuilder.finish(len(txps_name)) if prebuilder else None
     aln_time_s = time.time() - t0
     log.info("Parsing of alignments from input took %.3fs", aln_time_s)
 
@@ -779,4 +804,5 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         args,
         digest,
         aln_time_s,
+        pre=pre,
     )

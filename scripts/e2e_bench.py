@@ -265,6 +265,9 @@ def run_once(bam_path, out_prefix, impl="auto", threads=4):
     finally:
         packer_mod.pack_bam_fast = orig
         logging.getLogger("oarfish_tpu").removeHandler(cap)
+    import resource
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     return {
         "wall_s": round(wall, 3),
         "pack": {k: round(v, 3) if isinstance(v, float) else v
@@ -274,6 +277,7 @@ def run_once(bam_path, out_prefix, impl="auto", threads=4):
         "em_iters": cap.em_iters,
         "impl": cap.impl,
         "counts_sum": float(np.sum(counts)),
+        "peak_rss_gb": round(peak_rss_gb, 2),
     }
 
 

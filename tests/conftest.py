@@ -9,6 +9,11 @@ forced to cpu through jax.config, before any backend initialization.
 
 import os
 
+# the persistent v4 plan cache would short-circuit rebuild-twice
+# differential tests (and write to ~/.cache from CI); the dedicated
+# cache tests opt back in with a tmp dir
+os.environ.setdefault("OARFISH_PLAN_CACHE", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

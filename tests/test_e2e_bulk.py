@@ -293,3 +293,31 @@ def test_write_out_prob_matches_scalar_oracle(tmp_path):
         lines.append(f"{nm}\t{len(kt)}\t{ids}\t{pv}")
     want = ("\n".join(lines) + "\n").encode()
     assert got == want
+
+
+def test_pack_chunk_observer_prebuild(sim):
+    """The streaming pack's chunk_observer feeds V4Prebuild slices that
+    reassemble to exactly the packed store (the pack→layout overlap
+    path, `bulk.rs:364-682` producer→consumer shape)."""
+    from oarfish_tpu.host.packer import pack_bam_fast
+    from oarfish_tpu.ops.em_v4 import V4Prebuild
+
+    _d, bam, names, lengths, _truth = sim
+    pb = V4Prebuild()
+    header, store, coverage, _ = pack_bam_fast(
+        bam, FilterOpts(), bin_width=100, threads=2,
+        chunk_observer=pb.observe,
+    )
+    pre = pb.finish(len(names))
+    assert pre is not None
+    assert pre["A"] == store.num_alignments
+    assert pre["R"] == store.num_reads
+    want_counts = np.bincount(store.txp_id, minlength=len(names))
+    assert np.array_equal(pre["counts"], want_counts)
+    sizes = np.diff(store.boundaries)
+    # every read appears in exactly one size class
+    total = sum(len(v) for v in pre["classes"].values())
+    assert total == store.num_reads
+    for K, ids in pre["classes"].items():
+        s = sizes[ids]
+        assert (s <= K).all() and (s > K // 2).all()

@@ -267,3 +267,64 @@ def test_two_process_sharded_raw_reads(tmp_path):
     a = np.array([c_mp[k] for k in sorted(c_mp)])
     b = np.array([c_sp[k] for k in sorted(c_sp)])
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_four_process_cli_matches_single(tmp_path):
+    """BASELINE's ≥0.8 @ 4 hosts target is a 4-PROCESS topology: four
+    OS processes under one gloo runtime (2 virtual devices each = 8
+    global), full CLI, one psum per EM iteration. Counts must match the
+    single-process serial oracle; only process 0 writes."""
+    bam = tmp_path / "sim4.bam"
+    simulate_bam(bam, num_reads=400, seed=41)
+    port = _free_port()
+    repo = Path(__file__).resolve().parent.parent
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["OARFISH_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = []
+    for pid in range(4):
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "oarfish_tpu",
+                    "--alignments", str(bam),
+                    "-o", str(tmp_path / f"p{pid}"),
+                    "--em-dtype", "float64",
+                    "--coordinator", f"localhost:{port}",
+                    "--num-processes", "4",
+                    "--process-id", str(pid),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=repo,
+            )
+        )
+    outs = [p.communicate(timeout=540) for p in procs]
+    for p, (_so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{se[-3000:]}"
+    assert any("multi-host EM (4 processes, 8 devices)" in se
+               for _, se in outs)
+    assert (tmp_path / "p0.quant").exists()
+    for pid in range(1, 4):
+        assert not (tmp_path / f"p{pid}.quant").exists()
+
+    r = subprocess.run(
+        [sys.executable, "-m", "oarfish_tpu",
+         "--alignments", str(bam), "-o", str(tmp_path / "single4"),
+         "--em-dtype", "float64", "--em-impl", "segsum"],
+        env=env, capture_output=True, text=True, cwd=repo, timeout=540,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    def counts(path):
+        rows = [ln.split("\t") for ln in
+                Path(path).read_text().splitlines()[1:]]
+        return {x[0]: float(x[2]) for x in rows}
+
+    c_mp = counts(tmp_path / "p0.quant")
+    c_sp = counts(tmp_path / "single4.quant")
+    a = np.array([c_mp[k] for k in sorted(c_mp)])
+    b = np.array([c_sp[k] for k in sorted(c_sp)])
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)

@@ -7,6 +7,7 @@ against either the plain permutation/gather it implements or the NumPy
 EM oracle.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -604,3 +605,114 @@ def test_v4_inkernel_batch_matches_singles(monkeypatch):
                 )
             )
             np.testing.assert_array_equal(got[b], want)
+
+
+def test_v4_prebuild_layout_bit_identical():
+    """The chunk-incremental prebuild (V4Prebuild fed per-chunk CSR
+    slices, as the streaming pack does) yields a layout BIT-IDENTICAL
+    to the monolithic build — slot maps, permutations, read order,
+    bucket shapes."""
+    from types import SimpleNamespace
+
+    from oarfish_tpu.ops.em_v4 import EmV4Data, V4Prebuild
+
+    rng = np.random.default_rng(23)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=3_000, max_k=6
+    )
+    txp_id = (rng.zipf(1.3, size=len(txp_id)) % T).astype(np.int32)
+
+    pb = V4Prebuild()
+    # feed in uneven chunks split at group boundaries (like the packer)
+    cuts = [0, 37, 100_001, 100_002, 250_000, 399_999, R]
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        alo, ahi = boundaries[lo], boundaries[hi]
+        pb.observe(SimpleNamespace(
+            txp_id=txp_id[alo:ahi],
+            boundaries=boundaries[lo:hi + 1] - alo,
+        ))
+    pre = pb.finish(T)
+    assert pre is not None and pre["A"] == len(txp_id) and pre["R"] == R
+
+    d0, o0, g0 = EmV4Data.build(txp_id, w, boundaries, T, debug=True)
+    d1, o1, g1 = EmV4Data.build(txp_id, w, boundaries, T, debug=True,
+                                pre=pre)
+    assert np.array_equal(o0, o1)
+    for k in ("perm_in", "perm_out", "slot_of_aln", "txp_slot_of_aln",
+              "big_txps"):
+        assert np.array_equal(g0[k], g1[k]), k
+    assert g0["NPAD"] == g1["NPAD"]
+    assert d0.read_shapes == d1.read_shapes
+    assert d0.small_shapes == d1.small_shapes
+    assert np.array_equal(np.asarray(d0.w_txp), np.asarray(d1.w_txp))
+    assert np.array_equal(np.asarray(d0.seg_id), np.asarray(d1.seg_id))
+
+
+def test_v4_prebuild_shape_mismatch_falls_back():
+    """A stale/mismatched prebuild is ignored, not trusted."""
+    from types import SimpleNamespace
+
+    from oarfish_tpu.ops.em_v4 import EmV4Data, V4Prebuild
+
+    rng = np.random.default_rng(5)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=3_000, max_k=6
+    )
+    pb = V4Prebuild()
+    pb.observe(SimpleNamespace(
+        txp_id=txp_id[: boundaries[100]],
+        boundaries=boundaries[:101],
+    ))
+    pre = pb.finish(T)  # covers only 100 reads -> mismatch
+    d0, o0 = EmV4Data.build(txp_id, w, boundaries, T)
+    d1, o1 = EmV4Data.build(txp_id, w, boundaries, T, pre=pre)
+    assert np.array_equal(o0, o1)
+    assert np.array_equal(np.asarray(d0.w_txp), np.asarray(d1.w_txp))
+
+
+def test_v4_plan_cache_roundtrip(tmp_path, monkeypatch):
+    """A plan-cache hit reconstructs EmV4Data bit-identically (route
+    tables, slot-derived arrays, meta) with fresh weights applied, and
+    distinct CSR structures get distinct keys."""
+    from oarfish_tpu.ops import plan_cache
+    from oarfish_tpu.ops.em_v4 import EmV4Data
+
+    monkeypatch.setenv("OARFISH_PLAN_CACHE", "1")
+    monkeypatch.setenv("OARFISH_PLAN_CACHE_DIR", str(tmp_path))
+
+    rng = np.random.default_rng(31)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=3_000, max_k=6
+    )
+    txp_id = (rng.zipf(1.3, size=len(txp_id)) % T).astype(np.int32)
+
+    d0, o0 = EmV4Data.build(txp_id, w, boundaries, T)
+    # the store runs on a background thread — wait for the entry
+    import time
+
+    key = plan_cache.layout_key(txp_id, boundaries, T)
+    for _ in range(100):
+        if (tmp_path / f"{key}.plan").exists():
+            break
+        time.sleep(0.1)
+    assert (tmp_path / f"{key}.plan").exists()
+
+    # second build with DIFFERENT weights must hit the cache and carry
+    # the new weights
+    w2 = w * 2.0
+    d1, o1 = EmV4Data.build(txp_id, w2, boundaries, T)
+    assert np.array_equal(o0, o1)
+    for f in ("p_a", "p_b", "t_in", "t_out"):
+        t0 = jax.tree_util.tree_leaves(getattr(d0, f))
+        t1 = jax.tree_util.tree_leaves(getattr(d1, f))
+        assert len(t0) == len(t1)
+        for a, b in zip(t0, t1):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f
+    assert np.allclose(np.asarray(d1.w_txp), 2.0 * np.asarray(d0.w_txp))
+    assert d0.read_shapes == d1.read_shapes
+    assert d0.t_space == d1.t_space
+
+    # different structure -> different key
+    b2 = boundaries.copy()
+    key2 = plan_cache.layout_key(txp_id, b2[:-1], T)
+    assert key2 != key
