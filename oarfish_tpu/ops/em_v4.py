@@ -408,6 +408,8 @@ class EmV4Data:
         envelope: Optional[dict] = None,
         geometry: Optional[Tuple[int, int]] = None,
         pre: Optional[dict] = None,
+        prefetch=None,
+        pointer_key: Optional[str] = None,
     ):
         """Build the routed device state. `envelope` (see
         `compute_envelope`/`merge_envelopes`) forces the bucket/t-space
@@ -432,6 +434,19 @@ class EmV4Data:
             and plan_cache.enabled()
         ):
             cache_key = plan_cache.layout_key(txp_id, boundaries, num_txps)
+            if prefetch is not None:
+                got = prefetch.finish(
+                    cache_key, np.asarray(weights, dtype=np.float64)
+                )
+                if got is not None:
+                    _plog.info(
+                        "v4 plan prefetch hit (%s…): route build and "
+                        "table transfers overlapped the pack",
+                        cache_key[:12],
+                    )
+                    if pointer_key is not None:
+                        plan_cache.write_pointer(pointer_key, cache_key)
+                    return got
             hit = plan_cache.load(cache_key)
             if hit is not None:
                 try:
@@ -442,6 +457,8 @@ class EmV4Data:
                         "v4 plan cache hit (%s…): route build skipped",
                         cache_key[:12],
                     )
+                    if pointer_key is not None:
+                        plan_cache.write_pointer(pointer_key, cache_key)
                     return out
                 except Exception as e:  # noqa: BLE001 — treat as miss
                     _plog.warning(
@@ -466,6 +483,8 @@ class EmV4Data:
             if lay2 is not None:
                 lay = lay2
         data = _v4_finish(lay, geometry, cache_key=cache_key)
+        if cache_key is not None and pointer_key is not None:
+            plan_cache.write_pointer(pointer_key, cache_key)
         if debug:
             return data, lay["read_order"], lay["dbg"]
         return data, lay["read_order"]

@@ -168,14 +168,12 @@ def payload_from_build(lay: dict, routes_host: Tuple[dict, dict],
     }
 
 
-def finish_from_cache(payload: dict, weights: np.ndarray):
-    """Reassemble (EmV4Data, read_order) from a cache hit + this run's
-    weights. Mirrors `_v4_finish` minus the route build."""
+def _device_parts(payload: dict) -> dict:
+    """Ship the weight-independent cached products to device (the bulk
+    of a cache hit's wall — route tables + permutes)."""
     import jax
     import jax.numpy as jnp
 
-    from .em_v4 import EmV4Data
-    from .gather_pallas import LANES
     from .static_permute import GlobalRoutePlan
 
     lay = payload["lay"]
@@ -197,25 +195,40 @@ def finish_from_cache(payload: dict, weights: np.ndarray):
             Q=Q, R1=R1, R3=R3, chunk_rows=CR,
         )
 
-    p_a = plan(payload["routes"][0])
-    p_b = plan(payload["routes"][1])
+    seg_id = payload["seg_id"]
+    return {
+        "p_a": plan(payload["routes"][0]),
+        "p_b": plan(payload["routes"][1]),
+        "t_io": jax.tree_util.tree_map(jnp.asarray, payload["t_io"]),
+        "seg_id": None if seg_id is None else jnp.asarray(seg_id),
+        "big_row_of_txp": jnp.asarray(lay["big_row_of_txp"],
+                                      dtype=jnp.int32),
+        "big_row_offsets": jnp.asarray(lay["big_row_offsets"],
+                                       dtype=jnp.int32),
+    }
+
+
+def _assemble(payload: dict, parts: dict, weights: np.ndarray):
+    import jax.numpy as jnp
+
+    from .em_v4 import EmV4Data
+    from .gather_pallas import LANES
+
+    lay = payload["lay"]
     n_src = payload["routes"][0]["meta"][2]
     CR = payload["routes"][0]["meta"][7]
     w_txp = np.zeros(n_src * CR * LANES, dtype=np.float64)
     w_txp[lay["txp_slot_of_aln"]] = weights
-    t_in, t_out = jax.tree_util.tree_map(jnp.asarray, payload["t_io"])
-    seg_id = payload["seg_id"]
+    t_in, t_out = parts["t_io"]
     data = EmV4Data(
         w_txp=jnp.asarray(w_txp, dtype=jnp.float32),
-        p_a=p_a,
-        p_b=p_b,
+        p_a=parts["p_a"],
+        p_b=parts["p_b"],
         t_in=t_in,
         t_out=t_out,
-        big_row_of_txp=jnp.asarray(lay["big_row_of_txp"],
-                                   dtype=jnp.int32),
-        big_row_offsets=jnp.asarray(lay["big_row_offsets"],
-                                    dtype=jnp.int32),
-        seg_id=None if seg_id is None else jnp.asarray(seg_id),
+        big_row_of_txp=parts["big_row_of_txp"],
+        big_row_offsets=parts["big_row_offsets"],
+        seg_id=parts["seg_id"],
         read_shapes=lay["read_shapes"],
         read_starts=lay["read_starts"],
         n_slots_r=lay["n_slots_r"],
@@ -231,3 +244,101 @@ def finish_from_cache(payload: dict, weights: np.ndarray):
         num_txps=lay["num_txps"],
     )
     return data, lay["read_order"]
+
+
+def finish_from_cache(payload: dict, weights: np.ndarray):
+    """Reassemble (EmV4Data, read_order) from a cache hit + this run's
+    weights. Mirrors `_v4_finish` minus the route build."""
+    return _assemble(payload, _device_parts(payload), weights)
+
+
+# ---------------------------------------------------------------------------
+# Speculative prefetch: overlap a probable hit's device transfers with
+# the streaming pack. The pointer key is the BAM's file identity
+# (realpath/size/mtime) + the CSR-affecting filter fingerprint — a HINT
+# only; the authoritative check is the structural key computed from the
+# packed CSR before use.
+# ---------------------------------------------------------------------------
+
+
+def bam_pointer_key(path, fingerprint: str) -> Optional[str]:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    h = hashlib.blake2b(digest_size=20)
+    h.update(
+        f"ptr{VERSION};{os.path.realpath(path)};{st.st_size};"
+        f"{st.st_mtime_ns};{fingerprint}".encode()
+    )
+    return h.hexdigest()
+
+
+def read_pointer(ptr_key: str) -> Optional[str]:
+    try:
+        return (cache_dir() / f"{ptr_key}.ptr").read_text().strip()
+    except OSError:
+        return None
+
+
+def write_pointer(ptr_key: str, structural_key: str) -> None:
+    try:
+        d = cache_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{ptr_key}.ptr").write_text(structural_key)
+    except OSError as e:
+        log.warning("plan cache pointer write failed: %s", e)
+
+
+class Prefetch:
+    """Reconstructs a cached plan's device state on a worker thread
+    while the pack streams. `finish` joins, verifies the structural key
+    computed from the actual packed CSR, and returns (EmV4Data,
+    read_order) — or None on any mismatch/failure (the caller falls
+    back to the synchronous hit path / a full build)."""
+
+    def __init__(self, structural_key: str, payload: dict):
+        import threading as _threading
+
+        self.key = structural_key
+        self.payload = payload
+        self._res: dict = {}
+        self._th = _threading.Thread(target=self._build, daemon=True)
+        self._th.start()
+
+    def _build(self):
+        try:
+            self._res["parts"] = _device_parts(self.payload)
+        except BaseException as e:  # noqa: BLE001 — fall back at finish
+            self._res["err"] = e
+
+    def finish(self, structural_key: str, weights: np.ndarray):
+        self._th.join()
+        if structural_key != self.key or "err" in self._res:
+            if "err" in self._res:
+                log.warning("plan prefetch failed: %s", self._res["err"])
+            else:
+                log.info(
+                    "plan prefetch pointer was stale (CSR changed); "
+                    "ignoring"
+                )
+            return None
+        return _assemble(self.payload, self._res["parts"], weights)
+
+
+def prefetch_for_bam(path, fingerprint: str) -> Optional[Prefetch]:
+    """Start a speculative plan prefetch for this BAM + filter config;
+    None when there is no pointer/entry."""
+    if not enabled():
+        return None
+    ptr = bam_pointer_key(path, fingerprint)
+    if ptr is None:
+        return None
+    skey = read_pointer(ptr)
+    if skey is None:
+        return None
+    payload = load(skey)
+    if payload is None:
+        return None
+    log.info("plan cache: prefetching %s… during the pack", skey[:12])
+    return Prefetch(skey, payload)

@@ -122,6 +122,19 @@ def make_sharded_em(
     (shard arrays..., init, conv_thresh) -> (counts, niter). With
     `with_mult` the function takes a trailing [D, r_pad] per-read
     multiplicity shard (bootstrap replicates over sharded reads)."""
+    # communication-volume observability (multi-host efficiency case,
+    # PERF_NOTES "multi-host scaling model"): the ONLY cross-device
+    # traffic is the per-iteration all-reduce of the (T+1)-sized
+    # partial-count vector — 1 psum/iteration, 3/cycle under SQUAREM
+    import logging
+
+    psums = 3 if accel == "squarem" else 1
+    logging.getLogger("oarfish_tpu").info(
+        "sharded EM collective: psum of %d f32/f64 values "
+        "(%.2f MB at f32) x %d per %s over the 'data' mesh axis",
+        num_txps + 1, 4.0 * (num_txps + 1) / 1e6, psums,
+        "SQUAREM cycle" if psums == 3 else "EM iteration",
+    )
 
     def m_step(prev, txp_id, weights, read_id, perm, tsorted, mult):
         contrib = prev[txp_id] * weights

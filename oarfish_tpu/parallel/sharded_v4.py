@@ -328,6 +328,16 @@ def build_sharded_v4(
     devices = devices[:D]
     mesh = Mesh(np.array(devices), ("data",))
     sh = ShardedV4(txp_id, weights, boundaries, num_txps, D)
+    # communication-volume observability (multi-host efficiency case):
+    # the routed per-shard m-step is collective-free; the only traffic
+    # is the per-iteration T-vector psum
+    import logging
+
+    logging.getLogger("oarfish_tpu").info(
+        "sharded v4 collective: 1 psum of %d values (%.2f MB f32) per "
+        "EM iteration over %d shards",
+        num_txps, 4.0 * num_txps / 1e6, D,
+    )
     return sh, mesh
 
 

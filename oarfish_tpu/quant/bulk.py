@@ -132,9 +132,11 @@ def perform_inference_and_write_output(
     digest: dict,
     aln_time_s: float,
     pre: Optional[dict] = None,
+    plan_hint=(None, None),
 ) -> np.ndarray:
     """Shared inference + output tail (`bulk.rs:83-210`). `pre` carries
-    the v4 layout inputs prebuilt during the streaming pack."""
+    the v4 layout inputs prebuilt during the streaming pack; `plan_hint`
+    is (plan-cache Prefetch, BAM pointer key) from the driver."""
     log.info("discard table:\n%s", store.discard.to_table())
 
     if args.sharded_inputs:
@@ -251,7 +253,15 @@ def perform_inference_and_write_output(
             t0 = time.time()
             v3data, _order = _Data.build(
                 store.txp_id, w, store.boundaries, T,
-                **({"pre": pre} if impl == "v4" else {}),
+                **(
+                    {
+                        "pre": pre,
+                        "prefetch": plan_hint[0],
+                        "pointer_key": plan_hint[1],
+                    }
+                    if impl == "v4"
+                    else {}
+                ),
             )
             log.info("%s routing built in %.1fs", impl, time.time() - t0)
             runner = make_runner(v3data, accel=args.em_accel)
@@ -270,11 +280,18 @@ def perform_inference_and_write_output(
                 "%s EM converged after %d iterations in %.3fs",
                 impl, niter, time.time() - t0,
             )
+            _pt = os.environ.get("OARFISH_PHASE_TIMING")
+            t0 = time.time()
             unique, total = get_aux_counts(store, T)
+            if _pt:
+                log.info("phase aux_counts %.3fs", time.time() - t0)
+            t0 = time.time()
             info = get_json_info(args, opts, store.discard, digest, aln_time_s)
             write_output(
                 args.output, info, txps_name, txps_len, counts, unique, total
             )
+            if _pt:
+                log.info("phase write_output %.3fs", time.time() - t0)
             if args.num_bootstraps > 0:
                 rng = np.random.default_rng(args.seed)
                 mult = bootstrap_ops.sample_multiplicities(
@@ -760,14 +777,29 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
     # (counts / ranks / read size classes) that _v4_layout would
     # otherwise recompute serially after the pack.
     prebuilder = None
+    prefetch = None
+    pointer_key = None
     if (
         args.em_impl in ("auto", "v4")
         and args.num_shards <= 1
         and os.environ.get("OARFISH_PREBUILD") != "0"
     ):
+        from ..ops import plan_cache
         from ..ops.em_v4 import V4Prebuild
 
         prebuilder = V4Prebuild()
+        # speculative plan prefetch: if this exact BAM + CSR-affecting
+        # filter config ran before, ship the cached route tables to the
+        # device WHILE the pack streams (verified against the packed
+        # CSR's structural key before use)
+        fp = (
+            f"{opts.five_prime_clip};{opts.three_prime_clip};"
+            f"{opts.score_threshold};{opts.min_aligned_fraction};"
+            f"{opts.min_aligned_len};{opts.which_strand};"
+            f"{opts.score_prob_denom}"
+        )
+        prefetch = plan_cache.prefetch_for_bam(args.alignments, fp)
+        pointer_key = plan_cache.bam_pointer_key(args.alignments, fp)
 
     t0 = time.time()
     pack_timings: dict = {}
@@ -791,7 +823,10 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
     txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
     log.info("parsed reference information for %d transcripts.", len(txps_name))
     digest = {"bam_digest": LazyDigest(digest_from_header, txps_name, txps_len)}
+    t_pb = time.time()
     pre = prebuilder.finish(len(txps_name)) if prebuilder else None
+    if os.environ.get("OARFISH_PHASE_TIMING"):
+        log.info("phase prebuild.finish %.3fs", time.time() - t_pb)
     aln_time_s = time.time() - t0
     log.info("Parsing of alignments from input took %.3fs", aln_time_s)
 
@@ -805,4 +840,5 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         digest,
         aln_time_s,
         pre=pre,
+        plan_hint=(prefetch, pointer_key),
     )

@@ -716,3 +716,49 @@ def test_v4_plan_cache_roundtrip(tmp_path, monkeypatch):
     b2 = boundaries.copy()
     key2 = plan_cache.layout_key(txp_id, b2[:-1], T)
     assert key2 != key
+
+
+def test_v4_plan_prefetch(tmp_path, monkeypatch):
+    """The speculative prefetch path: pointer keyed on BAM identity
+    starts device reconstruction early; a matching structural key uses
+    it, a stale pointer is rejected."""
+    from oarfish_tpu.ops import plan_cache
+    from oarfish_tpu.ops.em_v4 import EmV4Data
+
+    monkeypatch.setenv("OARFISH_PLAN_CACHE", "1")
+    monkeypatch.setenv("OARFISH_PLAN_CACHE_DIR", str(tmp_path))
+
+    rng = np.random.default_rng(37)
+    txp_id, w, boundaries, read_id, R, T = random_csr(
+        rng, R=400_000, T=3_000, max_k=6
+    )
+    txp_id = (rng.zipf(1.3, size=len(txp_id)) % T).astype(np.int32)
+
+    fake_bam = tmp_path / "x.bam"
+    fake_bam.write_bytes(b"not really a bam")
+    ptr = plan_cache.bam_pointer_key(fake_bam, "fp")
+    assert plan_cache.prefetch_for_bam(fake_bam, "fp") is None  # no entry
+
+    d0, o0 = EmV4Data.build(txp_id, w, boundaries, T, pointer_key=ptr)
+    import time
+
+    key = plan_cache.layout_key(txp_id, boundaries, T)
+    for _ in range(100):
+        if (tmp_path / f"{key}.plan").exists():
+            break
+        time.sleep(0.1)
+    assert plan_cache.read_pointer(ptr) == key
+
+    pf = plan_cache.prefetch_for_bam(fake_bam, "fp")
+    assert pf is not None
+    d1, o1 = EmV4Data.build(txp_id, w * 3.0, boundaries, T, prefetch=pf,
+                            pointer_key=ptr)
+    assert np.array_equal(o0, o1)
+    assert np.allclose(np.asarray(d1.w_txp), 3.0 * np.asarray(d0.w_txp))
+
+    # stale pointer: different CSR -> prefetch rejected, build proceeds
+    pf2 = plan_cache.prefetch_for_bam(fake_bam, "fp")
+    txp2 = txp_id.copy()
+    txp2[0] = (txp2[0] + 1) % T
+    d2, o2 = EmV4Data.build(txp2, w, boundaries, T, prefetch=pf2)
+    assert d2 is not None
