@@ -482,9 +482,8 @@ class EmV4Data:
             )
             if lay2 is not None:
                 lay = lay2
-        data = _v4_finish(lay, geometry, cache_key=cache_key)
-        if cache_key is not None and pointer_key is not None:
-            plan_cache.write_pointer(pointer_key, cache_key)
+        data = _v4_finish(lay, geometry, cache_key=cache_key,
+                          pointer_key=pointer_key)
         if debug:
             return data, lay["read_order"], lay["dbg"]
         return data, lay["read_order"]
@@ -1351,7 +1350,8 @@ def _read_lvl_ids(read_shapes, read_starts, n_chunks: int,
     ).copy()
 
 
-def _v4_finish(lay: dict, geometry=None, cache_key=None) -> EmV4Data:
+def _v4_finish(lay: dict, geometry=None, cache_key=None,
+               pointer_key=None) -> EmV4Data:
     """Phase 2: construct the two GlobalRoutes (optionally with a forced
     shard-uniform (chunk_rows, npad, (npd, Q)) config) and assemble the
     device state. The routes over the unified rounded space are partial
@@ -1403,6 +1403,7 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None) -> EmV4Data:
         plan_cache.store_async(
             cache_key,
             plan_cache.payload_from_build(lay, routes.host, seg_id),
+            pointer_key=pointer_key,
         )
 
     return EmV4Data(

@@ -125,10 +125,13 @@ def _evict(budget_bytes: int, incoming: int) -> None:
             pass
 
 
-def store_async(key: str, payload: dict) -> threading.Thread:
+def store_async(key: str, payload: dict,
+                pointer_key: Optional[str] = None) -> threading.Thread:
     """Serialize + write on a background thread (the payload is already
     host-resident; pickling ~hundreds of MB costs ~1s we keep off the
-    run's critical path)."""
+    run's critical path). The BAM pointer, when given, is written ONLY
+    after the entry is durably renamed — a pointer to a not-yet-written
+    entry would make the next run's prefetch miss silently."""
 
     def write():
         try:
@@ -150,6 +153,8 @@ def store_async(key: str, payload: dict) -> threading.Thread:
             with os.fdopen(fd, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, d / f"{key}.plan")
+            if pointer_key is not None:
+                write_pointer(pointer_key, key)
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             log.warning("plan cache store failed: %s", e)
 
