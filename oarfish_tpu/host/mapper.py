@@ -176,11 +176,12 @@ class Mapper:
         tech: Optional[SequencingTech] = None,
         threads: int = 4,
         freq_cutoff_frac: float = 2e-4,
+        kw: Optional[Tuple[int, int]] = None,
     ) -> "Mapper":
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native mapper unavailable")
-        k, w = preset_for_tech(tech)
+        k, w = kw if kw is not None else preset_for_tech(tech)
         blob = b"".join(seqs)
         offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
         np.cumsum([len(s) for s in seqs], out=offsets[1:])
@@ -198,11 +199,20 @@ class Mapper:
         return cls(h, list(names), [len(s) for s in seqs], k, w)
 
     @classmethod
-    def load(cls, path) -> "Mapper":
+    def load(cls, path, threads: int = 4) -> "Mapper":
+        """Load a prebuilt index. OTMI loads directly; a legacy
+        minimap2 `.mmi` that embeds sequences is migrated — the
+        container is parsed and an OTMI is rebuilt in-process using the
+        .mmi's own k/w (the reference likewise reuses foreign indexes
+        and honors the index's own parameters, `aligner.rs:78-98`).
+        Sequence-stripped .mmi and rammap RMMI are rejected with a
+        precise format description and a rebuild command."""
         lib = get_lib()
         if lib is None:
             raise RuntimeError("native mapper unavailable")
-        cls._reject_foreign_index(path)
+        foreign = cls._classify_foreign_index(path)
+        if foreign is not None:
+            return cls._migrate_foreign(path, foreign, threads)
         h = lib.oarfish_index_load(str(path).encode())
         if not h:
             raise ValueError(f"could not load index {path}")
@@ -218,34 +228,72 @@ class Mapper:
         names = names_buf.raw.decode(errors="replace").split("\x00")[: int(n)]
         return cls(h, names, [int(x) for x in lengths], int(kw[0]), int(kw[1]))
 
+    #: set on instances migrated from a foreign container: ("mmi",
+    #: decoded sequences as list[bytes]) — the driver uses the
+    #: sequences for the full reference digest (the reference likewise
+    #: recomputes the signature from index-embedded sequences when the
+    #: oarfish footer is absent, `aligner.rs:106-117`) and may persist
+    #: the converted OTMI via --index-out.
+    migrated_from: Optional[str] = None
+    migrated_seqs: Optional[list] = None
+
+    _REBUILD_MSG = (
+        "rebuild from the reference FASTA once with `oarfish-tpu "
+        "--annotated ref.fa --only-index --index-out IDX` and pass "
+        "that via --index."
+    )
+
     @staticmethod
-    def _reject_foreign_index(path) -> None:
-        """Detect foreign index formats by magic and fail with a
-        migration path. The reference loads rammap RMMI and legacy
-        minimap2 `.mmi` indexes (`aligner.rs:72-98`); this build's
-        native mapper uses its own OTMI format, so a user arriving with
-        an existing index gets an actionable rebuild message instead of
-        a bare 'could not load'."""
+    def _classify_foreign_index(path) -> Optional[str]:
+        """Identify the index container by magic: None for our own
+        OTMI, 'mmi' for legacy minimap2, or raise for formats we can
+        neither load nor migrate. The reference loads rammap RMMI and
+        legacy `.mmi` directly (`aligner.rs:72-98`); we migrate `.mmi`
+        (host/mmi.py) and reject RMMI (format unobtainable offline)."""
         try:
             with open(path, "rb") as fh:
                 head = fh.read(8)
         except OSError as e:
             raise ValueError(f"could not open index {path}: {e}") from None
         if head[:5] == b"OTMI\x01":
-            return
+            return None
         if head[:4] == b"MMI\x02":
-            kind = "a legacy minimap2 .mmi index"
-        elif head[:4] in (b"RMI\x01", b"RMMI"):
+            return "mmi"
+        if head[:4] in (b"RMI\x01", b"RMMI"):
             kind = "a rammap RMMI index"
         else:
             kind = "not an oarfish-tpu OTMI index"
         raise ValueError(
-            f"{path}: this file is {kind}. oarfish-tpu uses its own OTMI "
-            "index format and cannot read foreign indexes; rebuild from "
-            "the reference FASTA once with "
-            "`oarfish-tpu --annotated ref.fa --only-index --index-out "
-            "IDX` and pass that via --index."
+            f"{path}: this file is {kind}. oarfish-tpu reads its own "
+            f"OTMI format and migrates legacy minimap2 .mmi indexes "
+            f"that embed sequences; {Mapper._REBUILD_MSG}"
         )
+
+    @classmethod
+    def _migrate_foreign(cls, path, kind: str, threads: int) -> "Mapper":
+        assert kind == "mmi"
+        from .mmi import parse_mmi
+
+        idx = parse_mmi(path)
+        if not idx.has_sequences:
+            raise ValueError(
+                f"{path}: this is a {idx.describe()}. It was built with "
+                f"--idx-no-seq, so the reference sequences cannot be "
+                f"recovered from it; {cls._REBUILD_MSG}"
+            )
+        log.warning(
+            "%s is a %s; migrating: rebuilding a native OTMI index from "
+            "the embedded sequences with the index's own k/w "
+            "(indexing-related --seq-tech parameters are ignored). "
+            "Pass --index-out to persist the converted index.",
+            path, idx.describe(),
+        )
+        m = cls.from_sequences(
+            idx.names, idx.seqs, threads=threads, kw=(idx.k, idx.w)
+        )
+        m.migrated_from = kind
+        m.migrated_seqs = idx.seqs
+        return m
 
     def save(self, path, digest_map: Optional[dict] = None) -> None:
         lib = get_lib()

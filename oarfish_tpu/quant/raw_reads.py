@@ -46,19 +46,39 @@ def build_or_load_mapper(args: Args):
     set_dp_cache_cap_mb(args.dp_cache_cap_mb)
     if args.index is not None:
         log.info("loading prebuilt index from %s", args.index)
-        m = Mapper.load(args.index)
+        m = Mapper.load(args.index, threads=max(args.threads, 1))
         try:
             digest = index_digest_footer(args.index)
         except ValueError:
-            log.warning(
-                "index has no oarfish digest footer; falling back to a "
-                "header-only digest"
-            )
-            digest = {
-                "index_digest": LazyDigest(
-                    digest_result_json, m.names, m.lengths
+            if m.migrated_seqs is not None:
+                # the reference recomputes the full signature from
+                # index-embedded sequences when the footer is absent
+                # (`aligner.rs:106-117`)
+                log.warning(
+                    "index has no oarfish digest footer; recomputing "
+                    "the reference signature from the index sequences"
                 )
-            }
+                digest = {
+                    "index_digest": LazyDigest(
+                        digest_result_json, m.names, m.lengths,
+                        [s.decode() for s in m.migrated_seqs],
+                    )
+                }
+            else:
+                log.warning(
+                    "index has no oarfish digest footer; falling back "
+                    "to a header-only digest"
+                )
+                digest = {
+                    "index_digest": LazyDigest(
+                        digest_result_json, m.names, m.lengths
+                    )
+                }
+        if m.migrated_from is not None and args.index_out is not None:
+            m.save(args.index_out,
+                   digest_map=resolve_lazy_digests(digest))
+            log.info("wrote converted OTMI index to %s", args.index_out)
+        m.migrated_seqs = None  # free after digest capture
         return m, digest
 
     paths = [p for p in (args.annotated, args.novel) if p is not None]

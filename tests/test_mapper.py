@@ -119,14 +119,18 @@ def test_index_save_load_roundtrip(sirv_mapper, tmp_path):
 
 def test_foreign_index_rejected_with_migration_path(tmp_path):
     """The reference accepts rammap RMMI / minimap2 .mmi indexes
-    (`aligner.rs:72-98`); this build detects those magics and fails
-    with an actionable rebuild message rather than a bare error."""
+    (`aligner.rs:72-98`); this build migrates sequence-bearing .mmi
+    (tests/test_foreign_index.py) and fails actionably on everything
+    else: a malformed .mmi gets a format error, RMMI and unknown
+    formats get the rebuild message."""
     import pytest
 
-    mmi = tmp_path / "legacy.mmi"
-    mmi.write_bytes(b"MMI\x02" + b"\x00" * 64)
-    with pytest.raises(ValueError, match=r"minimap2 .mmi.*--index-out"):
-        mp.Mapper.load(mmi)
+    from oarfish_tpu.host.mmi import MmiFormatError
+
+    bad_mmi = tmp_path / "legacy.mmi"
+    bad_mmi.write_bytes(b"MMI\x02" + b"\x00" * 64)
+    with pytest.raises(MmiFormatError, match="implausible"):
+        mp.Mapper.load(bad_mmi)
 
     rmmi = tmp_path / "ram.rmi"
     rmmi.write_bytes(b"RMMI" + b"\x00" * 64)
