@@ -293,65 +293,56 @@ class CellBatch:
     def _run_dense(self, args: Args, dtype, mesh=None):
         """Dense one-hot MXU formulation (see `run`). Large buckets run
         as fixed-size sub-batches (one compiled shape; the tail is
-        padded with inert dummy cells) so memory stays bounded by the
-        budget rather than the bucket's cell count."""
-        from ..ops.em_dense import (
-            DenseCellEm,
-            run_em_dense,
-            run_em_dense_squarem,
-        )
+        padded with inert dummy cells) so peak memory stays bounded by
+        the budget rather than the bucket's cell count — but the whole
+        bucket ships as ONE stacked transfer and runs as ONE device
+        program (`run_em_dense_scan`): per-sub-batch round trips
+        through the axon tunnel previously dominated the EM phase at
+        100k cells (scripts/sc_e2e_bench.py)."""
+        from ..ops.em_dense import DenseCellEm, run_em_dense_scan
 
         B = len(self.txp_local)
         D = int(mesh.devices.size) if mesh is not None else 1
         sub = min(self._dense_sub_batch(D), ((B + D - 1) // D) * D)
+        n_sub = (B + sub - 1) // sub
+        Bp = n_sub * sub
 
         def put(x):
             if mesh is None:
                 return jnp.asarray(x)
             from jax.sharding import NamedSharding, PartitionSpec
 
+            # sub-batch axis scans on every device; cells shard axis 1
             return jax.device_put(
-                x, NamedSharding(mesh, PartitionSpec("cells"))
+                x, NamedSharding(mesh, PartitionSpec(None, "cells"))
             )
 
-        run = (
-            run_em_dense_squarem
-            if args.em_accel == "squarem"
-            else run_em_dense
-        )
+        def put_stacked(x):
+            return put(np.asarray(x).reshape((n_sub, sub) + x.shape[1:]))
+
         empty_i = np.empty(0, dtype=np.int32)
         empty_f = np.empty(0, dtype=np.float64)
-        counts_parts = []
-        for lo in range(0, B, sub):
-            hi = min(lo + sub, B)
-            txp_local = list(self.txp_local[lo:hi])
-            weights = list(self.weights[lo:hi])
-            read_id = list(self.read_id[lo:hi])
-            num_reads = list(self.num_reads[lo:hi])
-            for _ in range(sub - (hi - lo)):
-                # whole dummy cells: all-zero incidence rows, zero init
-                txp_local.append(empty_i)
-                weights.append(empty_f)
-                read_id.append(empty_i)
-                num_reads.append(0)
-            data = DenseCellEm.build(
-                txp_local, weights, read_id,
-                self.a_pad, self.r_pad, self.t_pad,
-                dtype=dtype, put=put,
-            )
-            init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
-                self.t_global
-            ) * np.ones((sub, self.t_pad))
-            cc, _ = run(
-                data, put(init.astype(dtype)),
-                args.max_em_iter, args.convergence_thresh,
-            )
-            counts_parts.append(np.asarray(cc[: hi - lo], dtype=np.float64))
-        counts = (
-            np.concatenate(counts_parts)
-            if len(counts_parts) > 1
-            else counts_parts[0]
+        pad = Bp - B
+        txp_local = list(self.txp_local) + [empty_i] * pad
+        weights = list(self.weights) + [empty_f] * pad
+        read_id = list(self.read_id) + [empty_i] * pad
+        num_reads = list(self.num_reads) + [0] * pad
+        data = DenseCellEm.build(
+            txp_local, weights, read_id,
+            self.a_pad, self.r_pad, self.t_pad,
+            dtype=dtype, put=put_stacked,
         )
+        init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
+            self.t_global
+        ) * np.ones((Bp, self.t_pad))
+        cc, _ = run_em_dense_scan(
+            data, put_stacked(init.astype(dtype)),
+            args.max_em_iter, args.convergence_thresh,
+            accel=args.em_accel == "squarem",
+        )
+        counts = np.asarray(cc, dtype=np.float64).reshape(
+            Bp, self.t_pad
+        )[:B]
         out = []
         for i in range(B):
             t_c = len(self.global_ids[i])
@@ -409,37 +400,44 @@ def _iter_cells_native(args: Args, opts: FilterOpts):
         changes = np.ones(G, dtype=bool)
         changes[1:] = cbs[1:] != cbs[:-1]
         run_of_group = np.cumsum(changes) - 1
-    run_barcode = {}
-    for g in range(G):
-        r = run_of_group[g]
-        if r not in run_barcode and cbs[g] >= 0:
-            run_barcode[r] = dec.barcodes[cbs[g]]
+    # barcode of each run = the (constant) barcode of its first group,
+    # vectorized (a Python loop over G groups costs seconds at 100k
+    # cells; measured in scripts/sc_e2e_bench.py)
+    n_runs = int(run_of_group[-1]) + 1 if G else 0
+    first_g = np.nonzero(changes)[0] if G else np.empty(0, np.int64)
+    run_cb = cbs[first_g] if G else np.empty(0, np.int64)
 
     def cells():
+        # reads arrive in group order (records were lexsorted by
+        # group_id and the filter preserves order), and run ids are
+        # non-decreasing in group order — so rows_run is sorted and
+        # every run is a CONTIGUOUS read range whose alignments are a
+        # contiguous CSR slice. The previous per-run `rows_run == r`
+        # scan was O(R) per cell = O(R*C) total (~2 ms/cell at R=5M:
+        # the whole parse phase, not the EM, dominated a 100k-cell
+        # run); searchsorted + slicing is O(R + C log R).
         rows_run = run_of_group[packed.group_of_read]
-        n_runs = int(run_of_group.max()) + 1 if G else 0
+        assert len(rows_run) == 0 or (np.diff(rows_run) >= 0).all(), (
+            "reads not in run order; grouping invariant broken"
+        )
+        starts = np.searchsorted(
+            rows_run, np.arange(n_runs + 1, dtype=np.int64)
+        )
         for r in range(n_runs):
-            rows = np.nonzero(rows_run == r)[0]
-            bc = run_barcode.get(r, "")
-            if len(rows) == 0:
+            lo, hi = int(starts[r]), int(starts[r + 1])
+            cb = int(run_cb[r]) if r < len(run_cb) else -1
+            bc = dec.barcodes[cb] if cb >= 0 else ""
+            if hi == lo:
                 yield bc, None
                 continue
-            sizes = (
-                packed.boundaries[rows + 1] - packed.boundaries[rows]
-            )
-            idx = np.concatenate(
-                [
-                    np.arange(packed.boundaries[x], packed.boundaries[x + 1])
-                    for x in rows
-                ]
-            )
-            b = np.zeros(len(rows) + 1, dtype=np.int64)
-            np.cumsum(sizes, out=b[1:])
+            alo = int(packed.boundaries[lo])
+            ahi = int(packed.boundaries[hi])
+            b = packed.boundaries[lo : hi + 1] - alo
             yield bc, (
-                packed.txp_id[idx],
-                packed.start[idx],
-                packed.end[idx],
-                packed.prob[idx],
+                packed.txp_id[alo:ahi],
+                packed.start[alo:ahi],
+                packed.end[alo:ahi],
+                packed.prob[alo:ahi],
                 b,
             )
 
