@@ -504,19 +504,65 @@ struct GrowBuf {
 
 namespace {
 
+// A decode window: a raw malloc'd buffer whose live bytes sit at
+// [p, p+len). Buffers are allocated with HEADROOM bytes in front of
+// the inflated data so the previous window's partial-record tail can
+// be stitched in with a small memcpy instead of an O(window) move —
+// and, unlike std::vector::resize, malloc never zero-fills the ~GBs
+// of window bytes the inflate is about to overwrite anyway.
+struct Win {
+  uint8_t* base = nullptr;
+  size_t cap = 0;
+  uint8_t* p = nullptr;
+  size_t len = 0;
+  void ensure(size_t need) {
+    if (cap < need) {
+      free(base);
+      base = static_cast<uint8_t*>(malloc(need));
+      cap = base ? need : 0;
+    }
+  }
+  void swap(Win& o) {
+    std::swap(base, o.base);
+    std::swap(cap, o.cap);
+    std::swap(p, o.p);
+    std::swap(len, o.len);
+  }
+  ~Win() { free(base); }
+};
+
+// Tail headroom: must cover the largest partial BAM record that can
+// straddle a window boundary (records are bounded by block_size, an
+// int32, but sane long-read records are <16 MB). Tails larger than
+// this take a rare realloc+copy fallback path.
+constexpr size_t WIN_HEADROOM = 32ull << 20;
+
 struct StreamState {
   // input
   void* map = nullptr;
   size_t fsize = 0;
   const uint8_t* comp = nullptr;
   std::vector<Block> blocks;
-  size_t bi = 0;  // next block to inflate
+  size_t bi = 0;  // next block to hand to a prefetch
   size_t WBYTES = 256ull << 20;
   int threads = 1;
   int keep_names = 0;
   int want_barcodes = 0;
   int64_t sort_check_num = 0;
-  std::vector<uint8_t> win;  // carried tail + inflated window bytes
+  // double-buffered windows: cur is being scanned on the caller's
+  // thread while a background pool inflates the next batch of blocks
+  // into nx (the window-level pipeline; see advance_window).
+  // `pipeline` gates the EAGER prefetch: measured on a 4-vCPU host,
+  // inflate already saturates the cores and background inflate of
+  // window k+1 only thrashes the LLC under the scan of window k
+  // (record-scan 0.26s -> ~1.0s, net +1-4 CPU-s; scripts/decode_ab.py
+  // 2026-08-19) — so overlap is enabled only when cores are plentiful
+  // (threads >= 6) or forced with OARFISH_DECODE_PIPELINE=1/0.
+  Win cur, nx;
+  std::thread pf_th;
+  bool pf_active = false;
+  bool pf_ok = true;
+  bool pipeline = false;
   // header (parsed at open)
   std::string header_text, ref_names;
   std::vector<int64_t> ref_lengths;
@@ -535,42 +581,152 @@ struct StreamState {
   Columns carry;
   bool done = false;
   PhaseTimer tm;
+  // accumulated wall time per decode phase (reported at close when
+  // OARFISH_DECODE_TIMING is set; the prefetch pool inflates in the
+  // background, so inflate_s is the wall spent WAITING on it)
+  double inflate_s = 0, bscan_s = 0, scan_s = 0, merge_s = 0;
 
   ~StreamState() {
+    if (pf_active) pf_th.join();  // never free a buffer a pool is filling
+    if (tm.on)
+      fprintf(stderr,
+              "[decode] totals: inflate-wait %.2fs  boundary-scan %.2fs  "
+              "record-scan %.2fs  merge %.2fs\n",
+              inflate_s, bscan_s, scan_s, merge_s);
     if (map) munmap(map, fsize);
     free(dup_name);
   }
 };
 
-bool fill_window(StreamState& S) {  // false on inflate failure
-  size_t carry = S.win.size();
-  size_t first = S.bi, add = 0;
-  while (S.bi < S.blocks.size() && add < S.WBYTES) {
-    add += S.blocks[S.bi].out_size;
-    S.bi++;
+struct PhaseAcc {  // adds elapsed wall to *slot on scope exit
+  double* slot;
+  std::chrono::steady_clock::time_point t0 =
+      std::chrono::steady_clock::now();
+  explicit PhaseAcc(double* s) : slot(s) {}
+  ~PhaseAcc() {
+    *slot += std::chrono::duration<double>(
+                 std::chrono::steady_clock::now() - t0)
+                 .count();
   }
-  if (add == 0) return true;
-  S.win.resize(carry + add);
+};
+
+// Inflate blocks [first, last) with S.threads workers; block i lands at
+// dst + dataoff + (out_off[i] - out_off[first]).
+bool inflate_range(const StreamState& S, uint8_t* dst, size_t dataoff,
+                   size_t first, size_t last) {
+  if (first >= last) return true;
   const size_t base = S.blocks[first].out_off;
   std::atomic<size_t> next{first};
   std::atomic<bool> ok{true};
   std::vector<std::thread> pool;
   int nt_inf = S.threads > 0 ? S.threads : 1;
-  int nw = int(std::min<size_t>(size_t(nt_inf), S.bi - first));
+  int nw = int(std::min<size_t>(size_t(nt_inf), last - first));
   for (int t = 0; t < nw; t++) {
     pool.emplace_back([&] {
       libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
       size_t i;
-      while ((i = next.fetch_add(1)) < S.bi) {
+      while ((i = next.fetch_add(1)) < last) {
         Block b = S.blocks[i];
-        b.out_off = carry + (b.out_off - base);
-        if (!inflate_block(S.comp, b, S.win.data(), dec)) ok.store(false);
+        b.out_off = dataoff + (b.out_off - base);
+        if (!inflate_block(S.comp, b, dst, dec)) ok.store(false);
       }
       libdeflate_free_decompressor(dec);
     });
   }
   for (auto& th : pool) th.join();
   return ok.load();
+}
+
+// Inflate blocks [first, last) (sum of ISIZEs = add) into w's data
+// region (base + WIN_HEADROOM).
+bool inflate_batch(const StreamState& S, Win& w, size_t first, size_t last,
+                   size_t add) {
+  w.ensure(WIN_HEADROOM + add);
+  w.p = w.base + WIN_HEADROOM;
+  w.len = add;
+  if (add == 0) return true;
+  return inflate_range(S, w.base, WIN_HEADROOM, first, last);
+}
+
+// Start inflating the next batch of blocks into S.nx on a background
+// thread (claims the block range now so the main thread's EOF checks
+// use pf_active, not bi).
+void launch_prefetch(StreamState& S) {
+  if (S.pf_active || S.bi >= S.blocks.size()) return;
+  size_t first = S.bi, add = 0;
+  while (S.bi < S.blocks.size() && add < S.WBYTES) {
+    add += S.blocks[S.bi].out_size;
+    S.bi++;
+  }
+  size_t last = S.bi;
+  S.pf_ok = true;
+  S.pf_active = true;
+  S.pf_th = std::thread([&S, first, last, add] {
+    S.pf_ok = inflate_batch(S, S.nx, first, last, add);
+  });
+}
+
+// The window-level pipeline step: join the in-flight prefetch, stitch
+// cur's leftover partial-record tail into nx's headroom, promote nx to
+// the current window, and immediately start prefetching the batch
+// after it. While the caller then boundary-scans / record-scans /
+// merges the new window, the pool is already inflating the next one —
+// scan work rides under the inflate instead of serializing after it.
+bool advance_window(StreamState& S) {  // false on inflate failure
+  PhaseAcc acc_(&S.inflate_s);         // wait time, not inflate work
+  if (S.pf_active) {
+    // pipeline mode: the batch is already (being) inflated into nx
+    S.pf_th.join();
+    S.pf_active = false;
+    if (!S.pf_ok) return false;
+    const size_t tail = S.cur.len;
+    if (tail) {
+      const size_t off = size_t(S.nx.p - S.nx.base);
+      if (tail <= off) {
+        memcpy(S.nx.p - tail, S.cur.p, tail);
+        S.nx.p -= tail;
+        S.nx.len += tail;
+      } else {
+        // tail larger than the headroom (a >32 MB partial record):
+        // rebuild contiguously in a fresh buffer
+        Win big;
+        big.ensure(WIN_HEADROOM + tail + S.nx.len);
+        memcpy(big.base + WIN_HEADROOM, S.cur.p, tail);
+        memcpy(big.base + WIN_HEADROOM + tail, S.nx.p, S.nx.len);
+        big.p = big.base + WIN_HEADROOM;
+        big.len = tail + S.nx.len;
+        big.swap(S.nx);
+      }
+    }
+    S.cur.swap(S.nx);
+    S.nx.p = S.nx.base;
+    S.nx.len = 0;
+    launch_prefetch(S);
+    return true;
+  }
+  if (S.bi >= S.blocks.size()) return true;  // no input left
+  // sync single-buffer mode: memmove the small tail to just before the
+  // data region and inflate the next batch into cur's own (warm, same
+  // physical pages every window) buffer — the page-fault-minimal path
+  // for core-starved hosts
+  size_t first = S.bi, add = 0;
+  while (S.bi < S.blocks.size() && add < S.WBYTES) {
+    add += S.blocks[S.bi].out_size;
+    S.bi++;
+  }
+  const size_t tail = S.cur.len;
+  const size_t dataoff = tail <= WIN_HEADROOM ? WIN_HEADROOM : tail;
+  if (S.cur.cap < dataoff + add) {
+    Win big;
+    big.ensure(dataoff + add);
+    memcpy(big.base + dataoff - tail, S.cur.p, tail);
+    big.swap(S.cur);
+  } else if (tail) {
+    memmove(S.cur.base + dataoff - tail, S.cur.p, tail);
+  }
+  S.cur.p = S.cur.base + dataoff - tail;
+  S.cur.len = tail + add;
+  return inflate_range(S, S.cur.base, dataoff, first, S.bi);
 }
 
 // Returns nullptr on success, or a malloc'd error chunk.
@@ -614,12 +770,37 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
     return make_error(err);
   S.tm.mark("index");
 
-  // --- header: grow the first window until it parses completely
+  // --- header: parse straight out of the first window (headers are
+  // ~MBs; if one ever spans multiple windows, the rare grow path
+  // below concatenates into a larger buffer)
   size_t off = 0;
+  bool first_batch = true;
   for (;;) {
-    if (!fill_window(S)) return make_error("BGZF inflate failure");
-    const uint8_t* p = S.win.data();
-    size_t have = S.win.size();
+    {
+      size_t first = S.bi, add = 0;
+      while (S.bi < S.blocks.size() && add < S.WBYTES) {
+        add += S.blocks[S.bi].out_size;
+        S.bi++;
+      }
+      if (add && first_batch) {
+        if (!inflate_batch(S, S.cur, first, S.bi, add))
+          return make_error("BGZF inflate failure");
+        first_batch = false;
+      } else if (add) {
+        // grow: inflate the next batch and join it behind cur
+        if (!inflate_batch(S, S.nx, first, S.bi, add))
+          return make_error("BGZF inflate failure");
+        Win big;
+        big.ensure(WIN_HEADROOM + S.cur.len + S.nx.len);
+        big.p = big.base + WIN_HEADROOM;
+        memcpy(big.p, S.cur.p, S.cur.len);
+        memcpy(big.p + S.cur.len, S.nx.p, S.nx.len);
+        big.len = S.cur.len + S.nx.len;
+        big.swap(S.cur);
+      }
+    }
+    const uint8_t* p = S.cur.p;
+    size_t have = S.cur.len;
     if (have < 12) {
       if (S.bi >= S.blocks.size()) return make_error("missing BAM magic");
       continue;
@@ -670,8 +851,15 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
     off = o;
     break;
   }
-  // drop the header bytes: the remainder is the first record carry
-  S.win.erase(S.win.begin(), S.win.begin() + off);
+  // the bytes after the header become the first window's live range
+  S.cur.p += off;
+  S.cur.len -= off;
+  S.nx.p = S.nx.base;
+  S.nx.len = 0;
+  S.pipeline = S.threads >= 6;
+  if (const char* pe = getenv("OARFISH_DECODE_PIPELINE"))
+    S.pipeline = atoi(pe) != 0;
+  if (S.pipeline) launch_prefetch(S);
   S.tm.mark("header");
   return nullptr;
 }
@@ -808,8 +996,11 @@ OarfishDecoded* stream_next_impl(StreamState& S) {
 
   std::vector<size_t> rec_offs;
   std::vector<Part> parts;
+  auto more_input = [&S] {
+    return S.pf_active || S.bi < S.blocks.size();
+  };
   for (;;) {
-    if (S.win.empty() && S.bi >= S.blocks.size()) {
+    if (S.cur.len == 0 && !more_input()) {
       // EOF: everything accumulated (incl. the open group) is final
       S.done = true;
       S.tm.mark("scan+merge");
@@ -817,25 +1008,32 @@ OarfishDecoded* stream_next_impl(StreamState& S) {
     }
     // record boundaries within this window; leftover bytes carry over
     rec_offs.clear();
-    const uint8_t* p = S.win.data();
-    const size_t have = S.win.size();
+    const uint8_t* p = S.cur.p;
+    const size_t have = S.cur.len;
     size_t o = 0;
-    while (o + 4 <= have) {
-      int32_t block_size;
-      memcpy(&block_size, p + o, 4);
-      if (block_size < 0) return fail("corrupt BAM record");
-      if (o + 4 + size_t(block_size) > have) break;
-      rec_offs.push_back(o);
-      o += 4 + size_t(block_size);
+    {
+      PhaseAcc acc_(&S.bscan_s);
+      while (o + 4 <= have) {
+        int32_t block_size;
+        memcpy(&block_size, p + o, 4);
+        if (block_size < 0) return fail("corrupt BAM record");
+        if (o + 4 + size_t(block_size) > have) break;
+        rec_offs.push_back(o);
+        o += 4 + size_t(block_size);
+      }
     }
-    if (rec_offs.empty() && S.bi >= S.blocks.size())
+    if (rec_offs.empty() && !more_input())
       return fail("truncated BAM record");
 
     if (!rec_offs.empty()) {
-      if (!scan_records(p, rec_offs, S.threads, S.want_barcodes,
-                        S.sort_check_num, parts))
-        return fail(
-            "corrupt BAM record (bad field bounds or unknown tag type)");
+      {
+        PhaseAcc acc_(&S.scan_s);
+        if (!scan_records(p, rec_offs, S.threads, S.want_barcodes,
+                          S.sort_check_num, parts))
+          return fail(
+              "corrupt BAM record (bad field bounds or unknown tag type)");
+      }
+      PhaseAcc accm_(&S.merge_s);
 
       // merge this window's parts: group-id bases with boundary
       // stitching, global barcode remap (first-seen order), collation
@@ -876,19 +1074,22 @@ OarfishDecoded* stream_next_impl(StreamState& S) {
       }
     }
 
-    // carry the partial byte tail and refill
-    S.win.erase(S.win.begin(), S.win.begin() + o);
-    if (S.bi >= S.blocks.size()) {
-      if (!S.win.empty()) return fail("truncated BAM record");
-    } else if (!fill_window(S)) {
+    // drop the consumed bytes (the partial-record tail stays live in
+    // cur's buffer; advance_window stitches it in front of the next
+    // window) and pipeline-step to the already-inflating next batch
+    S.cur.p += o;
+    S.cur.len -= o;
+    if (!more_input()) {
+      if (S.cur.len) return fail("truncated BAM record");
+    } else if (!advance_window(S)) {
       return fail("BGZF inflate failure");
     }
 
     // emit once at least one complete group is buffered: hold back the
     // rows of the still-open trailing group (gid == S.group)
-    if (S.group > g0 || (S.group == g0 && S.bi >= S.blocks.size() &&
-                         S.win.empty())) {
-      if (S.bi >= S.blocks.size() && S.win.empty()) {
+    if (S.group > g0 ||
+        (S.group == g0 && !more_input() && S.cur.len == 0)) {
+      if (!more_input() && S.cur.len == 0) {
         S.done = true;
         S.tm.mark("scan+merge");
         return emit_chunk(S, cb, g0, S.group - g0 + 1, true);
