@@ -1124,6 +1124,12 @@ def _v4_layout(
         "read_order": read_order,
         "t_in": t_in,
         "t_out": t_out,
+        # host copies of the tile-permute specs: the plan cache stores
+        # these (~2 MB) instead of device_get-ing t_in/t_out back
+        # through the tunnel (plan_cache.payload_from_build)
+        "t_perm_in": perm_in,
+        "t_perm_out": perm_out,
+        "t_rows": t_rows,
         "big_row_of_txp": big_row_of_txp,
         "big_row_offsets": big_row_offsets,
         "read_shapes": tuple(read_shapes),

@@ -37,7 +37,7 @@ import numpy as np
 
 log = logging.getLogger("oarfish_tpu")
 
-VERSION = 1
+VERSION = 2
 
 # env knobs that change the layout/route construction — part of the key
 _KNOBS = (
@@ -135,15 +135,9 @@ def store_async(key: str, payload: dict,
 
     def write():
         try:
-            import jax
-
             d = cache_dir()
             d.mkdir(parents=True, exist_ok=True)
             payload["version"] = VERSION
-            # t_in/t_out arrive as device trees; fetch them here so the
-            # transfer (one tunnel round trip) stays off the run's
-            # critical path
-            payload["t_io"] = jax.device_get(payload["t_io"])
             blob = pickle.dumps(payload, protocol=5)
             budget = int(
                 float(os.environ.get("OARFISH_PLAN_CACHE_GB", "4")) * 1e9
@@ -169,17 +163,25 @@ def payload_from_build(lay: dict, routes_host: Tuple[dict, dict],
         "lay": {k: lay[k] for k in _LAY_FIELDS},
         "routes": routes_host,
         "seg_id": seg_id,
-        "t_io": (lay["t_in"], lay["t_out"]),  # device; fetched at store
+        # host tile-permute specs (~2 MB); t_in/t_out are rebuilt from
+        # these on load so the store thread never touches the device (a
+        # device_get here queued behind the cold run's EM compile for
+        # tens of seconds through the tunnel, leaving the pointer
+        # unwritten when the next run started)
+        "t_perms": (lay["t_perm_in"], lay["t_perm_out"], lay["t_rows"]),
     }
 
 
 def _device_parts(payload: dict) -> dict:
     """Ship the weight-independent cached products to device (the bulk
     of a cache hit's wall — route tables + permutes)."""
-    import jax
     import jax.numpy as jnp
 
-    from .static_permute import GlobalRoutePlan
+    from .static_permute import (
+        BatchTilePermute,
+        DeviceTilePlan,
+        GlobalRoutePlan,
+    )
 
     lay = payload["lay"]
 
@@ -201,10 +203,13 @@ def _device_parts(payload: dict) -> dict:
         )
 
     seg_id = payload["seg_id"]
+    perm_in, perm_out, t_rows = payload["t_perms"]
+    t_in = BatchTilePermute.build([DeviceTilePlan.build(perm_in, t_rows)])
+    t_out = BatchTilePermute.build([DeviceTilePlan.build(perm_out, t_rows)])
     return {
         "p_a": plan(payload["routes"][0]),
         "p_b": plan(payload["routes"][1]),
-        "t_io": jax.tree_util.tree_map(jnp.asarray, payload["t_io"]),
+        "t_io": (t_in, t_out),
         "seg_id": None if seg_id is None else jnp.asarray(seg_id),
         "big_row_of_txp": jnp.asarray(lay["big_row_of_txp"],
                                       dtype=jnp.int32),

@@ -803,6 +803,20 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
 
     t0 = time.time()
     pack_timings: dict = {}
+    observer = prebuilder.observe if prebuilder else None
+    if prebuilder is not None and prefetch is None:
+        # the pointer may land mid-pack (a preceding run's async store
+        # finishing); re-poll per chunk (an os.stat + tiny file read)
+        # so a late-arriving plan still overlaps most of the pack
+        _pf_box = [None]
+
+        def observer(packed, _obs=prebuilder.observe):  # noqa: F811
+            if _pf_box[0] is None:
+                _pf_box[0] = plan_cache.prefetch_for_bam(
+                    args.alignments, fp
+                )
+            _obs(packed)
+
     try:
         header, store, coverage, _num_unmapped = pack_bam_fast(
             args.alignments,
@@ -812,12 +826,14 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
             sort_check_num=args.sort_check_num,
             keep_names=opts.write_assignment_probs,
             timings=pack_timings,
-            chunk_observer=prebuilder.observe if prebuilder else None,
+            chunk_observer=observer,
         )
     except BaseException:
         if prebuilder is not None:
             prebuilder.abort()
         raise
+    if prebuilder is not None and prefetch is None:
+        prefetch = _pf_box[0]
     verify_header(header, args.alignments)
     txps_name = header.ref_names
     txps_len = np.asarray(header.ref_lengths, dtype=np.int64)
