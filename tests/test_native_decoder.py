@@ -397,3 +397,59 @@ def test_name_spill_matches_resident(fixture_bam, monkeypatch):
     assert s_sp.read_names[0] == s_res.read_names[0]
     n = len(s_res.read_names)
     assert s_sp.read_names[n - 1] == s_res.read_names[n - 1]
+
+
+def test_pipeline_stream_matches_sync(fixture_bam, monkeypatch):
+    """The background-inflate window pipeline (OARFISH_DECODE_PIPELINE=1,
+    the many-core default at threads >= 6) must produce byte-identical
+    chunks to the single-buffer sync path, under tiny windows that force
+    many prefetch/stitch cycles and cross-window group carries."""
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+
+    def collect():
+        cols, names, unmapped, base = [], [], 0, 0
+        chunks = list(native.stream_bam(fixture_bam, keep_names=True))
+        for c in chunks:
+            cols.append(c.columns)
+            names.extend(c.group_names or [])
+            unmapped += c.num_unmapped
+            base += c.n_groups
+        return chunks, cols, names, unmapped, base
+
+    monkeypatch.setenv("OARFISH_DECODE_PIPELINE", "0")
+    _, cols_s, names_s, unm_s, ng_s = collect()
+    monkeypatch.setenv("OARFISH_DECODE_PIPELINE", "1")
+    chunks_p, cols_p, names_p, unm_p, ng_p = collect()
+    assert len(chunks_p) > 3
+    assert (names_p, unm_p, ng_p) == (names_s, unm_s, ng_s)
+    for f in ("group_id", "flag", "ref_id", "pos", "ref_span", "seq_len",
+              "score", "has_score"):
+        np.testing.assert_array_equal(
+            np.concatenate([getattr(c, f) for c in cols_p]),
+            np.concatenate([getattr(c, f) for c in cols_s]), err_msg=f,
+        )
+
+
+def test_pipeline_stream_default_windows(fixture_bam, monkeypatch):
+    """Pipeline mode with default (one-window) geometry: the whole file
+    fits one window, so the prefetch immediately drains to EOF."""
+    monkeypatch.delenv("OARFISH_DECODE_WINDOW_BYTES", raising=False)
+    monkeypatch.setenv("OARFISH_DECODE_PIPELINE", "1")
+    whole = native.decode_bam(fixture_bam, keep_names=True)
+    chunks = list(native.stream_bam(fixture_bam, keep_names=True))
+    assert chunks[-1].is_final
+    np.testing.assert_array_equal(
+        np.concatenate([c.columns.flag for c in chunks]),
+        whole.columns.flag,
+    )
+
+
+def test_pipeline_early_close_joins_prefetch(fixture_bam, monkeypatch):
+    """Closing the stream generator mid-flight (consumer error path)
+    with a prefetch in progress must not crash or leak — the destructor
+    joins the background inflate before unmapping."""
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+    monkeypatch.setenv("OARFISH_DECODE_PIPELINE", "1")
+    gen = native.stream_bam(fixture_bam, keep_names=False)
+    next(gen)
+    gen.close()  # prefetch may be in flight; close must join it
