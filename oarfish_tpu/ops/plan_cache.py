@@ -307,18 +307,26 @@ class Prefetch:
     read_order) — or None on any mismatch/failure (the caller falls
     back to the synchronous hit path / a full build)."""
 
-    def __init__(self, structural_key: str, payload: dict):
+    def __init__(self, structural_key: str):
         import threading as _threading
 
         self.key = structural_key
-        self.payload = payload
         self._res: dict = {}
         self._th = _threading.Thread(target=self._build, daemon=True)
         self._th.start()
 
     def _build(self):
+        # the entry unpickle (hundreds of MB) happens HERE, off the
+        # caller's critical path — a synchronous load() before the pack
+        # cost ~10s of the warm run's parse phase at the 5M scale
         try:
-            self._res["parts"] = _device_parts(self.payload)
+            payload = load(self.key)
+            if payload is None:
+                raise FileNotFoundError(
+                    f"plan entry {self.key[:12]}… vanished before prefetch"
+                )
+            self._res["payload"] = payload
+            self._res["parts"] = _device_parts(payload)
         except BaseException as e:  # noqa: BLE001 — fall back at finish
             self._res["err"] = e
 
@@ -333,7 +341,9 @@ class Prefetch:
                     "ignoring"
                 )
             return None
-        return _assemble(self.payload, self._res["parts"], weights)
+        return _assemble(
+            self._res["payload"], self._res["parts"], weights
+        )
 
 
 def prefetch_for_bam(path, fingerprint: str) -> Optional[Prefetch]:
@@ -347,8 +357,7 @@ def prefetch_for_bam(path, fingerprint: str) -> Optional[Prefetch]:
     skey = read_pointer(ptr)
     if skey is None:
         return None
-    payload = load(skey)
-    if payload is None:
+    if not (cache_dir() / f"{skey}.plan").exists():  # cheap existence probe
         return None
     log.info("plan cache: prefetching %s… during the pack", skey[:12])
-    return Prefetch(skey, payload)
+    return Prefetch(skey)
