@@ -531,11 +531,13 @@ struct Win {
   ~Win() { free(base); }
 };
 
-// Tail headroom: must cover the largest partial BAM record that can
-// straddle a window boundary (records are bounded by block_size, an
-// int32, but sane long-read records are <16 MB). Tails larger than
-// this take a rare realloc+copy fallback path.
-constexpr size_t WIN_HEADROOM = 32ull << 20;
+// Tail headroom default: must cover the largest partial BAM record
+// that can straddle a window boundary (records are bounded by
+// block_size, an int32, but sane long-read records are <16 MB).
+// Tails larger than the headroom take a rare realloc+copy fallback
+// path — tests shrink it (OARFISH_DECODE_HEADROOM_BYTES, read per
+// stream open) to force that path.
+constexpr size_t WIN_HEADROOM_DEFAULT = 32ull << 20;
 
 struct StreamState {
   // input
@@ -563,6 +565,7 @@ struct StreamState {
   bool pf_active = false;
   bool pf_ok = true;
   bool pipeline = false;
+  size_t hroom = WIN_HEADROOM_DEFAULT;
   // header (parsed at open)
   std::string header_text, ref_names;
   std::vector<int64_t> ref_lengths;
@@ -641,11 +644,11 @@ bool inflate_range(const StreamState& S, uint8_t* dst, size_t dataoff,
 // region (base + WIN_HEADROOM).
 bool inflate_batch(const StreamState& S, Win& w, size_t first, size_t last,
                    size_t add) {
-  w.ensure(WIN_HEADROOM + add);
-  w.p = w.base + WIN_HEADROOM;
+  w.ensure(S.hroom + add);
+  w.p = w.base + S.hroom;
   w.len = add;
   if (add == 0) return true;
-  return inflate_range(S, w.base, WIN_HEADROOM, first, last);
+  return inflate_range(S, w.base, S.hroom, first, last);
 }
 
 // Start inflating the next batch of blocks into S.nx on a background
@@ -690,10 +693,10 @@ bool advance_window(StreamState& S) {  // false on inflate failure
         // tail larger than the headroom (a >32 MB partial record):
         // rebuild contiguously in a fresh buffer
         Win big;
-        big.ensure(WIN_HEADROOM + tail + S.nx.len);
-        memcpy(big.base + WIN_HEADROOM, S.cur.p, tail);
-        memcpy(big.base + WIN_HEADROOM + tail, S.nx.p, S.nx.len);
-        big.p = big.base + WIN_HEADROOM;
+        big.ensure(S.hroom + tail + S.nx.len);
+        memcpy(big.base + S.hroom, S.cur.p, tail);
+        memcpy(big.base + S.hroom + tail, S.nx.p, S.nx.len);
+        big.p = big.base + S.hroom;
         big.len = tail + S.nx.len;
         big.swap(S.nx);
       }
@@ -715,10 +718,11 @@ bool advance_window(StreamState& S) {  // false on inflate failure
     S.bi++;
   }
   const size_t tail = S.cur.len;
-  const size_t dataoff = tail <= WIN_HEADROOM ? WIN_HEADROOM : tail;
+  const size_t dataoff = tail <= S.hroom ? S.hroom : tail;
   if (S.cur.cap < dataoff + add) {
     Win big;
-    big.ensure(dataoff + add);
+    // slack so per-window size jitter doesn't realloc every window
+    big.ensure(dataoff + add + (4ull << 20));
     memcpy(big.base + dataoff - tail, S.cur.p, tail);
     big.swap(S.cur);
   } else if (tail) {
@@ -744,6 +748,10 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
   if (const char* we = getenv("OARFISH_DECODE_WINDOW_BYTES")) {
     long b = atol(we);  // test hook: force many tiny windows
     if (b > 0) S.WBYTES = size_t(b);
+  }
+  if (const char* he = getenv("OARFISH_DECODE_HEADROOM_BYTES")) {
+    long b = atol(he);  // test hook: force the giant-tail fallback
+    if (b > 0) S.hroom = size_t(b);
   }
 
   int fd = open(path, O_RDONLY);
@@ -791,8 +799,8 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
         if (!inflate_batch(S, S.nx, first, S.bi, add))
           return make_error("BGZF inflate failure");
         Win big;
-        big.ensure(WIN_HEADROOM + S.cur.len + S.nx.len);
-        big.p = big.base + WIN_HEADROOM;
+        big.ensure(S.hroom + S.cur.len + S.nx.len);
+        big.p = big.base + S.hroom;
         memcpy(big.p, S.cur.p, S.cur.len);
         memcpy(big.p + S.cur.len, S.nx.p, S.nx.len);
         big.len = S.cur.len + S.nx.len;

@@ -453,3 +453,30 @@ def test_pipeline_early_close_joins_prefetch(fixture_bam, monkeypatch):
     gen = native.stream_bam(fixture_bam, keep_names=False)
     next(gen)
     gen.close()  # prefetch may be in flight; close must join it
+
+
+@pytest.mark.parametrize("pipeline", ["0", "1"])
+def test_tiny_headroom_giant_tail_fallback(fixture_bam, monkeypatch,
+                                           pipeline):
+    """A partial-record tail larger than the stitch headroom takes the
+    realloc+copy fallback (both sync and pipeline advance paths). Tiny
+    windows + a headroom smaller than one record force it constantly."""
+    whole = native.decode_bam(fixture_bam, keep_names=True)
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "512")
+    monkeypatch.setenv("OARFISH_DECODE_HEADROOM_BYTES", "64")
+    monkeypatch.setenv("OARFISH_DECODE_PIPELINE", pipeline)
+    chunks = list(native.stream_bam(fixture_bam, keep_names=True))
+    for f in ("group_id", "flag", "ref_id", "pos", "ref_span", "seq_len",
+              "score", "has_score"):
+        got = np.concatenate([getattr(c.columns, f) for c in chunks])
+        if f == "group_id":
+            base, parts2 = 0, []
+            for c in chunks:
+                parts2.append(c.columns.group_id + base)
+                base += c.n_groups
+            got = np.concatenate(parts2)
+        np.testing.assert_array_equal(
+            got, getattr(whole.columns, f), err_msg=f,
+        )
+    names = [n for c in chunks for n in (c.group_names or [])]
+    assert names == list(whole.group_names)
