@@ -139,10 +139,21 @@ def pack_bam_stream(
 
     `timings`, when given, is filled with {'decode_wait_s', 'filter_s',
     'wall_s', 'chunks'} — decode_wait_s is the time the consumer would
-    have spent blocked on decode had there been no overlap."""
+    have spent blocked on decode had there been no overlap.
+
+    The filter itself runs on a small pool when cores are plentiful
+    (threads >= 6, like the decoder's inflate pipeline;
+    OARFISH_FILTER_THREADS overrides): chunks are filtered out of order
+    but ACCUMULATED strictly in order, so the CSR, the prebuild
+    observer stream, and the name blobs are byte-identical to the
+    serial path (coverage bins are FP-accumulation-order tolerant, as
+    with any chunking change). Below the threshold the pool has one
+    worker and behaves exactly like the old inline filter."""
     import queue
     import threading
     import time as _time
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     from . import native
     from .filters import DiscardTable
@@ -210,6 +221,43 @@ def pack_bam_stream(
     t_filter = 0.0
     n_chunks = 0
     prog = Progress("parsing alignments", unit="records")
+
+    fworkers = 1 if threads < 6 else max(1, threads // 3)
+    if os.environ.get("OARFISH_FILTER_THREADS"):
+        fworkers = max(1, int(os.environ["OARFISH_FILTER_THREADS"]))
+    pool = ThreadPoolExecutor(max_workers=fworkers)
+    pending: deque = deque()  # (future, chunk) in arrival order
+
+    def collect_one():
+        """Accumulate the oldest filtered chunk (strictly in order)."""
+        nonlocal num_unique, num_unmapped, t_filter
+        fut, chunk = pending.popleft()
+        t0 = _time.perf_counter()  # includes the block-on-filter wait
+        packed = fut.result()
+        coverage.add_intervals(packed.txp_id, packed.start, packed.end)
+        if keep_names:
+            if chunk.group_names is not None:
+                blob = NameBlob.from_indexed(
+                    chunk.group_names, packed.group_of_read
+                )
+                if spill is not None:
+                    spill.add(blob)
+                else:
+                    name_chunks.append(blob)
+            elif len(packed.group_of_read):
+                raise ValueError(f"{path}: stream chunk missing group names")
+        packed_chunks.append(packed)
+        if chunk_observer is not None:
+            # feed the routed-EM prebuilder (ops/em_v4.V4Prebuild):
+            # layout pre-work runs on its thread while later chunks
+            # decode — the pack→build overlap (VERDICT r2 next-1)
+            chunk_observer(packed)
+        discard.aggregate(packed.discard)
+        num_unique += packed.num_unique_alignments
+        num_unmapped += chunk.num_unmapped
+        prog.update(len(chunk.columns.flag) + chunk.num_unmapped)
+        t_filter += _time.perf_counter() - t0
+
     try:
         while True:
             item = q.get()
@@ -230,35 +278,22 @@ def pack_bam_stream(
                     txp_len, bin_width if opts.model_coverage else 0
                 )
             t0 = _time.perf_counter()
-            packed = filter_records(opts, txp_len, chunk.columns)
-            coverage.add_intervals(packed.txp_id, packed.start, packed.end)
-            if keep_names:
-                if chunk.group_names is not None:
-                    blob = NameBlob.from_indexed(
-                        chunk.group_names, packed.group_of_read
-                    )
-                    if spill is not None:
-                        spill.add(blob)
-                    else:
-                        name_chunks.append(blob)
-                elif len(packed.group_of_read):
-                    raise ValueError(
-                        f"{path}: stream chunk missing group names"
-                    )
-            packed_chunks.append(packed)
-            if chunk_observer is not None:
-                # feed the routed-EM prebuilder (ops/em_v4.V4Prebuild):
-                # layout pre-work runs on its thread while later chunks
-                # decode — the pack→build overlap (VERDICT r2 next-1)
-                chunk_observer(packed)
-            discard.aggregate(packed.discard)
-            num_unique += packed.num_unique_alignments
-            num_unmapped += chunk.num_unmapped
-            prog.update(len(chunk.columns.flag) + chunk.num_unmapped)
+            pending.append(
+                (pool.submit(filter_records, opts, txp_len, chunk.columns),
+                 chunk)
+            )
             t_filter += _time.perf_counter() - t0
+            # bound in-flight chunks (each holds its columnar arrays)
+            while len(pending) > fworkers + 1 or (
+                pending and pending[0][0].done()
+            ):
+                collect_one()
+        while pending:
+            collect_one()
     finally:
         prog.close()
         stop.set()  # cancel the producer's decode-in-progress
+        pool.shutdown(wait=True, cancel_futures=True)
         # drain one slot in case the producer is mid-put
         while th.is_alive():
             try:

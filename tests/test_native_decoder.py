@@ -480,3 +480,33 @@ def test_tiny_headroom_giant_tail_fallback(fixture_bam, monkeypatch,
         )
     names = [n for c in chunks for n in (c.group_names or [])]
     assert names == list(whole.group_names)
+
+
+def test_filter_pool_matches_serial(fixture_bam, monkeypatch):
+    """The out-of-order filter pool must accumulate strictly in order:
+    CSR, names, discard table, and unique counts byte-identical to the
+    single-worker path."""
+    from oarfish_tpu.host.packer import pack_bam_stream
+
+    opts = FilterOpts(model_coverage=True)
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "4096")
+
+    def run():
+        return pack_bam_stream(fixture_bam, opts, 100, threads=2,
+                               keep_names=True)
+
+    monkeypatch.setenv("OARFISH_FILTER_THREADS", "1")
+    h1, s1, c1, u1 = run()
+    monkeypatch.setenv("OARFISH_FILTER_THREADS", "4")
+    h4, s4, c4, u4 = run()
+    assert u1 == u4
+    np.testing.assert_array_equal(s1.txp_id, s4.txp_id)
+    np.testing.assert_array_equal(s1.boundaries, s4.boundaries)
+    np.testing.assert_array_equal(s1.as_prob, s4.as_prob)
+    np.testing.assert_array_equal(s1.start, s4.start)
+    assert list(s1.read_names) == list(s4.read_names)
+    from dataclasses import asdict
+
+    assert asdict(s1.discard) == asdict(s4.discard)
+    assert s1.num_unique_alignments == s4.num_unique_alignments
+    np.testing.assert_allclose(c1.bins, c4.bins, rtol=1e-12, atol=1e-12)
