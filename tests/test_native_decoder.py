@@ -510,3 +510,32 @@ def test_filter_pool_matches_serial(fixture_bam, monkeypatch):
     assert asdict(s1.discard) == asdict(s4.discard)
     assert s1.num_unique_alignments == s4.num_unique_alignments
     np.testing.assert_allclose(c1.bins, c4.bins, rtol=1e-12, atol=1e-12)
+
+
+def test_header_spanning_many_windows(tmp_path, monkeypatch):
+    """A header larger than the decode window exercises the open-path
+    grow/concatenate branch (ref dictionaries at GENCODE scale easily
+    exceed a test-sized window)."""
+    p = tmp_path / "bighdr.bam"
+    # ~300 KB of ref dictionary = ~5 BGZF blocks; with a 1 KB window
+    # each grow appends one block, so the concat branch runs repeatedly
+    names = [f"transcript_{i:06d}_{'x'*40}" for i in range(5000)]
+    lens = [1000 + i for i in range(5000)]
+    recs = [
+        dict(name=f"r{i}", flag=0, ref_id=i % 5000, pos=5, cigar="200M",
+             seq="A" * 200, score=290)
+        for i in range(50)
+    ]
+    bam.write_bam(p, names, lens, recs)
+    whole = native.decode_bam(p, keep_names=True)
+    assert whole.header.ref_names == names
+    monkeypatch.setenv("OARFISH_DECODE_WINDOW_BYTES", "1024")
+    monkeypatch.setenv("OARFISH_DECODE_HEADROOM_BYTES", "256")
+    chunks = list(native.stream_bam(p, keep_names=True))
+    assert chunks[0].header is not None
+    assert chunks[0].header.ref_names == names
+    assert list(chunks[0].header.ref_lengths) == lens
+    np.testing.assert_array_equal(
+        np.concatenate([c.columns.ref_id for c in chunks]),
+        whole.columns.ref_id,
+    )
