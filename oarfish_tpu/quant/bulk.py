@@ -800,6 +800,13 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         )
         prefetch = plan_cache.prefetch_for_bam(args.alignments, fp)
         pointer_key = plan_cache.bam_pointer_key(args.alignments, fp)
+        if prefetch is not None:
+            # a plan is already being reconstructed from the cache; the
+            # prebuilder's layout pre-work would be discarded on the
+            # (structurally verified) hit, and its bucketing threads
+            # only steal cores from the pack. If the prefetch turns out
+            # stale, _Data.build falls back to the full build.
+            prebuilder = None
 
     t0 = time.time()
     pack_timings: dict = {}
