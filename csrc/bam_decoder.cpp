@@ -515,12 +515,13 @@ struct Win {
   size_t cap = 0;
   uint8_t* p = nullptr;
   size_t len = 0;
-  void ensure(size_t need) {
+  bool ensure(size_t need) {  // false on allocation failure
     if (cap < need) {
       free(base);
       base = static_cast<uint8_t*>(malloc(need));
       cap = base ? need : 0;
     }
+    return cap >= need;
   }
   void swap(Win& o) {
     std::swap(base, o.base);
@@ -644,7 +645,7 @@ bool inflate_range(const StreamState& S, uint8_t* dst, size_t dataoff,
 // region (base + WIN_HEADROOM).
 bool inflate_batch(const StreamState& S, Win& w, size_t first, size_t last,
                    size_t add) {
-  w.ensure(S.hroom + add);
+  if (!w.ensure(S.hroom + add)) return false;
   w.p = w.base + S.hroom;
   w.len = add;
   if (add == 0) return true;
@@ -693,7 +694,7 @@ bool advance_window(StreamState& S) {  // false on inflate failure
         // tail larger than the headroom (a >32 MB partial record):
         // rebuild contiguously in a fresh buffer
         Win big;
-        big.ensure(S.hroom + tail + S.nx.len);
+        if (!big.ensure(S.hroom + tail + S.nx.len)) return false;
         memcpy(big.base + S.hroom, S.cur.p, tail);
         memcpy(big.base + S.hroom + tail, S.nx.p, S.nx.len);
         big.p = big.base + S.hroom;
@@ -722,7 +723,7 @@ bool advance_window(StreamState& S) {  // false on inflate failure
   if (S.cur.cap < dataoff + add) {
     Win big;
     // slack so per-window size jitter doesn't realloc every window
-    big.ensure(dataoff + add + (4ull << 20));
+    if (!big.ensure(dataoff + add + (4ull << 20))) return false;
     memcpy(big.base + dataoff - tail, S.cur.p, tail);
     big.swap(S.cur);
   } else if (tail) {
@@ -799,7 +800,8 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
         if (!inflate_batch(S, S.nx, first, S.bi, add))
           return make_error("BGZF inflate failure");
         Win big;
-        big.ensure(S.hroom + S.cur.len + S.nx.len);
+        if (!big.ensure(S.hroom + S.cur.len + S.nx.len))
+          return make_error("decode window allocation failed");
         big.p = big.base + S.hroom;
         memcpy(big.p, S.cur.p, S.cur.len);
         memcpy(big.p + S.cur.len, S.nx.p, S.nx.len);
@@ -1090,7 +1092,7 @@ OarfishDecoded* stream_next_impl(StreamState& S) {
     if (!more_input()) {
       if (S.cur.len) return fail("truncated BAM record");
     } else if (!advance_window(S)) {
-      return fail("BGZF inflate failure");
+      return fail("BGZF inflate failure (or decode window allocation)");
     }
 
     // emit once at least one complete group is buffered: hold back the
