@@ -148,7 +148,11 @@ def pack_bam_stream(
     observer stream, and the name blobs are byte-identical to the
     serial path (coverage bins are FP-accumulation-order tolerant, as
     with any chunking change). Below the threshold the pool has one
-    worker and behaves exactly like the old inline filter."""
+    worker: outputs are identical to the old inline filter, but
+    collection is deferred (pending depth up to 2), so filtering of
+    chunk k still overlaps chunk k+1's decode and `filter_s` includes
+    block-on-result wait — timing/RSS semantics differ from a truly
+    inline pass."""
     import queue
     import threading
     import time as _time

@@ -188,6 +188,7 @@ class V4Prebuild:
         self.aln_off = 0
         self.max_size = 0
         self._err: Optional[BaseException] = None
+        self._quiet = False
         self._q: "_queue.Queue" = _queue.Queue(maxsize=queue_depth)
         self._th = _threading.Thread(target=self._run, daemon=True)
         self._th.start()
@@ -252,12 +253,13 @@ class V4Prebuild:
         self._q.put(None)
         self._th.join()
         if self._err is not None:
-            import logging
+            if not self._quiet:
+                import logging
 
-            logging.getLogger("oarfish_tpu").warning(
-                "v4 prebuild failed (%s); building monolithically",
-                self._err,
-            )
+                logging.getLogger("oarfish_tpu").warning(
+                    "v4 prebuild failed (%s); building monolithically",
+                    self._err,
+                )
             return None
         if len(self.counts) < num_txps:
             grown = np.zeros(num_txps, dtype=np.int64)
@@ -280,7 +282,8 @@ class V4Prebuild:
             "R": self.read_off,
         }
 
-    def abort(self) -> None:
+    def abort(self, quiet: bool = False) -> None:
+        self._quiet = self._quiet or quiet
         self._err = self._err or RuntimeError("aborted")
         try:
             self._q.put_nowait(None)

@@ -330,6 +330,15 @@ class Prefetch:
         except BaseException as e:  # noqa: BLE001 — fall back at finish
             self._res["err"] = e
 
+    def status(self) -> str:
+        """Non-blocking: 'pending' while the worker loads, 'ok' once the
+        payload is unpickled + version-checked and device parts staged,
+        'failed' on any load error. Lets the caller keep a hedge (the
+        V4Prebuild) alive exactly until the entry is known-loadable."""
+        if self._th.is_alive():
+            return "pending"
+        return "failed" if "err" in self._res else "ok"
+
     def finish(self, structural_key: str, weights: np.ndarray):
         self._th.join()
         if structural_key != self.key or "err" in self._res:

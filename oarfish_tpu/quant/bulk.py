@@ -787,7 +787,6 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         from ..ops import plan_cache
         from ..ops.em_v4 import V4Prebuild
 
-        prebuilder = V4Prebuild()
         # speculative plan prefetch: if this exact BAM + CSR-affecting
         # filter config ran before, ship the cached route tables to the
         # device WHILE the pack streams (verified against the packed
@@ -800,29 +799,40 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         )
         prefetch = plan_cache.prefetch_for_bam(args.alignments, fp)
         pointer_key = plan_cache.bam_pointer_key(args.alignments, fp)
-        if prefetch is not None:
-            # a plan is already being reconstructed from the cache; the
-            # prebuilder's layout pre-work would be discarded on the
-            # (structurally verified) hit, and its bucketing threads
-            # only steal cores from the pack. If the prefetch turns out
-            # stale, _Data.build falls back to the full build.
-            prebuilder = None
+        # Hedge: run the layout prebuilder even when a prefetch is in
+        # flight, and abort it only once the prefetch payload is
+        # known-loadable (unpickled + version-checked). If the cached
+        # entry was evicted or is corrupt, the overlapped layout build
+        # is still there; on the verified hit the prebuild's pre-work
+        # would be discarded, so we stop it to give its cores back to
+        # the pack.
+        prebuilder = V4Prebuild()
 
     t0 = time.time()
     pack_timings: dict = {}
-    observer = prebuilder.observe if prebuilder else None
-    if prebuilder is not None and prefetch is None:
-        # the pointer may land mid-pack (a preceding run's async store
-        # finishing); re-poll per chunk (an os.stat + tiny file read)
-        # so a late-arriving plan still overlaps most of the pack
-        _pf_box = [None]
+    observer = None
+    if prebuilder is not None:
+        # the pointer may also land mid-pack (a preceding run's async
+        # store finishing); re-poll per chunk (an os.stat + tiny file
+        # read) so a late-arriving plan still overlaps most of the pack
+        _pf_box = [prefetch]
+        _hedge_done = [False]
 
-        def observer(packed, _obs=prebuilder.observe):  # noqa: F811
+        def observer(packed):
             if _pf_box[0] is None:
                 _pf_box[0] = plan_cache.prefetch_for_bam(
                     args.alignments, fp
                 )
-            _obs(packed)
+            pf = _pf_box[0]
+            if (
+                pf is not None
+                and not _hedge_done[0]
+                and pf.status() == "ok"
+            ):
+                _hedge_done[0] = True
+                prebuilder.abort(quiet=True)
+            if not _hedge_done[0]:
+                prebuilder.observe(packed)
 
     try:
         header, store, coverage, _num_unmapped = pack_bam_fast(
@@ -839,7 +849,7 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
         if prebuilder is not None:
             prebuilder.abort()
         raise
-    if prebuilder is not None and prefetch is None:
+    if prebuilder is not None:
         prefetch = _pf_box[0]
     verify_header(header, args.alignments)
     txps_name = header.ref_names
