@@ -23,6 +23,9 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -154,6 +157,110 @@ struct ColorCore {
     memcpy(out, col.data(), size_t(m) * sizeof(int32_t));
     return true;
   }
+
+  // Konig alternating-path edge coloring: proper `colors`-coloring of
+  // an irregular bipartite graph with max degree <= colors, touching
+  // ONLY the m data edges (no dummy padding). For the route-table
+  // channel graphs the padded Euler recursion colors
+  // colors*max(n_left,n_right) edges over log2(colors) levels; this
+  // runs in ~O(m) amortized (alternating-path flips are rare and
+  // short), a large constant-factor win when m << colors*n_nodes.
+  // Contract mirrors color_padded: returns false (touching nothing
+  // beyond scratch) on degree/node-range violations.
+  std::vector<int32_t> atL, atR;        // node x color -> edge id | -1
+  std::vector<uint64_t> freeL, freeR;   // node -> 2x64-bit free mask
+  std::vector<int32_t> path;
+
+  static inline int first_free(const uint64_t* f) {
+    if (f[0]) return __builtin_ctzll(f[0]);
+    return 64 + __builtin_ctzll(f[1]);
+  }
+
+  bool color_konig(const int32_t* src, const int32_t* dst, int64_t m,
+                   int64_t n_left, int64_t n_right, int32_t colors,
+                   int32_t* out) {
+    if (colors < 1 || colors > 128) return false;
+    deg.assign(n_left + n_right, 0);
+    for (int64_t i = 0; i < m; i++) {
+      if (src[i] < 0 || src[i] >= n_left || dst[i] < 0 ||
+          dst[i] >= n_right)
+        return false;
+      if (++deg[src[i]] > colors) return false;
+      if (++deg[n_left + dst[i]] > colors) return false;
+    }
+    atL.assign(size_t(n_left) * colors, -1);
+    atR.assign(size_t(n_right) * colors, -1);
+    uint64_t m0 = colors >= 64 ? ~0ull
+                               : ((1ull << colors) - 1);
+    uint64_t m1 = colors <= 64 ? 0ull
+                               : (colors == 128 ? ~0ull
+                                                : ((1ull << (colors - 64)) - 1));
+    freeL.assign(size_t(n_left) * 2, 0);
+    freeR.assign(size_t(n_right) * 2, 0);
+    for (int64_t v = 0; v < n_left; v++) {
+      freeL[2 * v] = m0;
+      freeL[2 * v + 1] = m1;
+    }
+    for (int64_t v = 0; v < n_right; v++) {
+      freeR[2 * v] = m0;
+      freeR[2 * v + 1] = m1;
+    }
+    auto clearbit = [](uint64_t* f, int c) { f[c >> 6] &= ~(1ull << (c & 63)); };
+    auto setbit = [](uint64_t* f, int c) { f[c >> 6] |= 1ull << (c & 63); };
+    for (int64_t e = 0; e < m; e++) {
+      const int32_t u = src[e], v = dst[e];
+      uint64_t* fu = &freeL[2 * size_t(u)];
+      uint64_t* fv = &freeR[2 * size_t(v)];
+      uint64_t c0 = fu[0] & fv[0], c1 = fu[1] & fv[1];
+      int c;
+      if (c0 | c1) {
+        c = c0 ? __builtin_ctzll(c0) : 64 + __builtin_ctzll(c1);
+      } else {
+        // no common free color: free `a` at v by flipping the maximal
+        // a/b alternating path from v (it provably never reaches u)
+        const int a = first_free(fu);
+        const int b = first_free(fv);
+        path.clear();
+        int side = 1;  // 0 = left, 1 = right
+        int32_t node = v;
+        int want = a;
+        for (;;) {
+          int32_t e2 = side ? atR[size_t(node) * colors + want]
+                            : atL[size_t(node) * colors + want];
+          if (e2 < 0) break;
+          path.push_back(e2);
+          node = side ? src[e2] : dst[e2];
+          side ^= 1;
+          want = (want == a) ? b : a;
+        }
+        // two-pass recolor: clear every old entry, then set new ones
+        for (size_t i = 0; i < path.size(); i++) {
+          const int32_t e2 = path[i];
+          const int old = (i % 2 == 0) ? a : b;
+          atL[size_t(src[e2]) * colors + old] = -1;
+          atR[size_t(dst[e2]) * colors + old] = -1;
+          setbit(&freeL[2 * size_t(src[e2])], old);
+          setbit(&freeR[2 * size_t(dst[e2])], old);
+        }
+        for (size_t i = 0; i < path.size(); i++) {
+          const int32_t e2 = path[i];
+          const int neu = (i % 2 == 0) ? b : a;
+          atL[size_t(src[e2]) * colors + neu] = e2;
+          atR[size_t(dst[e2]) * colors + neu] = e2;
+          clearbit(&freeL[2 * size_t(src[e2])], neu);
+          clearbit(&freeR[2 * size_t(dst[e2])], neu);
+          out[e2] = neu;  // flipped edges get their NEW color reported
+        }
+        c = a;
+      }
+      out[e] = c;
+      atL[size_t(u) * colors + c] = int32_t(e);
+      atR[size_t(v) * colors + c] = int32_t(e);
+      clearbit(fu, c);
+      clearbit(fv, c);
+    }
+    return true;
+  }
 };
 
 }  // namespace
@@ -247,6 +354,21 @@ static int64_t route_tables_impl(
   const int64_t R1 = int64_t(n_dst) * Q / L;
   const int64_t R3 = int64_t(n_src) * Q / L;
   const int64_t H1 = R1 / L;
+  const bool timing = getenv("OARFISH_ROUTE_TIMING") != nullptr;
+  // OARFISH_EULER_COLOR=1 forces the padded Euler-split coloring (the
+  // Konig alternating-path colorer is the default; both produce proper
+  // colorings, generally different ones -- any proper coloring yields a
+  // correct route, see permute_plan.py)
+  const char* ec = getenv("OARFISH_EULER_COLOR");
+  const bool use_euler = ec && ec[0] == '1';
+  auto t0 = std::chrono::steady_clock::now();
+  auto tick = [&](const char* name) {
+    if (!timing) return;
+    auto t1 = std::chrono::steady_clock::now();
+    fprintf(stderr, "route_tables %s %.3fs\n", name,
+            std::chrono::duration<double>(t1 - t0).count());
+    t0 = t1;
+  };
 
   std::vector<int32_t> s_of(E), d_of(E), rank(E);
   for (int64_t i = 0; i < E; i++) {
@@ -256,6 +378,7 @@ static int64_t route_tables_impl(
     s_of[i] = int32_t(s);
     d_of[i] = int32_t(d);
   }
+  tick("s_of/d_of");
   {
     std::vector<int32_t> run(size_t(n_src) * n_dst, 0);
     for (int64_t i = 0; i < E; i++) {
@@ -264,6 +387,7 @@ static int64_t route_tables_impl(
       rank[i] = r;
     }
   }
+  tick("rank");
   // group edges by src chunk / by dst chunk (original order within)
   std::vector<int64_t> s_off(n_src + 1, 0), d_off(n_dst + 1, 0);
   for (int64_t i = 0; i < E; i++) {
@@ -281,6 +405,7 @@ static int64_t route_tables_impl(
       d_ord[dp[d_of[i]]++] = i;
     }
   }
+  tick("group_sorts");
 
   int nt = n_threads > 0 ? n_threads
                          : int(std::thread::hardware_concurrency());
@@ -311,9 +436,16 @@ static int64_t route_tables_impl(
             b_row[j] =
                 int32_t((int64_t(d_of[i]) * Q + rank[i]) / L);
           }
-          int64_t n_nodes = CR > R1 ? CR : R1;
-          if (!core.color_padded(a_row.data(), b_row.data(), m, n_nodes,
-                                 int32_t(L), col.data())) {
+          bool ok;
+          if (use_euler) {
+            int64_t n_nodes = CR > R1 ? CR : R1;
+            ok = core.color_padded(a_row.data(), b_row.data(), m,
+                                   n_nodes, int32_t(L), col.data());
+          } else {
+            ok = core.color_konig(a_row.data(), b_row.data(), m, CR, R1,
+                                  int32_t(L), col.data());
+          }
+          if (!ok) {
             int64_t expect = 0;
             bad.compare_exchange_strong(expect, 3);
             return;
@@ -358,9 +490,16 @@ static int64_t route_tables_impl(
                 int32_t((int64_t(s_of[i]) * Q + rank[i]) / L);
             b_row[j] = int32_t((out_idx[i] % CHR) / L);
           }
-          int64_t n_nodes = CR > R3 ? CR : R3;
-          if (!core.color_padded(a_row.data(), b_row.data(), m, n_nodes,
-                                 int32_t(L), col.data())) {
+          bool ok;
+          if (use_euler) {
+            int64_t n_nodes = CR > R3 ? CR : R3;
+            ok = core.color_padded(a_row.data(), b_row.data(), m,
+                                   n_nodes, int32_t(L), col.data());
+          } else {
+            ok = core.color_konig(a_row.data(), b_row.data(), m, R3, CR,
+                                  int32_t(L), col.data());
+          }
+          if (!ok) {
             int64_t expect = 0;
             bad.compare_exchange_strong(expect, 3);
             return;
@@ -399,6 +538,7 @@ static int64_t route_tables_impl(
     });
   }
   for (auto& th : pool) th.join();
+  tick("color+scatter");
   return bad.load();
 }
 
@@ -434,6 +574,16 @@ int64_t oarfish_route_tables_pair(
                            s3_src, s3_row, s3_r2, s3_mask, b_s1_r1,
                            b_s1_src, b_s1_row, b_s1_r2, b_s3_r1, b_s3_src,
                            b_s3_row, b_s3_r2, b_s3_mask);
+}
+
+// Test-only direct entry for the Konig colorer (differential property
+// tests in tests/test_static_routing.py).
+int64_t oarfish_color_konig(const int32_t* src, const int32_t* dst,
+                            int64_t m, int64_t n_left, int64_t n_right,
+                            int32_t colors, int32_t* out) {
+  ColorCore core;
+  return core.color_konig(src, dst, m, n_left, n_right, colors, out) ? 0
+                                                                     : 1;
 }
 
 }  // extern "C"

@@ -912,6 +912,7 @@ def _v4_layout(
     import os as _os
 
     rect_maxflow = None
+    route_sel = None
     if (
         use_balance
         and len(items_r)
@@ -1070,6 +1071,11 @@ def _v4_layout(
                     break
                 target -= LANES
             rect_maxflow = mf
+        if rect_hint is None:
+            # the repair optimized the placement FOR this chunk size;
+            # pin (CR, final maxflow) so _v4_finish skips its 3-way
+            # route_maxflow recompute over all CR candidates
+            route_sel = (CRsel, int(mf))
     _tick("repair_pass4")
 
     # ---- tiny T-space tile permutes
@@ -1149,6 +1155,7 @@ def _v4_layout(
         "num_reads": R,
         "num_txps": T,
         "rect_maxflow": rect_maxflow,
+        "route_sel": route_sel,
         "dbg": {
             "perm_in": perm_in,
             "perm_out": perm_out,
@@ -1384,7 +1391,12 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None,
         )
     else:
         if geometry is None:
-            CR, NPAD, geo = route_config(lay, lay["NPAD"])
+            sel = lay.get("route_sel")
+            if sel is not None:
+                CR, NPAD, geo = route_config({sel[0]: sel[1]},
+                                             lay["NPAD"])
+            else:
+                CR, NPAD, geo = route_config(lay, lay["NPAD"])
         else:
             CR, NPAD, geo = geometry
         routes = build_route_pair_async(
@@ -1392,6 +1404,20 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None,
             force_geometry=geo, chunk_rows=CR,
             keep_host=keep_host,
         )
+    import os as _fos
+    import time as _time
+
+    _ft0 = _time.perf_counter()
+    _ftick_log = _fos.environ.get("OARFISH_V4_BUILD_TIMING")
+    _fphases = []
+
+    def _ftick(name):
+        nonlocal _ft0
+        if _ftick_log:
+            t = _time.perf_counter()
+            _fphases.append((name, t - _ft0))
+            _ft0 = t
+
     # geometry is known immediately; build + ship everything that only
     # depends on it WHILE the native coloring/table fill runs on its
     # worker thread (it releases the GIL)
@@ -1399,13 +1425,16 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None,
         lay["read_shapes"], lay["read_starts"], routes.n_dst, CR
     )
     seg_id_dev = None if seg_id is None else jnp.asarray(seg_id)
+    _ftick("seg_id")
     # weights stored at the route's padded length so the fused-mul
     # expand kernel takes them without a pad copy per iteration
     w_txp = np.zeros(routes.n_src * CR * LANES, dtype=np.float64)
     w_txp[lay["txp_slot_of_aln"]] = lay["weights"]
     lay["dbg"]["w_txp"] = w_txp[: lay["n_slots_t"]]
     w_txp_dev = jnp.asarray(w_txp, dtype=jnp.float32)
+    _ftick("w_txp")
     p_a, p_b = routes()
+    _ftick("routes.join")
     if cache_key is not None and hasattr(routes, "host"):
         from . import plan_cache
 
@@ -1415,6 +1444,14 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None,
             pointer_key=pointer_key,
         )
 
+    if _ftick_log:
+        import logging as _logging
+
+        _ftick("store_async")
+        _logging.getLogger("oarfish_tpu").info(
+            "v4 finish phases: %s",
+            " ".join(f"{k}={v:.2f}s" for k, v in _fphases),
+        )
     return EmV4Data(
         w_txp=w_txp_dev,
         p_a=p_a,
