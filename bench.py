@@ -97,16 +97,36 @@ def tpu_phase():
 
     timed(ITERS)  # compile + warm the tunnel
     timed(3 * ITERS)
-    t_small, counts = timed(ITERS)
-    t_big, _ = timed(3 * ITERS)
-    dt = (t_big - t_small) / 2
-    sys.stderr.write(
-        f"tpu raw: {ITERS} iters {t_small:.3f}s, {3 * ITERS} iters "
-        f"{t_big:.3f}s (per-{ITERS} delta {dt:.3f}s)\n"
-    )
-    if dt <= 0:
+    # median-of-N protocol (VERDICT r3 item 6): the shared VM and the
+    # tunnel swing single measurements 2-20x; N (small, big) pairs'
+    # per-iter deltas, median taken, with the spread reported so a
+    # noisy session is visible in the log.
+    pairs = int(os.environ.get("OARFISH_BENCH_PAIRS", "5"))
+    deltas = []
+    counts = None
+    for p in range(pairs):
+        t_small, counts = timed(ITERS)
+        t_big, _ = timed(3 * ITERS)
+        d = (t_big - t_small) / 2
+        sys.stderr.write(
+            f"tpu pair {p}: {ITERS} iters {t_small:.3f}s, "
+            f"{3 * ITERS} iters {t_big:.3f}s (delta {d:.3f}s)\n"
+        )
+        if d > 0:
+            deltas.append(d)
+    if deltas:
+        ds = sorted(deltas)
+        dt = ds[len(ds) // 2]
+        sys.stderr.write(
+            f"tpu per-{ITERS}-iter delta: median {dt:.3f}s over "
+            f"{len(ds)} pairs (min {ds[0]:.3f}, max {ds[-1]:.3f})\n"
+        )
+    else:
         dt = max(t_big / 3.0, 1e-9)
     print(json.dumps({"dt_per_iters": dt, "iters": ITERS, "R": R,
+                      "n_pairs": len(deltas),
+                      "spread": ([min(deltas), max(deltas)]
+                                 if deltas else None),
                       "mass": float(counts.sum())}))
 
 

@@ -334,6 +334,55 @@ def compute_envelope(txp_id, boundaries, num_txps) -> dict:
     }
 
 
+def _quant_up(n: int) -> int:
+    """Round up to the next 1/8-mantissa quantum (m * 2^e, m in
+    [9, 16]); values <= 16 are exact. Bounded waste (< 12.5%), coarse
+    enough that nearby values collapse to one quantum."""
+    n = int(n)
+    if n <= 16:
+        return n
+    e = (n - 1).bit_length() - 4
+    step = 1 << e
+    return -(-n // step) * step
+
+
+def canonical_envelope(env: dict) -> dict:
+    """Quantize a dataset's natural envelope onto canonical shape
+    quanta so DIFFERENT datasets of similar scale produce IDENTICAL
+    EmV4Data shapes/meta — and therefore identical EM-loop HLO (the
+    loop itself is T-free, see make_runner), so the persistent XLA
+    compile cache serves the FIRST run of new data (VERDICT r3 item
+    1b). Buckets get a full K ladder (reads to >= 128, transcripts to
+    CAPK) with 1/8-mantissa-quantized padded row counts (empty forced
+    buckets cost 128 inert rows each); big-region and tile-permute
+    spaces are quantized the same way. Waste is bounded at ~7-12%% of
+    slot space; a pad row's slots stay all-zero (inert)."""
+
+    H = 1.12  # headroom so a later dataset's ~±10% jitter fits the
+    #           class on its FIRST try instead of growing it
+
+    def canon_buckets(buckets, ladder_to):
+        have = dict((int(K), int(rp)) for K, rp in buckets)
+        maxk = max(list(have) + [ladder_to])
+        out = []
+        K = 1
+        while K <= maxk:
+            rows128 = max(int(np.ceil(have.get(K, 0) * H / LANES)), 1)
+            out.append((K, _quant_up(rows128) * LANES))
+            K *= 2
+        return tuple(out)
+
+    big128 = max(int(np.ceil(env["big_rows_pad"] * H / LANES)), 1)
+    t128 = int(np.ceil(env["t_rows"] * H / LANES))
+    return {
+        "read_buckets": canon_buckets(env["read_buckets"], 128),
+        "small_buckets": canon_buckets(env["small_buckets"], CAPK),
+        "big_rows_pad": _quant_up(big128) * LANES,
+        "n_big": max(_quant_up(int(np.ceil(env["n_big"] * H)) + 1), 1),
+        "t_rows": _quant_up(t128) * LANES,
+    }
+
+
 def merge_envelopes(envs: List[dict]) -> dict:
     """Pointwise max of per-shard envelopes (union of bucket Ks, max
     padded rows per K)."""
@@ -468,8 +517,69 @@ class EmV4Data:
                         "v4 plan cache entry unusable (%s); rebuilding", e
                     )
 
+        # Canonical shapes for single-shard big builds: the envelope is
+        # quantized onto coarse quanta and the route geometry likewise
+        # (in _v4_finish), so similar-scale datasets compile to the
+        # SAME EM program and the persistent XLA cache serves first
+        # runs. Deterministic from the CSR, so plan-cache entries stay
+        # valid. OARFISH_CANONICAL=0 disables; _MIN sets the A floor.
+        canonical = (
+            envelope is None and geometry is None and not debug
+            and _os.environ.get("OARFISH_CANONICAL", "1") != "0"
+            and len(txp_id) >= int(_os.environ.get(
+                "OARFISH_CANONICAL_MIN", "1000000"))
+        )
+        canon_rec = None
+        canon_key = None
+        if canonical:
+            # sticky shape class: the first dataset of a scale class
+            # defines the canonical envelope (its natural shapes,
+            # quantized up); later similar-scale datasets that FIT
+            # reuse it verbatim — identical shapes => identical EM HLO
+            # => persistent-compile-cache hit on their FIRST run.
+            nat = compute_envelope(txp_id, boundaries, num_txps)
+            canon_key = plan_cache.env_class_key(len(txp_id))
+            # probe the neighbor classes too: a dataset sitting at a
+            # sqrt(2) class boundary should still reuse the adjacent
+            # class's envelope rather than founding a near-duplicate
+            canon_rec = None
+            own = canonical_envelope(nat)
+            for k in plan_cache.env_class_neighbors(canon_key):
+                rec = plan_cache.load_env_class(k)
+                if rec is not None and plan_cache.env_fits(
+                    nat, rec["env"], ref=own
+                ):
+                    canon_rec = rec
+                    canon_key = k
+                    break
+            if canon_rec is not None:
+                envelope = canon_rec["env"]
+                _plog.info(
+                    "canonical envelope class %s fits; shapes shared "
+                    "with prior datasets of this scale", canon_key,
+                )
+            else:
+                # grow the class monotonically (merge keeps every
+                # previously-fitting dataset fitting) unless the stored
+                # record is pathologically oversized for this dataset —
+                # then build for ourselves and leave the record alone
+                base = plan_cache.load_env_class(canon_key)
+                merged = (
+                    merge_envelopes([own, base["env"]])
+                    if base is not None else own
+                )
+                if plan_cache.env_slots(merged) <= 1.35 * max(
+                    plan_cache.env_slots(own), 1
+                ):
+                    envelope = merged
+                else:
+                    envelope = own
+                    canon_key = None  # do not clobber the class record
+                canon_rec = None  # geometry must be (re)derived
         lay = _v4_layout(txp_id, weights, boundaries, num_txps, envelope,
-                         pre=pre)
+                         pre=pre, canonical=canonical)
+        if canonical:
+            lay["canon"] = (canon_key, envelope, canon_rec)
         # rect rebuild is OPT-IN: the same-process A/B at the bench
         # shape (scripts/rect_ab_bench.py, 2026-08-17) has the square
         # Q=256 strided exchange at 1.76 ms/iter vs rect 256x384 Q=128
@@ -486,7 +596,7 @@ class EmV4Data:
             if lay2 is not None:
                 lay = lay2
         data = _v4_finish(lay, geometry, cache_key=cache_key,
-                          pointer_key=pointer_key)
+                          pointer_key=pointer_key, canonical=canonical)
         if debug:
             return data, lay["read_order"], lay["dbg"]
         return data, lay["read_order"]
@@ -500,6 +610,7 @@ def _v4_layout(
     envelope: Optional[dict] = None,
     rect_hint: Optional[Tuple[int, int, int, int]] = None,
     pre: Optional[dict] = None,
+    canonical: bool = False,
 ) -> dict:
     """Phase 1 of the v4 build: bucket layouts, slot maps, and the tiny
     T-space tile permutes — everything except the two GlobalRoutes (whose
@@ -630,6 +741,37 @@ def _v4_layout(
     big_start = n_small_slots
     n_slots_t = n_small_slots + big_rows_pad * CAPK
     _tick("big_tables")
+
+    # Auto layout policy (cold-build tax, VERDICT r3 item 1): the
+    # greedy/repair balance machinery exists to pull the max route-cell
+    # flow under the next 128 quota boundary. When the MEAN cell flow
+    # is far below the 128 legality floor, the buckets' within-bucket
+    # shuffle alone already lands max flow < 128 (measured at the 5M e2e
+    # shape: identical (npd, Q) geometry with and without balancing,
+    # 11.0s vs 6.9s layout+route build; scripts/layout_policy_ab.py),
+    # so the ~4s of placement work buys nothing. Skip it when the mean
+    # at the usual CR=256 chunking is <= 56 (128 is then >= mean + 6-7
+    # sigma even against the big-region's pinned full rows). A miss
+    # costs only a larger Q (slower EM iters), never correctness.
+    # OARFISH_V4_NO_BALANCE=1 forces fast, =0 forces balanced.
+    if (
+        use_balance
+        and (envelope is None or canonical)
+        and _os.environ.get("OARFISH_V4_NO_BALANCE") is None
+    ):
+        _chr_est = 256 * LANES
+        _n_chk_est = max(
+            -(-max(n_slots_r, n_slots_t) // _chr_est), 1
+        )
+        _mean_flow = A / (_n_chk_est * _n_chk_est)
+        if _mean_flow <= 56.0:
+            use_balance = False
+            import logging as _logging
+
+            _logging.getLogger("oarfish_tpu").info(
+                "v4 layout: mean cell flow %.1f << Q floor 128; "
+                "skipping the balance passes", _mean_flow,
+            )
 
     # per-alignment rank within its transcript (native counting sort;
     # the NumPy form costs an A-sized stable argsort + 4 more passes).
@@ -1367,7 +1509,7 @@ def _read_lvl_ids(read_shapes, read_starts, n_chunks: int,
 
 
 def _v4_finish(lay: dict, geometry=None, cache_key=None,
-               pointer_key=None) -> EmV4Data:
+               pointer_key=None, canonical: bool = False) -> EmV4Data:
     """Phase 2: construct the two GlobalRoutes (optionally with a forced
     shard-uniform (chunk_rows, npad, (npd, Q)) config) and assemble the
     device state. The routes over the unified rounded space are partial
@@ -1397,6 +1539,41 @@ def _v4_finish(lay: dict, geometry=None, cache_key=None,
                                              lay["NPAD"])
             else:
                 CR, NPAD, geo = route_config(lay, lay["NPAD"])
+            if canonical and "canon" in lay:
+                # canonical geometry, sticky like the envelope: reuse
+                # the class record's (CR, npd, Q) when it covers this
+                # dataset's natural needs; else quantize the chunk
+                # count up, respect the npd*Q legality step and the
+                # R1 <= 16*128 kernel cap, and store the grown record.
+                import math as _math
+
+                from . import plan_cache as _pc
+
+                canon_key, canon_env, canon_rec = lay["canon"]
+                npd, Q = geo
+                stored_geo = (
+                    canon_rec.get("geometry") if canon_rec else None
+                )
+                if (
+                    stored_geo is not None
+                    and stored_geo[0] == CR
+                    and stored_geo[1] >= npd
+                    and stored_geo[2] >= Q
+                    and stored_geo[1] * stored_geo[2]
+                        <= 16 * LANES * LANES
+                ):
+                    geo = (stored_geo[1], stored_geo[2])
+                else:
+                    step = (LANES * LANES) // _math.gcd(
+                        LANES * LANES, Q
+                    )
+                    npd_c = -(-_quant_up(npd) // step) * step
+                    if npd_c * Q <= 16 * LANES * LANES:
+                        geo = (npd_c, Q)
+                    if canon_key is not None:
+                        _pc.store_env_class(
+                            canon_key, canon_env, (CR, geo[0], geo[1])
+                        )
         else:
             CR, NPAD, geo = geometry
         routes = build_route_pair_async(
@@ -1520,13 +1697,17 @@ def _row_broadcast(values, shapes, xp=jnp, total=None, starts=None):
 
 
 def _prev_slots(data: EmV4Data, prev):
-    """Front glue: prev[T] -> prev in the transcript slot layout,
-    zero-tailed to the route pad (steps 1-2 of the m-step)."""
+    """Front glue: prev[T] (or prev already padded to t_space — the
+    ext-space loop, see make_runner) -> prev in the transcript slot
+    layout, zero-tailed to the route pad (steps 1-2 of the m-step)."""
     T = data.num_txps
     dt = prev.dtype
     npad = data.p_a.n_src * data.p_a.chunk_rows * LANES
     # 1. deliver prev to transcript rows (tiny static tile permute)
-    ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
+    if prev.shape[0] == data.t_space:
+        ext = prev  # ext-space loop: T never enters this trace
+    else:
+        ext = jnp.zeros(data.t_space, dt).at[:T].set(prev)
     pr = data.t_in(ext)
     pr_small = pr[: data.row_space_s]
     pr_big = pr[data.row_space_s : data.row_space_s + data.n_big]
@@ -1547,9 +1728,10 @@ def _prev_slots(data: EmV4Data, prev):
     return jnp.concatenate(parts)
 
 
-def _txp_tail(data: EmV4Data, inc_t):
+def _txp_tail(data: EmV4Data, inc_t, ext_space: bool = False):
     """Back glue: transcript-layout increments -> curr[T] (row sums,
-    big-transcript second level, output tile permute)."""
+    big-transcript second level, output tile permute). With
+    `ext_space` the full t_space vector is returned unsliced."""
     T = data.num_txps
     dt = inc_t.dtype
     small_sums = _row_sums(inc_t, data.small_shapes, data.small_starts)
@@ -1566,7 +1748,11 @@ def _txp_tail(data: EmV4Data, inc_t):
     else:
         v = small_sums
     vv = jnp.zeros(data.t_space, dt).at[: v.shape[0]].set(v)
-    return data.t_out(vv)[:T]
+    out = data.t_out(vv)
+    # ext-space m-step: output length mirrors the input length so the
+    # EM while-loop can run entirely in the T-free padded space (pad
+    # positions route only zeros and stay zero every iteration)
+    return out if ext_space else out[:T]
 
 
 def _m_step_v4(data: EmV4Data, prev, multiplicity):
@@ -1646,7 +1832,8 @@ def _m_step_v4(data: EmV4Data, prev, multiplicity):
             inc_t = data.p_b(contrib_r, mul=scale_slots, sliced=False)
         else:
             inc_t = data.p_b(contrib_r * scale_slots, sliced=False)
-    return _txp_tail(data, inc_t)
+    return _txp_tail(data, inc_t,
+                     ext_space=prev.shape[0] == data.t_space)
 
 
 def _batch_eligible(data: EmV4Data) -> bool:
@@ -1723,7 +1910,8 @@ def _m_step_v4_batch(data: EmV4Data, prev_b, mult_b, max_inner: int = 4):
             )
         )
     inc_b = incs[0] if len(incs) == 1 else jnp.concatenate(incs, axis=0)
-    return jax.vmap(lambda inc: _txp_tail(data, inc))(inc_b)
+    ext = prev_b.shape[1] == data.t_space
+    return jax.vmap(lambda inc: _txp_tail(data, inc, ext_space=ext))(inc_b)
 
 
 def _m_step_v4_b(data: EmV4Data, prev_b, mult_b):
@@ -1739,22 +1927,36 @@ def _m_step_v4_b(data: EmV4Data, prev_b, mult_b):
 def make_runner(data: EmV4Data, accel: str = "none"):
     """Jitted EM runner; `data` is a pytree argument. `accel="squarem"`
     runs the squared-extrapolation loop (`em.squarem_loop`) — same
-    fixed point, typically 3-10x fewer m-steps on slow-mixing data."""
+    fixed point, typically 3-10x fewer m-steps on slow-mixing data.
 
-    if accel == "squarem":
-        def run_em_v4(init, max_iter, convergence_thresh,
-                      multiplicity=None, min_iters=50):
-            return _run_em_v4_squarem_jit(
-                data, init, max_iter, convergence_thresh,
-                multiplicity, min_iters,
-            )
-    else:
-        def run_em_v4(init, max_iter, convergence_thresh,
-                      multiplicity=None, min_iters=50):
-            return _run_em_v4_jit(
-                data, init, max_iter, convergence_thresh,
-                multiplicity, min_iters,
-            )
+    The EM while-loop runs in the t_space-padded "ext" space: init is
+    padded to t_space OUTSIDE the loop's jit and counts sliced back to
+    T afterwards, so the loop's HLO is independent of the dataset's
+    exact transcript count — with a canonicalized layout (see
+    `canonical_envelope`) the compiled program is byte-identical across
+    datasets of the same shape class and the persistent XLA compile
+    cache serves FIRST runs of new data (VERDICT r3 item 1b). Pad
+    positions hold zeros, route to zeros, and are masked out of the
+    convergence test (`_rel_diff` requires prev > 1e-5)."""
+    T = data.num_txps
+    t_space = data.t_space
+
+    def _ext(init):
+        if init.shape[0] == t_space:
+            return init
+        return jnp.zeros(t_space, init.dtype).at[:T].set(init)
+
+    inner = (
+        _run_em_v4_squarem_jit if accel == "squarem" else _run_em_v4_jit
+    )
+
+    def run_em_v4(init, max_iter, convergence_thresh,
+                  multiplicity=None, min_iters=50):
+        counts, niter = inner(
+            data, _ext(init), max_iter, convergence_thresh,
+            multiplicity, min_iters,
+        )
+        return counts[:T], niter
 
     return run_em_v4
 

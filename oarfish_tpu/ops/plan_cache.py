@@ -37,10 +37,12 @@ import numpy as np
 
 log = logging.getLogger("oarfish_tpu")
 
-VERSION = 2
+VERSION = 3
 
 # env knobs that change the layout/route construction — part of the key
 _KNOBS = (
+    "OARFISH_CANONICAL",
+    "OARFISH_CANONICAL_MIN",
     "OARFISH_RECT",
     "OARFISH_NO_REPAIR",
     "OARFISH_ROUTE_Q128",
@@ -370,3 +372,110 @@ def prefetch_for_bam(path, fingerprint: str) -> Optional[Prefetch]:
         return None
     log.info("plan cache: prefetching %s… during the pack", skey[:12])
     return Prefetch(skey)
+
+
+# ---- sticky shape-class envelopes (cross-dataset compile reuse) ----
+#
+# Quantization alone cannot make two datasets' shapes collide (any
+# lattice has boundaries, and ~25 independent values must ALL match).
+# Instead the first dataset of a scale class defines the class envelope
+# (its natural shapes, 1/8-mantissa-quantized up) and later datasets
+# REUSE it verbatim when they fit underneath — the common
+# same-pipeline-new-flowcell case — growing it monotonically otherwise.
+# Class key: floor(2*log2(A)) — datasets within sqrt(2) of each other
+# share a class, which also bounds the dead-slot waste of reusing a
+# bigger envelope.
+
+ENV_VERSION = 1
+
+
+def env_class_key(num_aln: int) -> str:
+    import math
+
+    return f"c{int(2 * math.log2(max(num_aln, 2)))}"
+
+
+def _env_path(key: str) -> Path:
+    return cache_dir() / f"env_{key}.json"
+
+
+def load_env_class(key: str) -> Optional[dict]:
+    import json
+
+    try:
+        with open(_env_path(key)) as fh:
+            rec = json.load(fh)
+        if rec.get("version") != ENV_VERSION:
+            return None
+        env = rec["env"]
+        env["read_buckets"] = tuple(map(tuple, env["read_buckets"]))
+        env["small_buckets"] = tuple(map(tuple, env["small_buckets"]))
+        return rec
+    except FileNotFoundError:
+        return None
+    except Exception as e:  # noqa: BLE001
+        log.warning("envelope class %s unreadable (%s)", key, e)
+        return None
+
+
+def store_env_class(key: str, env: dict, geometry) -> None:
+    import json
+
+    rec = {
+        "version": ENV_VERSION,
+        "env": {
+            **env,
+            "read_buckets": [list(b) for b in env["read_buckets"]],
+            "small_buckets": [list(b) for b in env["small_buckets"]],
+        },
+        "geometry": list(geometry) if geometry else None,
+    }
+    try:
+        d = cache_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, _env_path(key))
+    except OSError as e:
+        log.warning("envelope class store failed: %s", e)
+
+
+def env_slots(e: dict) -> int:
+    return (
+        sum(rp * K for K, rp in e["read_buckets"])
+        + sum(rp * K for K, rp in e["small_buckets"])
+        + e["big_rows_pad"] * 2048
+    )
+
+
+def env_fits(nat: dict, stored: dict, ref: Optional[dict] = None,
+             max_waste: float = 1.35) -> bool:
+    """True when `nat` (a natural envelope) fits under `stored` with
+    bounded slot waste — every bucket present with enough rows, big and
+    tile spaces large enough. Waste is judged against `ref` (what this
+    dataset would build for itself anyway — its own canonical
+    envelope), not the bare natural shapes."""
+
+    def buckets_fit(n, s):
+        sd = dict(s)
+        return all(K in sd and sd[K] >= rp for K, rp in n)
+
+    if not buckets_fit(nat["read_buckets"], stored["read_buckets"]):
+        return False
+    if not buckets_fit(nat["small_buckets"], stored["small_buckets"]):
+        return False
+    if (
+        stored["big_rows_pad"] < nat["big_rows_pad"]
+        or stored["n_big"] < nat["n_big"]
+        or stored["t_rows"] < nat["t_rows"]
+    ):
+        return False
+    base = env_slots(ref if ref is not None else nat)
+    return env_slots(stored) <= max_waste * max(base, 1)
+
+
+def env_class_neighbors(key: str):
+    """The class itself first, then its two sqrt(2) neighbors."""
+    n = int(key[1:])
+    return (key, f"c{n - 1}", f"c{n + 1}")

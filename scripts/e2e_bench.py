@@ -23,6 +23,7 @@ Usage: python scripts/e2e_bench.py [--reads 2000000] [--quick]
 
 import argparse
 import json
+import os
 import logging
 import struct
 import sys
@@ -290,6 +291,14 @@ def main():
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--platform", default=None,
                     help="pin jax platform (cpu for offline runs)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="fixture seed (different seeds = different BAMs)")
+    ap.add_argument("--fresh", action="store_true",
+                    help="wipe the plan cache AND the persistent XLA "
+                         "cache first (first-ever-run scenario)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="warm repetitions; the median is reported "
+                         "(VERDICT r3 item 6)")
     args = ap.parse_args()
     if args.quick:
         args.reads, args.txps = 100_000, 20_000
@@ -306,8 +315,20 @@ def main():
 
     enable_persistent_jax_cache()
 
+    if args.fresh:
+        import shutil
+
+        for d in (
+            os.environ.get("OARFISH_PLAN_CACHE_DIR")
+            or str(Path.home() / ".cache" / "oarfish_tpu" / "plans"),
+            os.environ.get("OARFISH_JAX_CACHE_DIR")
+            or str(Path.home() / ".cache" / "oarfish_tpu_jax"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+            sys.stderr.write(f"fresh: wiped {d}\n")
+
     R, T = args.reads, args.txps
-    bam_path, info, gen_s = ensure_fixture(R, T)
+    bam_path, info, gen_s = ensure_fixture(R, T, seed=args.seed)
     sys.stderr.write(
         f"fixture: {bam_path} R={R} T={T} A={info['A_generated']} "
         f"{info['bytes']/1e6:.0f}MB (gen {gen_s:.1f}s)\n"
@@ -315,21 +336,29 @@ def main():
 
     out = Path("/tmp/oarfish_e2e_out")
     cold = run_once(bam_path, out, impl=args.impl, threads=args.threads)
-    warm = run_once(bam_path, out, impl=args.impl, threads=args.threads)
+    warms = [
+        run_once(bam_path, out, impl=args.impl, threads=args.threads)
+        for _ in range(max(args.reps, 1))
+    ]
+    warms.sort(key=lambda r: r["wall_s"])
+    warm = warms[len(warms) // 2]
 
     result = {
         "metric": "e2e_bam_to_quant_s",
         "value": warm["wall_s"],
         "unit": (
             f"s BAM->quant.tsv (R={R}, T={T}, A={info['A_generated']}, "
-            f"impl={warm['impl']}, warm jit; cold={cold['wall_s']}s)"
+            f"impl={warm['impl']}, warm jit median of {len(warms)}; "
+            f"cold={cold['wall_s']}s, seed={args.seed})"
         ),
         "R": R,
         "A": info["A_generated"],
         "reads_per_s": round(R / warm["wall_s"], 1),
         "cold": cold,
         "warm": warm,
+        "warm_walls": [r["wall_s"] for r in warms],
         "gen_s": round(gen_s, 1),
+        "seed": args.seed,
     }
     print(json.dumps(result))
 

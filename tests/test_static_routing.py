@@ -762,3 +762,58 @@ def test_v4_plan_prefetch(tmp_path, monkeypatch):
     txp2[0] = (txp2[0] + 1) % T
     d2, o2 = EmV4Data.build(txp2, w, boundaries, T, prefetch=pf2)
     assert d2 is not None
+
+
+def test_canonical_shape_class(tmp_path, monkeypatch):
+    """Sticky canonical envelopes (cross-dataset compile reuse): three
+    different datasets of similar scale must produce byte-identical
+    EM-loop HLO (the persistent XLA compile cache then serves the FIRST
+    run of new data), and counts must still match the oracle."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from oarfish_tpu.ops.em_oracle import do_em_oracle
+    from oarfish_tpu.ops.em_v4 import (
+        EmV4Data, _run_em_v4_jit, make_runner,
+    )
+
+    monkeypatch.setenv("OARFISH_PLAN_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("OARFISH_CANONICAL_MIN", "0")
+
+    def mk(seed, R, T):
+        rng = np.random.default_rng(seed)
+        sizes = rng.geometric(1 / 2.5, R).clip(1, 4)
+        A = int(sizes.sum())
+        b = np.zeros(R + 1, np.int64)
+        np.cumsum(sizes, out=b[1:])
+        t = (rng.zipf(1.3, A) % T).astype(np.int32)
+        w = np.exp(rng.normal(0, 0.5, A))
+        return t, w, b, T
+
+    def hlo(d, T):
+        ext = jnp.zeros(d.t_space, jnp.float32).at[:T].set(1.0)
+        return jax.jit(
+            lambda dd, i: _run_em_v4_jit(dd, i, 10, -1.0)
+        ).lower(d, ext).as_text()
+
+    sets = [mk(1, 60_000, 1_500), mk(7, 60_500, 1_550),
+            mk(13, 59_000, 1_480)]
+    datas = [EmV4Data.build(t, w, b, T)[0] for t, w, b, T in sets]
+    h0 = hlo(datas[0], sets[0][3])
+    for d, (t, w, b, T) in zip(datas[1:], sets[1:]):
+        assert hlo(d, T) == h0, "EM HLO differs across the shape class"
+    # shapes equal leaf-by-leaf
+    s0 = [getattr(leaf, "shape", None)
+          for leaf in jtu.tree_flatten(datas[0])[0]]
+    for d in datas[1:]:
+        s = [getattr(leaf, "shape", None)
+             for leaf in jtu.tree_flatten(d)[0]]
+        assert s == s0
+    # correctness under the shared envelope
+    t, w, b, T = sets[2]
+    init = jnp.full(T, b[-1] / T, dtype=jnp.float32)
+    counts, _ = make_runner(datas[2])(init, 60, 5e-3)
+    want = do_em_oracle(t, w, b, T, max_iter=60, convergence_thresh=5e-3)
+    l1 = np.abs(np.asarray(counts, np.float64) - want).sum() / T
+    assert l1 < 2e-3
