@@ -539,3 +539,105 @@ def test_header_spanning_many_windows(tmp_path, monkeypatch):
         np.concatenate([c.columns.ref_id for c in chunks]),
         whole.columns.ref_id,
     )
+
+
+def _fuzz_bam(rng, path, trial):
+    """One randomized valid BAM: harsh CIGARs (all 9 ops), zero-length
+    seqs, name lengths up to the 254-byte format cap, many refs,
+    unmapped records, secondary/supplementary flags, and payloads big
+    enough to span multiple BGZF blocks."""
+    CIG = "MIDNSHP=X"
+    nrefs = int(rng.integers(1, 30))
+    names = [f"ref{i}_{'z' * int(rng.integers(0, 40))}" for i in range(nrefs)]
+    lens = [int(x) for x in rng.integers(100, 100_000, nrefs)]
+    recs = []
+    nreads = int(rng.integers(1, 150))
+    for r in range(nreads):
+        if rng.random() < 0.08:
+            recs.append(dict(name=f"u{r}", flag=4, ref_id=-1, pos=-1,
+                             cigar="", seq="", mapq=0))
+            continue
+        name = "r" + "x" * int(rng.integers(0, 200)) + str(r)
+        for a in range(int(rng.integers(1, 4))):
+            nops = int(rng.integers(1, 8))
+            cig, qlen = "", 0
+            for _ in range(nops):
+                op = CIG[int(rng.integers(len(CIG)))]
+                n = int(rng.integers(1, 300))
+                cig += f"{n}{op}"
+                if op in "MIS=X":
+                    qlen += n
+            seq = ("ACGTNMRWSYK" * (qlen // 11 + 1))[:qlen]
+            if rng.random() < 0.2:
+                seq = ""  # SAM '*': l_seq == 0 with a real CIGAR
+            flag = 0 if a == 0 else int(rng.choice([256, 2048]))
+            score = (int(rng.integers(0, 500))
+                     if rng.random() < 0.9 else None)
+            recs.append(dict(name=name, flag=flag,
+                             ref_id=int(rng.integers(nrefs)),
+                             pos=int(rng.integers(0, 1000)), cigar=cig,
+                             seq=seq, score=score))
+    bam.write_bam(path, names, lens, recs)
+    return recs
+
+
+def test_fuzz_decoder_differential(tmp_path):
+    """Property fuzz (VERDICT r3 item 7): randomized harsh-but-valid
+    BAMs — the native decoder's columns must match the Python reader
+    byte-for-byte on every trial."""
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(20260820)
+    for trial in range(10):
+        p = tmp_path / f"f{trial}.bam"
+        _fuzz_bam(rng, p, trial)
+        dec = native.decode_bam(p, keep_names=True)
+        reader = BamReader(p)
+        cols, names2, num_unmapped = columns_from_records(
+            reader.records()
+        )
+        assert dec.header.ref_names == reader.header.ref_names
+        assert dec.num_unmapped == num_unmapped, f"trial {trial}"
+        for f in ("group_id", "flag", "ref_id", "pos", "ref_span",
+                  "seq_len", "score", "has_score"):
+            np.testing.assert_array_equal(
+                getattr(dec.columns, f), getattr(cols, f),
+                err_msg=f"trial {trial} column {f}",
+            )
+        assert dec.group_names == names2, f"trial {trial}"
+
+
+def test_fuzz_truncation_boundaries(tmp_path):
+    """Truncate a fuzzed BAM at every structural boundary class — mid
+    magic, mid header, mid ref table, mid record, mid BGZF block, after
+    a whole block — the native decoder must raise a clean ValueError
+    (or decode the intact prefix identically to the Python reader),
+    never crash or return garbage."""
+    if native.get_lib() is None:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(7)
+    p = tmp_path / "base.bam"
+    _fuzz_bam(rng, p, 0)
+    data = p.read_bytes()
+    cuts = sorted(set(
+        [1, 3, 9, 17, 30]
+        + [int(x) for x in rng.integers(1, len(data), 25)]
+        + [len(data) - 1, len(data) - 28]  # inside / before EOF marker
+    ))
+    for cut in cuts:
+        tr = tmp_path / "trunc.bam"
+        tr.write_bytes(data[:cut])
+        try:
+            dec = native.decode_bam(tr, keep_names=True)
+        except ValueError:
+            continue  # clean typed failure
+        # decoded without error: truncation fell on a whole-file
+        # boundary — the Python reader must agree exactly
+        reader = BamReader(tr)
+        cols, names2, num_unmapped = columns_from_records(
+            reader.records()
+        )
+        np.testing.assert_array_equal(dec.columns.group_id,
+                                      cols.group_id)
+        np.testing.assert_array_equal(dec.columns.pos, cols.pos)
+        assert dec.group_names == names2
