@@ -234,7 +234,8 @@ class _PhaseCapture(logging.Handler):
             pass
 
 
-def run_once(bam_path, out_prefix, impl="auto", threads=4):
+def run_once(bam_path, out_prefix, impl="auto", threads=4,
+             model_coverage=False):
     from oarfish_tpu.config import Args, resolve_filters
     from oarfish_tpu.quant.bulk import quantify_bulk_alignments_from_bam
 
@@ -244,6 +245,7 @@ def run_once(bam_path, out_prefix, impl="auto", threads=4):
         threads=threads,
         em_dtype="auto",
         em_impl=impl,
+        model_coverage=model_coverage,
     )
     opts = resolve_filters(args)
     cap = _PhaseCapture()
@@ -296,6 +298,9 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="wipe the plan cache AND the persistent XLA "
                          "cache first (first-ever-run scenario)")
+    ap.add_argument("--cov", action="store_true",
+                    help="quantify with --model-coverage (BASELINE "
+                         "config 2 shape)")
     ap.add_argument("--reps", type=int, default=1,
                     help="warm repetitions; the median is reported "
                          "(VERDICT r3 item 6)")
@@ -335,9 +340,11 @@ def main():
     )
 
     out = Path("/tmp/oarfish_e2e_out")
-    cold = run_once(bam_path, out, impl=args.impl, threads=args.threads)
+    cold = run_once(bam_path, out, impl=args.impl, threads=args.threads,
+                    model_coverage=args.cov)
     warms = [
-        run_once(bam_path, out, impl=args.impl, threads=args.threads)
+        run_once(bam_path, out, impl=args.impl, threads=args.threads,
+                 model_coverage=args.cov)
         for _ in range(max(args.reps, 1))
     ]
     warms.sort(key=lambda r: r["wall_s"])
