@@ -185,21 +185,27 @@ def _device_parts(payload: dict) -> dict:
         GlobalRoutePlan,
     )
 
-    lay = payload["lay"]
+    from .static_permute import batched_device_tables
 
-    def plan(h):
-        t = h["tables"]
+    lay = payload["lay"]
+    # ONE host->device transfer for both routes' 18 tables (the tunnel
+    # charges per request; see batched_device_tables)
+    devs = batched_device_tables(
+        [payload["routes"][0]["tables"], payload["routes"][1]["tables"]]
+    )
+
+    def plan(h, t):
         (n_in, n_out, n_src, n_dst, Q, R1, R3, CR) = h["meta"]
         return GlobalRoutePlan(
-            s1_r1=jnp.asarray(t[0]),
-            s1_src=None if t[1] is None else jnp.asarray(t[1]),
-            s1_row=jnp.asarray(t[2]),
-            s1_r2=jnp.asarray(t[3]),
-            s3_r1=jnp.asarray(t[4]),
-            s3_src=jnp.asarray(t[5]),
-            s3_row=jnp.asarray(t[6]),
-            s3_r2=jnp.asarray(t[7]),
-            s3_mask=jnp.asarray(t[8]),
+            s1_r1=t[0],
+            s1_src=t[1],
+            s1_row=t[2],
+            s1_r2=t[3],
+            s3_r1=t[4],
+            s3_src=t[5],
+            s3_row=t[6],
+            s3_r2=t[7],
+            s3_mask=t[8],
             n_in=n_in, n_out=n_out, n_src=n_src, n_dst=n_dst,
             Q=Q, R1=R1, R3=R3, chunk_rows=CR,
         )
@@ -209,8 +215,8 @@ def _device_parts(payload: dict) -> dict:
     t_in = BatchTilePermute.build([DeviceTilePlan.build(perm_in, t_rows)])
     t_out = BatchTilePermute.build([DeviceTilePlan.build(perm_out, t_rows)])
     return {
-        "p_a": plan(payload["routes"][0]),
-        "p_b": plan(payload["routes"][1]),
+        "p_a": plan(payload["routes"][0], devs[0]),
+        "p_b": plan(payload["routes"][1], devs[1]),
         "t_io": (t_in, t_out),
         "seg_id": None if seg_id is None else jnp.asarray(seg_id),
         "big_row_of_txp": jnp.asarray(lay["big_row_of_txp"],

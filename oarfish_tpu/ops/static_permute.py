@@ -992,6 +992,39 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
     )(*args)
 
 
+def batched_device_tables(groups):
+    """Ship nested groups of host int8 tables to the device in ONE
+    transfer. Through the axon tunnel every host->device request pays
+    seconds of latency when the link degrades; 18 per-table asarray
+    calls turned the cold route build into a round-trip parade
+    (route_build_s 137s observed on a degraded tunnel at the 5M
+    shape). One concatenated buffer + device-side slices replaces them
+    with a single bulk payload; the slices dispatch asynchronously.
+    `groups` is a list of lists (None entries preserved); returns the
+    same structure holding device arrays."""
+    flat = []
+    for g in groups:
+        for t in g:
+            if t is not None:
+                flat.append(np.ascontiguousarray(t).ravel())
+    if not flat:
+        return [list(g) for g in groups]
+    big = jnp.asarray(np.concatenate(flat))
+    out = []
+    off = 0
+    for g in groups:
+        og = []
+        for t in g:
+            if t is None:
+                og.append(None)
+            else:
+                n = int(t.size)
+                og.append(big[off:off + n].reshape(t.shape))
+                off += n
+        out.append(og)
+    return out
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["s1_r1", "s1_src", "s1_row", "s1_r2", "s3_r1", "s3_src",
@@ -1309,22 +1342,29 @@ class GlobalRoute:
             s3_r2.reshape(-1)[o_flat] = c3
             s3_mask.reshape(-1)[o_flat] = 1
 
-    def _finalize(self):
+    def _finalize(self, dev_tables=None):
         (s1_r1, s1_src, s1_row, s1_r2,
          s3_r1, s3_src, s3_row, s3_r2, s3_mask) = self._tables
         n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
         R1, R3, CR = self.R1, self.R3, self.chunk_rows
         del self._tables, self._out_idx, self._in_idx
+        if dev_tables is None:
+            (dev_tables,) = batched_device_tables(
+                [[s1_r1, s1_src, s1_row, s1_r2,
+                  s3_r1, s3_src, s3_row, s3_r2, s3_mask]]
+            )
+        (s1_r1, s1_src, s1_row, s1_r2,
+         s3_r1, s3_src, s3_row, s3_r2, s3_mask) = dev_tables
         self.plan = GlobalRoutePlan(
-            s1_r1=jnp.asarray(s1_r1),
-            s1_src=None if s1_src is None else jnp.asarray(s1_src),
-            s1_row=jnp.asarray(s1_row),
-            s1_r2=jnp.asarray(s1_r2),
-            s3_r1=jnp.asarray(s3_r1),
-            s3_src=jnp.asarray(s3_src),
-            s3_row=jnp.asarray(s3_row),
-            s3_r2=jnp.asarray(s3_r2),
-            s3_mask=jnp.asarray(s3_mask),
+            s1_r1=s1_r1,
+            s1_src=s1_src,
+            s1_row=s1_row,
+            s1_r2=s1_r2,
+            s3_r1=s3_r1,
+            s3_src=s3_src,
+            s3_row=s3_row,
+            s3_r2=s3_r2,
+            s3_mask=s3_mask,
             n_in=self.n_in,
             n_out=self.n_out,
             n_src=n_src,
@@ -1421,8 +1461,9 @@ def build_route_pair_async(
                 }
                 for r in (fwd, rev)
             )
-        fwd._finalize()
-        rev._finalize()
+        devs = batched_device_tables([fwd._tables, rev._tables])
+        fwd._finalize(dev_tables=devs[0])
+        rev._finalize(dev_tables=devs[1])
         return fwd.plan, rev.plan
 
     handle.n_src, handle.n_dst = fwd.n_src, fwd.n_dst
