@@ -53,6 +53,7 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     annotation = args.annotation
     log.info("operating in genome read-projection mode")
 
+    t_phase = time.time()
     log.info("loading annotation from %s", annotation)
     transcripts = load_transcripts(annotation)
     log.info("loaded %d transcripts from annotation", len(transcripts))
@@ -80,7 +81,10 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         except OSError:
             pass
 
+    log.info("phase genome.annot %.3f", time.time() - t_phase)
+
     # genome aligner over the genome FASTA (spliced preset)
+    t_phase = time.time()
     g_names, g_seqs = read_fasta_concat([args.genome])
     if not g_names:
         raise ValueError(f"no sequences found in genome {args.genome}")
@@ -94,7 +98,9 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     if juncs:
         n_j = mapper.set_junctions(juncs)
         log.info("loaded %d annotated splice junctions into the chainer", n_j)
+    log.info("phase genome.index %.3f", time.time() - t_phase)
 
+    t_phase = time.time()
     g2t = G2TIndex(transcripts, refnames)
 
     # soft-clip rescue: on by default (genome sequences are in hand from
@@ -120,6 +126,7 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         txps_len, args.bin_width if opts.model_coverage else 0
     )
     builder = StoreBuilder(coverage, keep_names=opts.write_assignment_probs)
+    log.info("phase genome.aux %.3f", time.time() - t_phase)
     n_reads_total = 0
     n_mapped = 0
 
@@ -214,6 +221,7 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         "mapped %d/%d reads; %d quantified groups in %.3fs",
         n_mapped, n_reads_total, store.num_reads, aln_time_s,
     )
+    log.info("phase genome.map %.3f", aln_time_s)
 
     return perform_inference_and_write_output(
         store, coverage, txps_name, txps_len, opts, args, digest, aln_time_s

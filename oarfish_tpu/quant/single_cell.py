@@ -525,6 +525,7 @@ def _quantify_single_cell_native(args: Args, opts: FilterOpts):
         num_cells, skipped_empty, humantime(time.time() - t_start),
         len(buckets), n_raw,
     )
+    log.info("phase sc.parse %.3f", time.time() - t_start)
     return _finish_single_cell(
         args, buckets, barcodes, num_cells, txps_name, digest, dtype
     )
@@ -602,6 +603,7 @@ def _quantify_single_cell_streaming(args: Args, opts: FilterOpts):
         humantime(time.time() - t_start),
         len(buckets), n_raw,
     )
+    log.info("phase sc.parse %.3f", time.time() - t_start)
     return _finish_single_cell(
         args, buckets, barcodes, num_cells, txps_name, digest, dtype
     )
@@ -624,9 +626,9 @@ def _cell_mesh(args: Args):
 
 def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
                         digest, dtype):
-    rows: List[int] = []
-    cols: List[int] = []
-    vals: List[float] = []
+    row_parts: List[np.ndarray] = []
+    col_parts: List[np.ndarray] = []
+    val_parts: List[np.ndarray] = []
     t_em = time.time()
     mesh = _cell_mesh(args)
     for key in sorted(buckets):
@@ -634,11 +636,20 @@ def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
             args, dtype, mesh=mesh
         ):
             nz = counts > 0.0
-            for g, v in zip(gids[nz], counts[nz]):
-                rows.append(cell_index)
-                cols.append(int(g))
-                vals.append(np.float32(v))
+            n = int(np.count_nonzero(nz))
+            if n == 0:
+                continue
+            row_parts.append(np.full(n, cell_index, dtype=np.int64))
+            col_parts.append(np.asarray(gids[nz], dtype=np.int64))
+            val_parts.append(counts[nz].astype(np.float32))
+    empty64 = np.empty(0, np.int64)
+    rows = np.concatenate(row_parts) if row_parts else empty64
+    cols = np.concatenate(col_parts) if col_parts else empty64
+    vals = (np.concatenate(val_parts) if val_parts
+            else np.empty(0, np.float32))
     log.info("ran %d cell EMs in %s", num_cells, humantime(time.time() - t_em))
+    log.info("phase sc.em %.3f", time.time() - t_em)
+    t_wr = time.time()
 
     info = {
         "prob_model": "logistic_coverage" if args.model_coverage else "no_coverage",
@@ -665,4 +676,5 @@ def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
         np.asarray(vals, dtype=np.float32),
         num_cells,
     )
+    log.info("phase sc.write %.3f", time.time() - t_wr)
     return num_cells

@@ -190,9 +190,23 @@ def main():
     )
     opts = resolve_filters(run_args)
 
+    phases = {}
+
+    class _Cap(logging.Handler):
+        def emit(self, record):
+            try:
+                if record.msg.startswith("phase sc."):
+                    name = record.msg.split()[1]
+                    phases[name] = round(float(record.args[0]), 2)
+            except Exception:  # noqa: BLE001
+                pass
+
+    cap = _Cap()
+    logging.getLogger("oarfish_tpu").addHandler(cap)
     t0 = time.perf_counter()
     quantify_single_cell_from_collated_bam(run_args, opts)
     wall = time.perf_counter() - t0
+    logging.getLogger("oarfish_tpu").removeHandler(cap)
 
     import resource
 
@@ -215,6 +229,7 @@ def main():
         "alignments": A,
         "nnz": nnz,
         "peak_rss_gb": round(rss_gb, 2),
+        "phases_s": phases,
         "gen_s": round(gen_s, 1),
     }))
 
