@@ -358,15 +358,28 @@ def canonical_envelope(env: dict) -> dict:
     spaces are quantized the same way. Waste is bounded at ~7-12%% of
     slot space; a pad row's slots stay all-zero (inert)."""
 
-    H = 1.12  # headroom so a later dataset's ~±10% jitter fits the
-    #           class on its FIRST try instead of growing it
+    import os as _os
+
+    # headroom above the dataset's natural row counts. Default 1.0: the
+    # 1/8-mantissa quanta already absorb small jitter, and on-chip A/Bs
+    # showed a 1.12 headroom cost 28% steady-state (1.94 -> 2.49
+    # ms/iter at the bench shape — +12% rows crosses 128-flow quota
+    # boundaries, a superlinear tax), while H=1.0 with the full K
+    # ladder measures 1.77 (PERF_NOTES round-4 canonical-tax A/B). A
+    # later, slightly bigger dataset now grows the class (ONE extra
+    # sticky compile) instead of taxing every iteration.
+    H = float(_os.environ.get("OARFISH_CANON_HEADROOM", "1.0"))
+    full_ladder = _os.environ.get("OARFISH_CANON_LADDER", "1") != "0"
 
     def canon_buckets(buckets, ladder_to):
         have = dict((int(K), int(rp)) for K, rp in buckets)
-        maxk = max(list(have) + [ladder_to])
+        maxk = max(list(have) + ([ladder_to] if full_ladder else []))
         out = []
         K = 1
         while K <= maxk:
+            if not full_ladder and K not in have and K != maxk:
+                K *= 2
+                continue
             rows128 = max(int(np.ceil(have.get(K, 0) * H / LANES)), 1)
             out.append((K, _quant_up(rows128) * LANES))
             K *= 2

@@ -43,6 +43,8 @@ VERSION = 3
 _KNOBS = (
     "OARFISH_CANONICAL",
     "OARFISH_CANONICAL_MIN",
+    "OARFISH_CANON_HEADROOM",
+    "OARFISH_CANON_LADDER",
     "OARFISH_RECT",
     "OARFISH_NO_REPAIR",
     "OARFISH_ROUTE_Q128",
@@ -392,7 +394,7 @@ def prefetch_for_bam(path, fingerprint: str) -> Optional[Prefetch]:
 # share a class, which also bounds the dead-slot waste of reusing a
 # bigger envelope.
 
-ENV_VERSION = 1
+ENV_VERSION = 2  # v2: records carry the envelope knobs (headroom/ladder)
 
 
 def env_class_key(num_aln: int) -> str:
@@ -413,6 +415,11 @@ def load_env_class(key: str) -> Optional[dict]:
             rec = json.load(fh)
         if rec.get("version") != ENV_VERSION:
             return None
+        if rec.get("knobs") != _env_knobs():
+            # built under different envelope quantization knobs; a fat
+            # (old-headroom) record would "fit" every later dataset and
+            # silently keep its per-iteration padding tax
+            return None
         env = rec["env"]
         env["read_buckets"] = tuple(map(tuple, env["read_buckets"]))
         env["small_buckets"] = tuple(map(tuple, env["small_buckets"]))
@@ -424,11 +431,17 @@ def load_env_class(key: str) -> Optional[dict]:
         return None
 
 
+def _env_knobs() -> list:
+    return [os.environ.get("OARFISH_CANON_HEADROOM", "1.0"),
+            os.environ.get("OARFISH_CANON_LADDER", "1")]
+
+
 def store_env_class(key: str, env: dict, geometry) -> None:
     import json
 
     rec = {
         "version": ENV_VERSION,
+        "knobs": _env_knobs(),
         "env": {
             **env,
             "read_buckets": [list(b) for b in env["read_buckets"]],

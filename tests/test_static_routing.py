@@ -799,6 +799,13 @@ def test_canonical_shape_class(tmp_path, monkeypatch):
 
     sets = [mk(1, 60_000, 1_500), mk(7, 60_500, 1_550),
             mk(13, 59_000, 1_480)]
+    # pass 1 may GROW the class monotonically (the default headroom is
+    # 1.0 — tight shapes; a slightly bigger dataset costs ONE sticky
+    # recompile instead of taxing every iteration, see
+    # canonical_envelope). After the class has absorbed all three,
+    # every rebuild must fit and share ONE byte-identical EM HLO.
+    for t, w, b, T in sets:
+        EmV4Data.build(t, w, b, T)
     datas = [EmV4Data.build(t, w, b, T)[0] for t, w, b, T in sets]
     h0 = hlo(datas[0], sets[0][3])
     for d, (t, w, b, T) in zip(datas[1:], sets[1:]):
