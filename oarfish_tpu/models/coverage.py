@@ -45,8 +45,14 @@ def logistic_prob(cov: TranscriptCoverage, growth_rate: float) -> np.ndarray:
     counts_f32, _widths_f32 = cov.normalized_counts_and_lengths()
 
     counts64 = counts_f32.astype(np.float64)
-    count_sum = np.zeros(T)
-    np.add.at(count_sum, t_of_bin, counts64)
+    offs = np.asarray(cov.bin_offsets[:-1], dtype=np.int64)
+    if T and np.all(np.diff(cov.bin_offsets) > 0):
+        # per-transcript sums as reduceat segments (bins are contiguous
+        # per transcript); np.add.at costs ~1.5s at 16M bins
+        count_sum = np.add.reduceat(counts64, offs)
+    else:  # zero-bin transcripts would trip reduceat's empty-slice quirk
+        count_sum = np.zeros(T)
+        np.add.at(count_sum, t_of_bin, counts64)
     expected = count_sum / cov.nbins.astype(np.float64)
 
     active = count_sum > 1e-8
@@ -160,40 +166,50 @@ def normalize_read_probs(
         expected[same] = np.where(w != 0.0, cp, np.nan)
 
     # case 2: multi-bin — fold i in [start_bin, end_bin) with the first bin
-    # fractional and the end bin EXCLUDED (reference quirk)
+    # fractional and the end bin EXCLUDED (reference quirk). O(A) via
+    # reduceat segment sums over the flat bin array: the old ragged
+    # expansion materialized ~50 bins/alignment (np.repeat + np.add.at
+    # over ~300M elements = 30s+ of a 2M-read coverage run); interior
+    # bins all have weight 1, so only their cp sum is needed and the
+    # fractional first bin is a closed form.
     multi = ~same
     if multi.any():
         mi = np.nonzero(multi)[0]
-        counts = (end_bin[mi] - start_bin[mi]).astype(np.int64)
-        total = int(counts.sum())
-        rep = np.repeat(mi, counts)
-        first = np.zeros(len(mi) + 1, dtype=np.int64)
-        np.cumsum(counts, out=first[1:])
-        local = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(first[:-1], counts)
-            + start_bin[rep]
-        )
-        is_first = local == start_bin[rep]
+        off = cov.bin_offsets[tid[mi]]
+        a = off + start_bin[mi] + 1  # interior bins [sb+1, eb)
+        b = off + end_bin[mi]
+        # prefix-sum differences: interior = sum(cov_prob_flat[a:b])
+        # = csum0[b] - csum0[a]. (np.add.reduceat measured ~10us/segment
+        # at 12M segments — pathological; the cumsum costs one pass over
+        # the 16M-bin flat array and each alignment two gathers.)
+        csum0 = np.empty(len(cov_prob_flat) + 1, dtype=np.float64)
+        csum0[0] = 0.0
+        np.cumsum(cov_prob_flat, out=csum0[1:])
+        n_interior = np.maximum((b - a).astype(np.float64), 0.0)
+        interior = np.where(a < b, csum0[b] - csum0[a], 0.0)
         bin_end_first = np.minimum(
-            bl * start_bin[rep].astype(np.float64) + bl, tlen[rep]
+            bl * start_bin[mi].astype(np.float64) + bl, tlen[mi]
         )
-        w = np.where(is_first, (bin_end_first - start[rep]) / bl, 1.0)
-        cp = cov_prob_flat[cov.bin_offsets[tid[rep]] + local]
-        tw = np.zeros(A)
-        cw = np.zeros(A)
-        np.add.at(tw, rep, w)
-        np.add.at(cw, rep, w * cp)
-        expected[mi] = cw[mi] / tw[mi]
+        w_first = (bin_end_first - start[mi]) / bl
+        cp_first = cov_prob_flat[off + start_bin[mi]]
+        expected[mi] = (w_first * cp_first + interior) / (
+            w_first + n_interior
+        )
 
     if not np.isfinite(expected).all():
         raise FloatingPointError(
             "invalid result in normalize_read_probs (NaN/inf coverage prob)"
         )
 
-    # normalize within each read to sum 1 (sum<=0 -> divide by 1)
+    # normalize within each read to sum 1 (sum<=0 -> divide by 1);
+    # alignments are CSR-contiguous per read, so the per-read sums are
+    # reduceat segments over boundaries (every read has >=1 alignment)
     rid = store.read_ids()
-    nsum = np.zeros(store.num_reads)
-    np.add.at(nsum, rid, expected)
+    bnd = np.asarray(store.boundaries, dtype=np.int64)
+    if store.num_reads and np.all(np.diff(bnd) > 0):
+        nsum = np.add.reduceat(expected, bnd[:-1])
+    else:  # defensive: empty segments would trip reduceat's quirk
+        nsum = np.zeros(store.num_reads)
+        np.add.at(nsum, rid, expected)
     denom = np.where(nsum > 0.0, nsum, 1.0)
     store.cov_prob[:] = expected / denom[rid]

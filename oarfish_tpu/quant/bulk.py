@@ -168,8 +168,10 @@ def perform_inference_and_write_output(
         dens_prob = kde.lookup(tlen, aln_len)
 
     if opts.model_coverage:
+        t_cov = time.time()
         cov_flat = logistic_prob(coverage, args.growth_rate)
         normalize_read_probs(store, coverage, cov_flat, args.bin_width)
+        log.info("phase bulk.covmodel %.3f", time.time() - t_cov)
 
     log.info("Total number of alignment records : %d", store.num_alignments)
     log.info("number of aligned reads : %d", store.num_reads)

@@ -315,7 +315,10 @@ def main():
         # env var; see CLAUDE.md)
         jax.config.update("jax_platforms", args.platform)
 
-    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
     from oarfish_tpu.cli import enable_persistent_jax_cache
 
     enable_persistent_jax_cache()
