@@ -1147,4 +1147,23 @@ void oarfish_index_get_meta(void* hptr, char* names_out, int64_t* lengths_out,
   kw_out[1] = idx.w;
 }
 
+// Embedded target sequences (the index stores them for alignment
+// rescoring): total concatenated length, then a copy-out of bases +
+// per-target offsets. Lets the genome driver accept a prebuilt index
+// via --genome (the reference's --genome takes "a genome FASTA or
+// prebuilt genome index", prog_opts.rs:335) and still build its
+// soft-clip RescueDb from the index's own sequences.
+int64_t oarfish_index_seqs_len(void* hptr) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  return int64_t(idx.seqs.size());
+}
+
+void oarfish_index_get_seqs(void* hptr, char* seqs_out,
+                            int64_t* offsets_out) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  memcpy(seqs_out, idx.seqs.data(), idx.seqs.size());
+  for (size_t i = 0; i < idx.seq_off.size(); i++)
+    offsets_out[i] = idx.seq_off[i];
+}
+
 }  // extern "C"

@@ -94,6 +94,11 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.oarfish_index_seqs_len.restype = ctypes.c_int64
+    lib.oarfish_index_seqs_len.argtypes = [ctypes.c_void_p]
+    lib.oarfish_index_get_seqs.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.oarfish_index_set_junctions.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -294,6 +299,24 @@ class Mapper:
         m.migrated_from = kind
         m.migrated_seqs = idx.seqs
         return m
+
+    def sequences(self) -> list:
+        """Copy the index's embedded target sequences out as
+        list[bytes] (the index keeps them for alignment rescoring).
+        Used when --genome is given a prebuilt index: the soft-clip
+        RescueDb and the reference digest are built from the index's
+        own sequences, mirroring the reference's index-embedded-
+        signature path (`aligner.rs:106-117`)."""
+        lib = get_lib()
+        total = int(lib.oarfish_index_seqs_len(self._h))
+        n = len(self.names)
+        buf = ctypes.create_string_buffer(max(total, 1))
+        offs = np.zeros(n + 1, dtype=np.int64)
+        lib.oarfish_index_get_seqs(
+            self._h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        raw = buf.raw[:total]
+        return [raw[offs[i]:offs[i + 1]] for i in range(n)]
 
     def save(self, path, digest_map: Optional[dict] = None) -> None:
         lib = get_lib()

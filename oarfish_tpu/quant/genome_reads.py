@@ -49,6 +49,22 @@ log = logging.getLogger("oarfish_tpu")
 CHUNK_READS = 20_000
 
 
+def _is_prebuilt_index(path) -> bool:
+    """True when --genome points at an index container rather than a
+    FASTA: our OTMI, or a foreign index Mapper.load knows how to
+    migrate/reject with a precise message (legacy .mmi / RMMI)."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(8)
+    except OSError:
+        return False
+    # OTMI, legacy minimap2 .mmi (migrated), rammap RMMI (precisely
+    # rejected by Mapper.load) — anything else is treated as FASTA
+    return head[:5] == b"OTMI\x01" or head[:4] in (
+        b"MMI\x02", b"RMI\x01", b"RMMI"
+    )
+
+
 def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     annotation = args.annotation
     log.info("operating in genome read-projection mode")
@@ -83,17 +99,30 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
 
     log.info("phase genome.annot %.3f", time.time() - t_phase)
 
-    # genome aligner over the genome FASTA (spliced preset)
+    # genome aligner: --genome takes a FASTA or a prebuilt OTMI index
+    # (the reference's --genome likewise accepts "a genome FASTA or
+    # prebuilt genome index", prog_opts.rs:335-341 — the 2min+ index
+    # build over a ~1 Gbp genome amortizes across runs)
     t_phase = time.time()
-    g_names, g_seqs = read_fasta_concat([args.genome])
-    if not g_names:
-        raise ValueError(f"no sequences found in genome {args.genome}")
     from ..host.mapper import set_dp_cache_cap_mb
 
     set_dp_cache_cap_mb(args.dp_cache_cap_mb)
-    mapper = Mapper.from_sequences(
-        g_names, g_seqs, tech=args.seq_tech, threads=max(args.threads, 1)
-    )
+    g_seqs = None
+    if _is_prebuilt_index(args.genome):
+        log.info("loading prebuilt genome index from %s", args.genome)
+        mapper = Mapper.load(args.genome, threads=max(args.threads, 1))
+        g_names = mapper.names
+    else:
+        g_names, g_seqs = read_fasta_concat([args.genome])
+        if not g_names:
+            raise ValueError(f"no sequences found in genome {args.genome}")
+        mapper = Mapper.from_sequences(
+            g_names, g_seqs, tech=args.seq_tech,
+            threads=max(args.threads, 1),
+        )
+        if args.index_out is not None:
+            mapper.save(args.index_out)
+            log.info("wrote genome index to %s", args.index_out)
     refnames = mapper.names
     if juncs:
         n_j = mapper.set_junctions(juncs)
@@ -103,12 +132,16 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     t_phase = time.time()
     g2t = G2TIndex(transcripts, refnames)
 
-    # soft-clip rescue: on by default (genome sequences are in hand from
-    # the FASTA we just indexed), disabled by --no-rescue
+    # soft-clip rescue: on by default (genome sequences are in hand
+    # from the FASTA we just indexed — or copied back out of a
+    # prebuilt index, which embeds them for rescoring), disabled by
+    # --no-rescue
     rescue_db = None
     if not args.no_rescue:
         from ..genome.rescue import RescueDb
 
+        if g_seqs is None:
+            g_seqs = mapper.sequences()
         rescue_db = RescueDb(
             {n: s.upper() for n, s in zip(g_names, g_seqs)}, refnames
         )

@@ -193,6 +193,11 @@ def main():
                     help="build the world here and keep it (reuse with "
                     "--reuse-dir on later runs)")
     ap.add_argument("--reuse-dir", type=str, default=None)
+    ap.add_argument("--index-out", type=str, default=None,
+                    help="persist the genome index during the run")
+    ap.add_argument("--genome-index", type=str, default=None,
+                    help="quantify against this prebuilt index instead "
+                    "of the FASTA (skips the index build)")
     args = ap.parse_args()
     rng = np.random.default_rng(args.seed)
     import os
@@ -221,16 +226,19 @@ def main():
     env["PYTHONPATH"] = str(repo) + os.pathsep + env.get("PYTHONPATH", "")
     rss0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     t0 = time.perf_counter()
+    cmd = [sys.executable, "-m", "oarfish_tpu",
+           "--reads", str(d / "reads.fa"),
+           "--genome", args.genome_index or str(d / "genome.fa"),
+           "--annotation", str(d / "anno.gtf"),
+           "--seq-tech", "ont-cdna",
+           "--threads", str(args.threads),
+           "--junc-miss-discount", "0.3",
+           "-o", str(d / "out")]
+    if args.index_out:
+        cmd += ["--index-out", args.index_out]
     r = subprocess.run(
-        [sys.executable, "-m", "oarfish_tpu",
-         "--reads", str(d / "reads.fa"),
-         "--genome", str(d / "genome.fa"),
-         "--annotation", str(d / "anno.gtf"),
-         "--seq-tech", "ont-cdna",
-         "--threads", str(args.threads),
-         "--junc-miss-discount", "0.3",
-         "-o", str(d / "out")],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=7200,
+        cmd, env=env, cwd=repo, capture_output=True, text=True,
+        timeout=7200,
     )
     wall = time.perf_counter() - t0
     sys.stderr.write(r.stderr[-4000:])

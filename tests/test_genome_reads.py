@@ -139,3 +139,35 @@ def test_junction_bed_roundtrip(genome_fixture, tmp_path):
     got = read_junction_bed(bed)
     want = junctions_from_transcripts(transcripts)
     assert got == want
+
+
+def test_genome_prebuilt_index_roundtrip(genome_fixture, tmp_path):
+    """--genome accepts a prebuilt index (the reference's --genome takes
+    'a genome FASTA or prebuilt genome index', prog_opts.rs:335-341):
+    build + persist with --index-out during one quantification, then
+    re-quantify passing the index as --genome — outputs byte-identical,
+    including the rescue path (RescueDb rebuilt from the index's
+    embedded sequences)."""
+    d, gfa, gtf, reads = genome_fixture
+    out1 = tmp_path / "fasta_run" / "q"
+    idx = tmp_path / "genome.otmi"
+    rc = main([
+        "--reads", str(reads), "--genome", str(gfa),
+        "--annotation", str(gtf), "--seq-tech", "ont-cdna",
+        "-o", str(out1), "--junc-miss-discount", "0.3",
+        "--em-dtype", "float64", "--index-out", str(idx), "--quiet",
+    ])
+    assert rc == 0
+    assert idx.exists()
+
+    out2 = tmp_path / "index_run" / "q"
+    rc = main([
+        "--reads", str(reads), "--genome", str(idx),
+        "--annotation", str(gtf), "--seq-tech", "ont-cdna",
+        "-o", str(out2), "--junc-miss-discount", "0.3",
+        "--em-dtype", "float64", "--quiet",
+    ])
+    assert rc == 0
+    q1 = Path(str(out1) + ".quant").read_bytes()
+    q2 = Path(str(out2) + ".quant").read_bytes()
+    assert q1 == q2
