@@ -147,7 +147,9 @@ def _chunk_columns(hits, read_lens: np.ndarray, discard: DiscardTable):
 
 
 def quantify_bulk_alignments_raw_reads(args: Args, opts: FilterOpts):
+    t_phase = time.time()
     m, digest = build_or_load_mapper(args)
+    log.info("phase rawreads.index %.3f", time.time() - t_phase)
     txps_name = m.names
     txps_len = np.asarray(m.lengths, dtype=np.int64)
     log.info("parsed reference information for %d transcripts.", len(txps_name))
@@ -239,6 +241,7 @@ def quantify_bulk_alignments_raw_reads(args: Args, opts: FilterOpts):
         store.num_reads,
         aln_time_s,
     )
+    log.info("phase rawreads.map %.3f", aln_time_s)
 
     return perform_inference_and_write_output(
         store,
