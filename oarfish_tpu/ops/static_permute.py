@@ -992,7 +992,7 @@ def _run_middle_stage(y2, lvl, a_r1, a_src, a_row, a_r2, a_mask,
     )(*args)
 
 
-def batched_device_tables(groups):
+def batched_device_tables(groups, slabs=None):
     """Ship nested groups of host int8 tables to the device in ONE
     transfer. Through the axon tunnel every host->device request pays
     seconds of latency when the link degrades; 18 per-table asarray
@@ -1001,7 +1001,27 @@ def batched_device_tables(groups):
     shape). One concatenated buffer + device-side slices replaces them
     with a single bulk payload; the slices dispatch asynchronously.
     `groups` is a list of lists (None entries preserved); returns the
-    same structure holding device arrays."""
+    same structure holding device arrays. `slabs`, when given, is one
+    contiguous int8 buffer per group already holding that group's
+    tables in order (GlobalRoute carves its tables from such a slab)
+    — the host-side concatenate (~GBs, ~3s at the 5M shape) is
+    skipped and the slabs ship as-is (len(groups) requests instead
+    of 1; still far from the 18-request parade this replaced)."""
+    if slabs is not None:
+        bigs = [jnp.asarray(s) for s in slabs]
+        out = []
+        for g, big in zip(groups, bigs):
+            og = []
+            off = 0
+            for t in g:
+                if t is None:
+                    og.append(None)
+                else:
+                    n = int(t.size)
+                    og.append(big[off:off + n].reshape(t.shape))
+                    off += n
+            out.append(og)
+        return out
     flat = []
     for g in groups:
         for t in g:
@@ -1231,23 +1251,32 @@ class GlobalRoute:
         self.chunk_rows = CR
 
         H_in_gt1 = CR > LANES
-        s1_r1 = np.zeros((n_src, CR, LANES), dtype=np.int8)
-        s1_src = (
-            np.zeros((n_src, R1 // LANES, LANES, LANES), dtype=np.int8)
-            if H_in_gt1 else None
-        )
-        s1_row = np.zeros((n_src, R1 // LANES, LANES, LANES),
-                          dtype=np.int8)
-        s1_r2 = np.zeros((n_src, R1, LANES), dtype=np.int8)
-        s3_r1 = np.zeros((n_dst, R3, LANES), dtype=np.int8)
-        s3_src = np.zeros((n_dst, CR // LANES, LANES, LANES),
-                          dtype=np.int8)
-        s3_row = np.zeros((n_dst, CR // LANES, LANES, LANES),
-                          dtype=np.int8)
-        s3_r2 = np.zeros((n_dst, CR, LANES), dtype=np.int8)
-        s3_mask = np.zeros((n_dst, CR, LANES), dtype=np.int8)
-        self._tables = (s1_r1, s1_src, s1_row, s1_r2,
-                        s3_r1, s3_src, s3_row, s3_r2, s3_mask)
+        # all 9 tables are carved as views from ONE contiguous slab so
+        # the single-transfer device ship (batched_device_tables) can
+        # send the slab directly instead of re-concatenating ~GBs of
+        # int8 (the concat was ~3s of the 5M cold routes.join)
+        shapes = [
+            (n_src, CR, LANES),
+            (n_src, R1 // LANES, LANES, LANES) if H_in_gt1 else None,
+            (n_src, R1 // LANES, LANES, LANES),
+            (n_src, R1, LANES),
+            (n_dst, R3, LANES),
+            (n_dst, CR // LANES, LANES, LANES),
+            (n_dst, CR // LANES, LANES, LANES),
+            (n_dst, CR, LANES),
+            (n_dst, CR, LANES),
+        ]
+        sizes = [0 if s is None else int(np.prod(s)) for s in shapes]
+        self._slab = np.zeros(sum(sizes), dtype=np.int8)
+        tables = []
+        off = 0
+        for s, n in zip(shapes, sizes):
+            tables.append(
+                None if s is None
+                else self._slab[off:off + n].reshape(s)
+            )
+            off += n
+        self._tables = tuple(tables)
         self._out_idx, self._in_idx = out_idx, in_idx
         if not _defer:
             self._fill_tables()
@@ -1347,11 +1376,13 @@ class GlobalRoute:
          s3_r1, s3_src, s3_row, s3_r2, s3_mask) = self._tables
         n_src, n_dst, Q = self.n_src, self.n_dst, self.Q
         R1, R3, CR = self.R1, self.R3, self.chunk_rows
-        del self._tables, self._out_idx, self._in_idx
+        slab = self._slab
+        del self._tables, self._slab, self._out_idx, self._in_idx
         if dev_tables is None:
             (dev_tables,) = batched_device_tables(
                 [[s1_r1, s1_src, s1_row, s1_r2,
-                  s3_r1, s3_src, s3_row, s3_r2, s3_mask]]
+                  s3_r1, s3_src, s3_row, s3_r2, s3_mask]],
+                slabs=[slab],
             )
         (s1_r1, s1_src, s1_row, s1_r2,
          s3_r1, s3_src, s3_row, s3_r2, s3_mask) = dev_tables
@@ -1461,7 +1492,9 @@ def build_route_pair_async(
                 }
                 for r in (fwd, rev)
             )
-        devs = batched_device_tables([fwd._tables, rev._tables])
+        devs = batched_device_tables(
+            [fwd._tables, rev._tables], slabs=[fwd._slab, rev._slab]
+        )
         fwd._finalize(dev_tables=devs[0])
         rev._finalize(dev_tables=devs[1])
         return fwd.plan, rev.plan
