@@ -125,9 +125,15 @@ class TranscriptCoverage:
                     int(threads),
                 )
                 return
-        self.total_weight += np.bincount(
-            tid, minlength=len(self.total_weight)
-        )
+        if tid.size * 16 < len(self.total_weight):
+            # small group: O(group) scatter-add — a full-T bincount per
+            # read group cost ~0.5ms/read at T=250k (genome mode calls
+            # this once per read; ~37s of a GENCODE-scale run)
+            np.add.at(self.total_weight, tid, 1.0)
+        else:
+            self.total_weight += np.bincount(
+                tid, minlength=len(self.total_weight)
+            )
         if self.bin_width == 0:
             # coverage model off: the reference keeps a 10-bin placeholder
             # the model never reads (`TranscriptInfo::with_len`); skip the
