@@ -300,6 +300,21 @@ class Mapper:
         m.migrated_seqs = idx.seqs
         return m
 
+    def sequences_blob(self):
+        """Embedded target sequences as ONE concatenated bytes blob +
+        int64 offsets [n+1] — no per-target split (the split costs an
+        extra pass over a ~1 GB genome; the native projection engine
+        consumes exactly this layout)."""
+        lib = get_lib()
+        total = int(lib.oarfish_index_seqs_len(self._h))
+        n = len(self.names)
+        buf = ctypes.create_string_buffer(max(total, 1))
+        offs = np.zeros(n + 1, dtype=np.int64)
+        lib.oarfish_index_get_seqs(
+            self._h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        )
+        return buf.raw[:total], offs
+
     def sequences(self) -> list:
         """Copy the index's embedded target sequences out as
         list[bytes] (the index keeps them for alignment rescoring).

@@ -135,16 +135,36 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     # soft-clip rescue: on by default (genome sequences are in hand
     # from the FASTA we just indexed — or copied back out of a
     # prebuilt index, which embeds them for rescoring), disabled by
-    # --no-rescue
-    rescue_db = None
-    if not args.no_rescue:
-        from ..genome.rescue import RescueDb
+    # --no-rescue. The native projection engine takes one concatenated
+    # uppercase blob; the Python fallback builds a per-chrom RescueDb.
+    import os as _os
 
-        if g_seqs is None:
-            g_seqs = mapper.sequences()
-        rescue_db = RescueDb(
-            {n: s.upper() for n, s in zip(g_names, g_seqs)}, refnames
-        )
+    from ..genome import project_native as pn
+
+    rescue_on = not args.no_rescue
+    use_native = (
+        _os.environ.get("OARFISH_PROJECT_NATIVE", "1") != "0"
+        and pn.available()
+    )
+    rescue_db = None
+    genome_blob = None
+    if rescue_on:
+        if use_native:
+            if g_seqs is not None:
+                goff = np.zeros(len(g_seqs) + 1, np.int64)
+                np.cumsum([len(s) for s in g_seqs], out=goff[1:])
+                genome_blob = (b"".join(g_seqs).upper(), goff)
+            else:
+                blob, goff = mapper.sequences_blob()
+                genome_blob = (blob.upper(), goff)
+        else:
+            from ..genome.rescue import RescueDb
+
+            if g_seqs is None:
+                g_seqs = mapper.sequences()
+            rescue_db = RescueDb(
+                {n: s.upper() for n, s in zip(g_names, g_seqs)}, refnames
+            )
 
     txps_name = list(g2t.names)
     txps_len = g2t.transcript_lengths()
@@ -159,19 +179,176 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         txps_len, args.bin_width if opts.model_coverage else 0
     )
     builder = StoreBuilder(coverage, keep_names=opts.write_assignment_probs)
+
+    # native projection engine (csrc/project.cpp): the per-hit Python
+    # projection + rescue is ~70% of map wall at GENCODE scale; the
+    # Python path below remains the fallback and differential oracle
+    flat_g2t = None
+    if use_native:
+        flat_g2t = pn.FlatG2T(g2t, genome_blob=genome_blob)
     log.info("phase genome.aux %.3f", time.time() - t_phase)
     n_reads_total = 0
     n_mapped = 0
 
     t0 = time.time()
 
+    def process_chunk_native(names, seqs, hits):
+        """Whole-batch projection via csrc/project.cpp. Semantics (and
+        record order, hence byte-identical outputs) match the per-hit
+        Python path below — `tests/test_project_native.py` and the
+        genome-mode CLI tests pin the equivalence."""
+        nonlocal n_reads_total, n_mapped
+        n_reads = len(seqs)
+        n_reads_total += n_reads
+        read_off = np.asarray(hits.read_off, np.int64)
+        n_hits = int(read_off[-1])
+        if n_hits == 0:
+            builder.discard.no_mapping += n_reads
+            return
+        bo = np.asarray(hits.block_off, np.int64)
+        bs = np.asarray(hits.block_s, np.int64) + 1  # 1-based inclusive
+        be = np.asarray(hits.block_e, np.int64)
+        nb = np.diff(bo)
+        total_blocks = len(bs)
+        # introns: every gap between consecutive blocks within a hit
+        # (including degenerate gaps — the Python path keeps them too)
+        if total_blocks > 1:
+            last_of_hit = np.zeros(total_blocks, bool)
+            ends = bo[1:][nb > 0] - 1
+            last_of_hit[ends] = True
+            gap_sel = ~last_of_hit
+            gap_sel[total_blocks - 1] = False
+            gj = np.nonzero(gap_sel)[0]
+            intron_s = be[gj] + 1
+            intron_e = bs[gj + 1] - 1
+        else:
+            intron_s = intron_e = np.empty(0, np.int64)
+        intron_off = np.zeros(n_hits + 1, np.int64)
+        np.cumsum(np.maximum(nb - 1, 0), out=intron_off[1:])
+
+        clips = None
+        if rescue_on:
+            from ..genome.rescue import revcomp
+
+            qs_a = np.asarray(hits.qstart, np.int64)
+            qe_a = np.asarray(hits.qend, np.int64)
+            rc_a = np.asarray(hits.is_rc, np.uint8)
+            clL = bytearray()
+            clR = bytearray()
+            clL_off = np.zeros(n_hits + 1, np.int64)
+            clR_off = np.zeros(n_hits + 1, np.int64)
+            for r in range(n_reads):
+                s, e = int(read_off[r]), int(read_off[r + 1])
+                if s == e:
+                    continue
+                rd = seqs[r]
+                L = len(rd)
+                fwd_u = rev_u = None
+                for h in range(s, e):
+                    rc = bool(rc_a[h])
+                    qs, qe = int(qs_a[h]), int(qe_a[h])
+                    c5 = L - qe if rc else qs
+                    c3 = qs if rc else L - qe
+                    if c5 >= 3 or c3 >= 3:
+                        if rc:
+                            if rev_u is None:
+                                rev_u = revcomp(rd).upper()
+                            f = rev_u
+                        else:
+                            if fwd_u is None:
+                                fwd_u = rd.upper()
+                            f = fwd_u
+                        if c5:
+                            clL.extend(f[:c5])
+                        if c3:
+                            clR.extend(f[L - c3:])
+                    clL_off[h + 1] = len(clL)
+                    clR_off[h + 1] = len(clR)
+            clips = (bytes(clL), clL_off, bytes(clR), clR_off)
+
+        from ..genome import project_native as pn
+
+        hit_off, tid, pstart, pend, matched, sim, is_rev = (
+            pn.project_batch_native(
+                flat_g2t,
+                hit_chrom=np.asarray(hits.target, np.int32),
+                block_off=bo, block_s=bs, block_e=be,
+                intron_off=intron_off, intron_s=intron_s,
+                intron_e=intron_e,
+                hit_is_rc=np.asarray(hits.is_rc, np.uint8),
+                q_aligned=(np.asarray(hits.qend, np.int64)
+                           - np.asarray(hits.qstart, np.int64)),
+                clips=clips,
+                junc_miss_discount=args.junc_miss_discount,
+                tol=mapper.k + mapper.w,
+                threads=max(args.threads, 1),
+            )
+        )
+        T = g2t.num_transcripts
+        ccount = np.diff(hit_off)
+        hit_read = np.repeat(np.arange(n_reads), np.diff(read_off))
+        cand_read = np.repeat(hit_read, ccount)
+        cand_score = np.repeat(np.asarray(hits.score, np.int64), ccount)
+        if len(tid):
+            # per (read, tid): keep the max-similarity record (first on
+            # ties), emitted in tid-first-encounter order — exactly the
+            # Python path's dict semantics
+            key = cand_read.astype(np.int64) * T + tid
+            order = np.lexsort((-sim, key))
+            ks = key[order]
+            keep = np.ones(len(ks), bool)
+            keep[1:] = ks[1:] != ks[:-1]
+            best_idx = order[keep]
+            ukeys, first_pos = np.unique(key, return_index=True)
+            final = np.lexsort((first_pos, ukeys // T))
+            sel = best_idx[final]
+            sel_read = (ukeys // T)[final]
+            roff = np.searchsorted(sel_read, np.arange(n_reads + 1))
+        else:
+            sel = np.empty(0, np.int64)
+            roff = np.zeros(n_reads + 1, np.int64)
+
+        for r in range(n_reads):
+            s, e = int(read_off[r]), int(read_off[r + 1])
+            if e == s:
+                builder.discard.no_mapping += 1
+                continue
+            n_mapped += 1
+            a, b = int(roff[r]), int(roff[r + 1])
+            if a == b:
+                builder.discard.no_valid_aln += 1
+                continue
+            projected = [
+                ProjectedAlnRecord(
+                    ref_id=int(tid[j]), start=int(pstart[j]),
+                    end=int(pend[j]),
+                    aligned_len=int(pend[j] - pstart[j] + 1),
+                    query_aligned_len=int(matched[j]),
+                    is_reverse=bool(is_rev[j]),
+                    similarity=float(sim[j]),
+                    aln_score=int(cand_score[j]),
+                )
+                for j in sel[a:b]
+            ]
+            fg = filter_projected(
+                opts, builder.discard, txps_len, projected, len(seqs[r]),
+                args.projected_prob_beta, args.projected_prob_source,
+            )
+            if fg is not None and builder.add_filtered_group(
+                fg, names[r] or EMPTY_READ_NAME
+            ):
+                if e - s == 1:
+                    builder.num_unique_alignments += 1
+
     def process_chunk(names: List[str], seqs: List[bytes]):
         nonlocal n_reads_total, n_mapped
-        n_reads_total += len(seqs)
         hits = mapper.map_batch(
             seqs, best_n=args.best_n, threads=max(args.threads, 1),
             spliced=True,
         )
+        if flat_g2t is not None:
+            return process_chunk_native(names, seqs, hits)
+        n_reads_total += len(seqs)
         for i, name in enumerate(names):
             s, e = int(hits.read_off[i]), int(hits.read_off[i + 1])
             if e == s:

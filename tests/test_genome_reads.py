@@ -171,3 +171,28 @@ def test_genome_prebuilt_index_roundtrip(genome_fixture, tmp_path):
     q1 = Path(str(out1) + ".quant").read_bytes()
     q2 = Path(str(out2) + ".quant").read_bytes()
     assert q1 == q2
+
+
+def test_native_projection_byte_identical(genome_fixture, tmp_path,
+                                          monkeypatch):
+    """The native projection engine must reproduce the Python path's
+    outputs BYTE-identically (same records, same per-read order) —
+    OARFISH_PROJECT_NATIVE=0 forces the Python oracle."""
+    from oarfish_tpu.genome import project_native as pn
+
+    if not pn.available():
+        pytest.skip("native projection not built")
+    d, gfa, gtf, reads = genome_fixture
+    outs = {}
+    for label, env in (("native", "1"), ("python", "0")):
+        monkeypatch.setenv("OARFISH_PROJECT_NATIVE", env)
+        out = tmp_path / label / "q"
+        rc = main([
+            "--reads", str(reads), "--genome", str(gfa),
+            "--annotation", str(gtf), "--seq-tech", "ont-cdna",
+            "-o", str(out), "--junc-miss-discount", "0.3",
+            "--em-dtype", "float64", "--quiet",
+        ])
+        assert rc == 0
+        outs[label] = Path(str(out) + ".quant").read_bytes()
+    assert outs["native"] == outs["python"]
