@@ -260,3 +260,27 @@ def project_batch_native(
     )
     lib.oarfish_project_result_free(rptr)
     return out
+
+
+def dedup_best(cand_read: np.ndarray, tid: np.ndarray, sim: np.ndarray,
+               n_reads: int, T: int):
+    """Per (read, tid) keep the max-similarity candidate (first on
+    ties), ordered within each read by tid first-encounter — exactly
+    the Python paths' `best` dict semantics (project.py
+    project_group / the genome_reads per-hit loop). Returns (sel,
+    roff): `sel` indexes the candidate arrays; `roff[r]:roff[r+1]`
+    spans read r's deduped records."""
+    if len(tid) == 0:
+        return (np.empty(0, np.int64), np.zeros(n_reads + 1, np.int64))
+    key = cand_read.astype(np.int64) * T + tid
+    order = np.lexsort((-sim, key))
+    ks = key[order]
+    keep = np.ones(len(ks), bool)
+    keep[1:] = ks[1:] != ks[:-1]
+    best_idx = order[keep]
+    ukeys, first_pos = np.unique(key, return_index=True)
+    final = np.lexsort((first_pos, ukeys // T))
+    sel = best_idx[final]
+    sel_read = (ukeys // T)[final]
+    roff = np.searchsorted(sel_read, np.arange(n_reads + 1))
+    return sel, roff

@@ -31,6 +31,7 @@ from ..genome.annotation import load_transcripts
 from ..genome.g2t import G2TIndex
 from ..genome.project import (
     GenomicAlignment,
+    ProjectedAlnRecord,
     filter_projected,
     project_group,
 )
@@ -103,6 +104,22 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
     )
     builder = StoreBuilder(coverage, keep_names=opts.write_assignment_probs)
 
+    # native projection engine over batches of read groups (the same
+    # engine as genome-reads mode; OARFISH_PROJECT_NATIVE=0 falls back
+    # to the per-record Python oracle)
+    import os as _os
+
+    from ..genome import project_native as pn
+    from ..genome.project import _walk_cigar
+
+    use_native = (
+        _os.environ.get("OARFISH_PROJECT_NATIVE", "1") != "0"
+        and pn.available()
+    )
+    flat_g2t = None
+    if use_native:
+        flat_g2t = pn.FlatG2T(g2t, rescue_db=rescue_db)
+
     t0 = time.time()
     num_unmapped = 0
     prev_name = None
@@ -110,10 +127,134 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
     seen = set()
     rg_num = 0
 
+    BATCH_GROUPS = 20_000
+    batch: List = []  # (name, alns, n_records)
+
+    def flush_batch():
+        """Project a batch of groups through the native engine (one
+        record = one 'hit'; CIGAR-walked blocks, N-op introns, tol 0 —
+        matching project_alignment/project_group exactly)."""
+        if not batch:
+            return
+        n_reads = len(batch)
+        bs: List[int] = []
+        be: List[int] = []
+        is_l: List[int] = []
+        ie_l: List[int] = []
+        chroms: List[int] = []
+        rcs: List[int] = []
+        scores: List[int] = []
+        qas: List[int] = []
+        block_off = [0]
+        intron_off = [0]
+        read_off = [0]
+        clL = bytearray()
+        clR = bytearray()
+        clL_off = [0]
+        clR_off = [0]
+        for _name, alns, _nrec in batch:
+            for a in alns:
+                blocks, introns, q_aligned = _walk_cigar(a)
+                for s, e in blocks:
+                    bs.append(s)
+                    be.append(e)
+                for s, e in introns:
+                    is_l.append(s)
+                    ie_l.append(e)
+                block_off.append(len(bs))
+                intron_off.append(len(is_l))
+                chroms.append(a.ref_id)
+                rcs.append(1 if a.is_reverse else 0)
+                scores.append(a.score)
+                qas.append(q_aligned)
+                # clip gating mirrors project_alignment: clips ship
+                # when EITHER end is soft-clipped at all (>=1 base)
+                if rescue_db is not None and a.sequence:
+                    c5 = (a.cigar[0][0]
+                          if a.cigar and a.cigar[0][1] == 4 else 0)
+                    c3 = (a.cigar[-1][0]
+                          if a.cigar and a.cigar[-1][1] == 4 else 0)
+                    if c5 or c3:
+                        seq = a.sequence.upper()
+                        if c5:
+                            clL.extend(seq[:c5])
+                        if c3:
+                            clR.extend(seq[len(seq) - c3:])
+                clL_off.append(len(clL))
+                clR_off.append(len(clR))
+            read_off.append(len(chroms))
+
+        hit_off, tid, pstart, pend, matched, sim, is_rev = (
+            pn.project_batch_native(
+                flat_g2t,
+                hit_chrom=np.asarray(chroms, np.int32),
+                block_off=np.asarray(block_off, np.int64),
+                block_s=np.asarray(bs, np.int64),
+                block_e=np.asarray(be, np.int64),
+                intron_off=np.asarray(intron_off, np.int64),
+                intron_s=np.asarray(is_l, np.int64),
+                intron_e=np.asarray(ie_l, np.int64),
+                hit_is_rc=np.asarray(rcs, np.uint8),
+                q_aligned=np.asarray(qas, np.int64),
+                clips=(
+                    (bytes(clL), np.asarray(clL_off, np.int64),
+                     bytes(clR), np.asarray(clR_off, np.int64))
+                    if rescue_db is not None else None
+                ),
+                junc_miss_discount=args.junc_miss_discount,
+                tol=0,
+                threads=max(args.threads, 1),
+            )
+        )
+        read_off_a = np.asarray(read_off, np.int64)
+        ccount = np.diff(hit_off)
+        hit_read = np.repeat(
+            np.arange(n_reads), np.diff(read_off_a)
+        )
+        cand_read = np.repeat(hit_read, ccount)
+        cand_score = np.repeat(np.asarray(scores, np.int64), ccount)
+        sel, roff = pn.dedup_best(
+            cand_read, tid, sim, n_reads, g2t.num_transcripts
+        )
+        for r, (name, alns, nrec) in enumerate(batch):
+            a0, b0 = int(roff[r]), int(roff[r + 1])
+            if a0 == b0:
+                continue
+            read_len = next(
+                (a.read_len for a in alns if a.read_len > 0), 0
+            )
+            projected = [
+                ProjectedAlnRecord(
+                    ref_id=int(tid[j]), start=int(pstart[j]),
+                    end=int(pend[j]),
+                    aligned_len=int(pend[j] - pstart[j] + 1),
+                    query_aligned_len=int(matched[j]),
+                    is_reverse=bool(is_rev[j]),
+                    similarity=float(sim[j]),
+                    aln_score=int(cand_score[j]),
+                )
+                for j in sel[a0:b0]
+            ]
+            fg = filter_projected(
+                opts, builder.discard, txps_len, projected, read_len,
+                args.projected_prob_beta, args.projected_prob_source,
+            )
+            if fg is not None and builder.add_filtered_group(
+                fg, name if name else EMPTY_READ_NAME
+            ):
+                if nrec == 1:
+                    builder.num_unique_alignments += 1
+        batch.clear()
+
     def flush(name, group):
         if not group:
             return
         alns = [_record_to_genomic_alignment(r) for r in group]
+        if use_native:
+            batch.append((name, alns, len(group)))
+            if len(batch) >= BATCH_GROUPS:
+                flush_batch()
+            return
         read_len = next((a.read_len for a in alns if a.read_len > 0), 0)
         projected = project_group(
             alns, g2t, args.junc_miss_discount, rescue_db
@@ -158,6 +299,8 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
         if rec.ref_id >= 0:
             group.append(rec)
     flush(prev_name, group)
+    if use_native:
+        flush_batch()
 
     store = builder.finalize()
     aln_time_s = time.time() - t0

@@ -284,29 +284,13 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
                 threads=max(args.threads, 1),
             )
         )
-        T = g2t.num_transcripts
         ccount = np.diff(hit_off)
         hit_read = np.repeat(np.arange(n_reads), np.diff(read_off))
         cand_read = np.repeat(hit_read, ccount)
         cand_score = np.repeat(np.asarray(hits.score, np.int64), ccount)
-        if len(tid):
-            # per (read, tid): keep the max-similarity record (first on
-            # ties), emitted in tid-first-encounter order — exactly the
-            # Python path's dict semantics
-            key = cand_read.astype(np.int64) * T + tid
-            order = np.lexsort((-sim, key))
-            ks = key[order]
-            keep = np.ones(len(ks), bool)
-            keep[1:] = ks[1:] != ks[:-1]
-            best_idx = order[keep]
-            ukeys, first_pos = np.unique(key, return_index=True)
-            final = np.lexsort((first_pos, ukeys // T))
-            sel = best_idx[final]
-            sel_read = (ukeys // T)[final]
-            roff = np.searchsorted(sel_read, np.arange(n_reads + 1))
-        else:
-            sel = np.empty(0, np.int64)
-            roff = np.zeros(n_reads + 1, np.int64)
+        sel, roff = pn.dedup_best(
+            cand_read, tid, sim, n_reads, g2t.num_transcripts
+        )
 
         for r in range(n_reads):
             s, e = int(read_off[r]), int(read_off[r + 1])

@@ -167,3 +167,50 @@ def test_genome_mode_cli(gtf_file, tmp_path):
     assert got["TxC"] == pytest.approx(4.0, abs=1e-6)
     meta = json.loads(Path(str(out) + ".meta_info.json").read_text())
     assert "transcriptome_digest" in meta["digest"]
+
+
+def test_native_projection_byte_identical_bam_mode(gtf_file, tmp_path,
+                                                   monkeypatch):
+    """Genome-BAM mode through the native projection engine must match
+    the Python oracle byte-for-byte, including soft-clip rescue via
+    --genome-fasta."""
+    from oarfish_tpu.genome import project_native as pn
+
+    if not pn.available():
+        pytest.skip("native projection not built")
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), 5000))
+    gfa = tmp_path / "genome.fa"
+    gfa.write_text(f">chr1\n{genome}\n")
+
+    p = tmp_path / "genome.bam"
+    recs = []
+    for i in range(10):
+        # exon-1 read whose tail soft-clips 40bp past the junction;
+        # the clip continues as TxA's exon 2 (rescue discriminates)
+        seq = genome[120:200] + genome[300:340]
+        recs.append(dict(name=f"sa{i}", flag=0, ref_id=0, pos=120,
+                         cigar="80M40S", seq=seq, score=100))
+        # and one clipping into TxB's exon (skip junction)
+        seq = genome[120:200] + genome[500:540]
+        recs.append(dict(name=f"sb{i}", flag=0, ref_id=0, pos=120,
+                         cigar="80M40S", seq=seq, score=100))
+    for i in range(8):
+        recs.append(dict(name=f"fa{i}", flag=0, ref_id=0, pos=100,
+                         cigar="100M100N100M100N100M", seq="A" * 300,
+                         score=280))
+    bam.write_bam(p, ["chr1"], [5000], recs, program="minimap2")
+
+    outs = {}
+    for label, env in (("native", "1"), ("python", "0")):
+        monkeypatch.setenv("OARFISH_PROJECT_NATIVE", env)
+        out = tmp_path / label / "q"
+        rc = main([
+            "--genome-alignments", str(p), "--annotation", str(gtf_file),
+            "--genome-fasta", str(gfa),
+            "-o", str(out), "--junc-miss-discount", "0.5",
+            "--em-dtype", "float64", "--quiet",
+        ])
+        assert rc == 0
+        outs[label] = Path(str(out) + ".quant").read_bytes()
+    assert outs["native"] == outs["python"]
