@@ -26,6 +26,7 @@
 //   * transcript coords via the exon cumulative map; '-' strand flips
 
 #include <atomic>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -185,7 +186,11 @@ static void project_one(
     const G2T& g2t, Scratch& sc, int64_t n_blocks, const int64_t* bs,
     const int64_t* be, int64_t n_introns, const int64_t* is_,
     const int64_t* ie_, int64_t q_aligned, int32_t chrom, uint8_t is_rc,
-    const char* clipL, int64_t nclipL, const char* clipR, int64_t nclipR,
+    // clipL_rev: first min(true,CAP) bytes of the REVERSED left clip;
+    // clipR: first min(true,CAP) bytes of the forward right clip.
+    // nclipL/nclipR are the TRUE clip lengths (q_den uses them capped)
+    const char* clipL_rev, int64_t nclipL, const char* clipR,
+    int64_t nclipR,
     double junc_miss_discount, int64_t tol, ProjOut& out) {
   if (n_blocks == 0 || q_aligned == 0) return;
   int64_t q_den = q_aligned;
@@ -279,17 +284,12 @@ static void project_one(
       if (nclipL >= MIN_CLIP) {
         int64_t cap = nclipL < CLIP_CAP ? nclipL : CLIP_CAP;
         int64_t nctx = left_context(g2t, t, first_g, cap, sc.ctx);
-        // clip_left reversed
-        int64_t nl = nclipL < CLIP_CAP ? nclipL : CLIP_CAP;
-        for (int64_t i = 0; i < nl; i++)
-          sc.rev[i] = clipL[nclipL - 1 - i];
-        rl = extend_match(sc.rev, nl, sc.ctx, nctx);
+        rl = extend_match(clipL_rev, cap, sc.ctx, nctx);
       }
       if (nclipR >= MIN_CLIP) {
         int64_t cap = nclipR < CLIP_CAP ? nclipR : CLIP_CAP;
         int64_t nctx = right_context(g2t, t, last_g, cap, sc.ctx);
-        rr = extend_match(clipR, nclipR < CLIP_CAP ? nclipR : CLIP_CAP,
-                          sc.ctx, nctx);
+        rr = extend_match(clipR, cap, sc.ctx, nctx);
       }
       matched += rl + rr;
     }
@@ -350,7 +350,20 @@ void oarfish_project_result_free(ProjResult* r) {
   delete r;
 }
 
-ProjResult* oarfish_project_batch(
+static char comp_upper(char c) {
+  switch (c) {
+    case 'a': case 'A': return 'T';
+    case 'c': case 'C': return 'G';
+    case 'g': case 'G': return 'C';
+    case 't': case 'T': return 'A';
+    case 'u': case 'U': return 'A';
+    default: return char(toupper((unsigned char)c));
+  }
+}
+
+static char up(char c) { return char(toupper((unsigned char)c)); }
+
+static ProjResult* run_project_batch(
     // g2t
     int64_t T, const int64_t* exon_off, const int64_t* exon_s,
     const int64_t* exon_e, const int64_t* cum_before, const int64_t* tlen,
@@ -365,9 +378,14 @@ ProjResult* oarfish_project_batch(
     const int64_t* intron_off, const int64_t* intron_s,
     const int64_t* intron_e, const uint8_t* hit_is_rc,
     const int64_t* q_aligned,
-    // clips (genome-forward), concatenated; null offsets -> no clips
+    // clip source A: explicit clips (genome-forward, uppercased),
+    // concatenated; null offsets -> none
     const char* clipL, const int64_t* clipL_off, const char* clipR,
     const int64_t* clipR_off,
+    // clip source B: raw reads — clips computed in here from the
+    // per-hit query extent (genome_reads mode gate: c5>=3 || c3>=3)
+    const char* reads, const int64_t* read_seq_off,
+    const int64_t* hit_read, const int64_t* qstart, const int64_t* qend,
     double junc_miss_discount, int64_t tol, int32_t n_threads) {
   G2T g2t{T,        exon_off, exon_s,  exon_e,      cum_before, tlen,
           strand_neg, chrom_of};
@@ -397,10 +415,51 @@ ProjResult* oarfish_project_batch(
       sc.stamp.assign(size_t(T), 0);
       auto& out = parts[t];
       auto& cnt = counts[t];
+      char bufL[CLIP_CAP], bufR[CLIP_CAP];
       for (int64_t h = shard_off[t]; h < shard_off[t + 1]; h++) {
         size_t before = out.tid.size();
         int64_t nb = block_off[h + 1] - block_off[h];
         int64_t ni = intron_off ? intron_off[h + 1] - intron_off[h] : 0;
+        const char* cLr = nullptr;
+        const char* cR = nullptr;
+        int64_t nL = 0, nR = 0;
+        if (reads) {
+          int64_t r0 = hit_read[h];
+          const char* rd = reads + read_seq_off[r0];
+          int64_t L = read_seq_off[r0 + 1] - read_seq_off[r0];
+          bool rc = hit_is_rc[h] != 0;
+          int64_t qs = qstart[h], qe = qend[h];
+          int64_t c5 = rc ? L - qe : qs;
+          int64_t c3 = rc ? qs : L - qe;
+          if (c5 >= 3 || c3 >= 3) {
+            // fwd = rc ? revcomp(rd) : rd (uppercased); left clip is
+            // fwd[:c5] REVERSED, right clip fwd[L-c3:], capped at CAP
+            int64_t n5 = c5 < CLIP_CAP ? c5 : CLIP_CAP;
+            for (int64_t i = 0; i < n5; i++) {
+              int64_t j = c5 - 1 - i;  // fwd index
+              bufL[i] = rc ? comp_upper(rd[L - 1 - j]) : up(rd[j]);
+            }
+            int64_t n3 = c3 < CLIP_CAP ? c3 : CLIP_CAP;
+            for (int64_t i = 0; i < n3; i++) {
+              int64_t j = L - c3 + i;  // fwd index
+              bufR[i] = rc ? comp_upper(rd[L - 1 - j]) : up(rd[j]);
+            }
+            cLr = bufL;
+            cR = bufR;
+            nL = c5;
+            nR = c3;
+          }
+        } else if (clipL_off) {
+          int64_t lenL = clipL_off[h + 1] - clipL_off[h];
+          int64_t lenR = clipR_off[h + 1] - clipR_off[h];
+          const char* pL = clipL + clipL_off[h];
+          int64_t n5 = lenL < CLIP_CAP ? lenL : CLIP_CAP;
+          for (int64_t i = 0; i < n5; i++) bufL[i] = pL[lenL - 1 - i];
+          cLr = bufL;
+          cR = clipR + clipR_off[h];
+          nL = lenL;
+          nR = lenR;
+        }
         project_one(
             g2t, sc, nb, block_s + block_off[h], block_e + block_off[h],
             ni, intron_s ? intron_s + (intron_off ? intron_off[h] : 0)
@@ -408,10 +467,7 @@ ProjResult* oarfish_project_batch(
             intron_e ? intron_e + (intron_off ? intron_off[h] : 0)
                      : nullptr,
             q_aligned[h], hit_chrom[h], hit_is_rc[h],
-            clipL_off ? clipL + clipL_off[h] : nullptr,
-            clipL_off ? clipL_off[h + 1] - clipL_off[h] : 0,
-            clipR_off ? clipR + clipR_off[h] : nullptr,
-            clipR_off ? clipR_off[h + 1] - clipR_off[h] : 0,
+            cLr, nL, cR, nR,
             junc_miss_discount, tol, out);
         cnt.push_back(int64_t(out.tid.size() - before));
       }
@@ -453,6 +509,55 @@ ProjResult* oarfish_project_batch(
     }
   }
   return r;
+}
+
+ProjResult* oarfish_project_batch(
+    int64_t T, const int64_t* exon_off, const int64_t* exon_s,
+    const int64_t* exon_e, const int64_t* cum_before, const int64_t* tlen,
+    const int8_t* strand_neg, const int32_t* chrom_of, int64_t n_chroms,
+    const int64_t* chrom_bin_off, const int64_t* bin_off,
+    const int32_t* bin_tids, const char* gseqs, const int64_t* goff,
+    int64_t n_hits, const int32_t* hit_chrom, const int64_t* block_off,
+    const int64_t* block_s, const int64_t* block_e,
+    const int64_t* intron_off, const int64_t* intron_s,
+    const int64_t* intron_e, const uint8_t* hit_is_rc,
+    const int64_t* q_aligned, const char* clipL,
+    const int64_t* clipL_off, const char* clipR,
+    const int64_t* clipR_off, double junc_miss_discount, int64_t tol,
+    int32_t n_threads) {
+  return run_project_batch(
+      T, exon_off, exon_s, exon_e, cum_before, tlen, strand_neg,
+      chrom_of, n_chroms, chrom_bin_off, bin_off, bin_tids, gseqs, goff,
+      n_hits, hit_chrom, block_off, block_s, block_e, intron_off,
+      intron_s, intron_e, hit_is_rc, q_aligned, clipL, clipL_off, clipR,
+      clipR_off, nullptr, nullptr, nullptr, nullptr, nullptr,
+      junc_miss_discount, tol, n_threads);
+}
+
+// raw-read variant: clips computed in-thread from the reads blob +
+// per-hit query extents (genome_reads mode; kills the per-hit Python
+// clip-assembly loop)
+ProjResult* oarfish_project_batch_reads(
+    int64_t T, const int64_t* exon_off, const int64_t* exon_s,
+    const int64_t* exon_e, const int64_t* cum_before, const int64_t* tlen,
+    const int8_t* strand_neg, const int32_t* chrom_of, int64_t n_chroms,
+    const int64_t* chrom_bin_off, const int64_t* bin_off,
+    const int32_t* bin_tids, const char* gseqs, const int64_t* goff,
+    int64_t n_hits, const int32_t* hit_chrom, const int64_t* block_off,
+    const int64_t* block_s, const int64_t* block_e,
+    const int64_t* intron_off, const int64_t* intron_s,
+    const int64_t* intron_e, const uint8_t* hit_is_rc,
+    const int64_t* q_aligned, const char* reads,
+    const int64_t* read_seq_off, const int64_t* hit_read,
+    const int64_t* qstart, const int64_t* qend,
+    double junc_miss_discount, int64_t tol, int32_t n_threads) {
+  return run_project_batch(
+      T, exon_off, exon_s, exon_e, cum_before, tlen, strand_neg,
+      chrom_of, n_chroms, chrom_bin_off, bin_off, bin_tids, gseqs, goff,
+      n_hits, hit_chrom, block_off, block_s, block_e, intron_off,
+      intron_s, intron_e, hit_is_rc, q_aligned, nullptr, nullptr,
+      nullptr, nullptr, reads, read_seq_off, hit_read, qstart, qend,
+      junc_miss_discount, tol, n_threads);
 }
 
 }  // extern "C"

@@ -95,6 +95,16 @@ def get_lib():
         ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
         ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
     ]
+    lib.oarfish_project_batch_reads.restype = ctypes.POINTER(_ProjResult)
+    lib.oarfish_project_batch_reads.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i8p, i32p,
+        ctypes.c_int64, i64p, i64p, i32p,
+        ctypes.c_char_p, i64p,
+        ctypes.c_int64, i32p, i64p, i64p, i64p, i64p, i64p, i64p, u8p,
+        i64p,
+        ctypes.c_char_p, i64p, i64p, i64p, i64p,
+        ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
+    ]
     lib.oarfish_project_result_free.argtypes = [
         ctypes.POINTER(_ProjResult)
     ]
@@ -192,9 +202,16 @@ def project_batch_native(
     junc_miss_discount: float,
     tol: int,
     threads: int = 4,
+    reads: Optional[Tuple[bytes, np.ndarray, np.ndarray, np.ndarray,
+                          np.ndarray]] = None,
 ):
     """Project a batch of hits. Returns (hit_off, tid, start, end,
-    matched, sim, is_rev) numpy arrays (copies; native result freed)."""
+    matched, sim, is_rev) numpy arrays (copies; native result freed).
+
+    `reads`, when given, is (seq_blob, read_seq_off, hit_read, qstart,
+    qend): soft clips are derived in C++ from each hit's query extent
+    (revcomp/uppercase included) instead of `clips` — the raw-read
+    mode's per-hit Python clip assembly was ~3s/10k reads."""
     lib = get_lib()
     n_hits = len(hit_chrom)
     i64 = ctypes.c_int64
@@ -220,7 +237,7 @@ def project_batch_native(
         cl = cr = b""
         cl_off = cr_off = None
 
-    rptr = lib.oarfish_project_batch(
+    common = (
         len(flat.tlen), _p(flat.exon_off, i64), _p(flat.exon_s, i64),
         _p(flat.exon_e, i64), _p(flat.cum_before, i64),
         _p(flat.tlen, i64), _p(flat.strand_neg, ctypes.c_int8),
@@ -236,10 +253,24 @@ def project_batch_native(
         p64o(intron_off), p64o(intron_s), p64o(intron_e),
         _p(keep(hit_is_rc, np.uint8), ctypes.c_uint8),
         _p(keep(q_aligned, np.int64), i64),
-        cl, (null64 if cl_off is None else _p(cl_off, i64)),
-        cr, (null64 if cr_off is None else _p(cr_off, i64)),
-        float(junc_miss_discount), int(tol), int(threads),
     )
+    if reads is not None:
+        blob, rs_off, hit_read, qstart, qend = reads
+        rptr = lib.oarfish_project_batch_reads(
+            *common,
+            blob, _p(keep(rs_off, np.int64), i64),
+            _p(keep(hit_read, np.int64), i64),
+            _p(keep(qstart, np.int64), i64),
+            _p(keep(qend, np.int64), i64),
+            float(junc_miss_discount), int(tol), int(threads),
+        )
+    else:
+        rptr = lib.oarfish_project_batch(
+            *common,
+            cl, (null64 if cl_off is None else _p(cl_off, i64)),
+            cr, (null64 if cr_off is None else _p(cr_off, i64)),
+            float(junc_miss_discount), int(tol), int(threads),
+        )
     del hold
     r = rptr.contents
     n = int(r.n)

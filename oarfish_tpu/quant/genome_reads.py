@@ -226,45 +226,17 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         intron_off = np.zeros(n_hits + 1, np.int64)
         np.cumsum(np.maximum(nb - 1, 0), out=intron_off[1:])
 
-        clips = None
+        hit_read = np.repeat(np.arange(n_reads), np.diff(read_off))
+        reads_arg = None
         if rescue_on:
-            from ..genome.rescue import revcomp
-
-            qs_a = np.asarray(hits.qstart, np.int64)
-            qe_a = np.asarray(hits.qend, np.int64)
-            rc_a = np.asarray(hits.is_rc, np.uint8)
-            clL = bytearray()
-            clR = bytearray()
-            clL_off = np.zeros(n_hits + 1, np.int64)
-            clR_off = np.zeros(n_hits + 1, np.int64)
-            for r in range(n_reads):
-                s, e = int(read_off[r]), int(read_off[r + 1])
-                if s == e:
-                    continue
-                rd = seqs[r]
-                L = len(rd)
-                fwd_u = rev_u = None
-                for h in range(s, e):
-                    rc = bool(rc_a[h])
-                    qs, qe = int(qs_a[h]), int(qe_a[h])
-                    c5 = L - qe if rc else qs
-                    c3 = qs if rc else L - qe
-                    if c5 >= 3 or c3 >= 3:
-                        if rc:
-                            if rev_u is None:
-                                rev_u = revcomp(rd).upper()
-                            f = rev_u
-                        else:
-                            if fwd_u is None:
-                                fwd_u = rd.upper()
-                            f = fwd_u
-                        if c5:
-                            clL.extend(f[:c5])
-                        if c3:
-                            clR.extend(f[L - c3:])
-                    clL_off[h + 1] = len(clL)
-                    clR_off[h + 1] = len(clR)
-            clips = (bytes(clL), clL_off, bytes(clR), clR_off)
+            # clips derive in C++ from the reads blob + query extents
+            rs_off = np.zeros(n_reads + 1, np.int64)
+            np.cumsum([len(s) for s in seqs], out=rs_off[1:])
+            reads_arg = (
+                b"".join(seqs), rs_off, hit_read,
+                np.asarray(hits.qstart, np.int64),
+                np.asarray(hits.qend, np.int64),
+            )
 
         from ..genome import project_native as pn
 
@@ -278,14 +250,14 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
                 hit_is_rc=np.asarray(hits.is_rc, np.uint8),
                 q_aligned=(np.asarray(hits.qend, np.int64)
                            - np.asarray(hits.qstart, np.int64)),
-                clips=clips,
+                clips=None,
                 junc_miss_discount=args.junc_miss_discount,
                 tol=mapper.k + mapper.w,
                 threads=max(args.threads, 1),
+                reads=reads_arg,
             )
         )
         ccount = np.diff(hit_off)
-        hit_read = np.repeat(np.arange(n_reads), np.diff(read_off))
         cand_read = np.repeat(hit_read, ccount)
         cand_score = np.repeat(np.asarray(hits.score, np.int64), ccount)
         sel, roff = pn.dedup_best(
