@@ -167,7 +167,8 @@ class FlatG2T:
         self.gseqs = None
         self.goff = None
         if genome_blob is not None:
-            # pre-concatenated uppercase genome (blob, offsets[n_chroms+1])
+            # pre-concatenated uppercase genome (blob, offsets[n_chroms+1]);
+            # blob may be bytes or a uint8 array (zero-copy pointer)
             self.gseqs, goff = genome_blob
             self.goff = np.ascontiguousarray(goff, np.int64)
         elif rescue_db is not None:
@@ -237,6 +238,9 @@ def project_batch_native(
         cl = cr = b""
         cl_off = cr_off = None
 
+    gs = flat.gseqs
+    if isinstance(gs, np.ndarray):
+        gs = gs.ctypes.data_as(ctypes.c_char_p)
     common = (
         len(flat.tlen), _p(flat.exon_off, i64), _p(flat.exon_s, i64),
         _p(flat.exon_e, i64), _p(flat.cum_before, i64),
@@ -244,7 +248,7 @@ def project_batch_native(
         _p(flat.chrom_of, ctypes.c_int32), flat.n_chroms,
         _p(flat.chrom_bin_off, i64), _p(flat.bin_off, i64),
         _p(flat.bin_tids, ctypes.c_int32),
-        flat.gseqs, (null64 if flat.goff is None else _p(flat.goff, i64)),
+        gs, (null64 if flat.goff is None else _p(flat.goff, i64)),
         n_hits,
         _p(keep(hit_chrom, np.int32), ctypes.c_int32),
         _p(keep(block_off, np.int64), i64),

@@ -301,19 +301,26 @@ class Mapper:
         return m
 
     def sequences_blob(self):
-        """Embedded target sequences as ONE concatenated bytes blob +
-        int64 offsets [n+1] — no per-target split (the split costs an
-        extra pass over a ~1 GB genome; the native projection engine
-        consumes exactly this layout)."""
+        """Embedded target sequences as ONE concatenated uint8 array +
+        int64 offsets [n+1] — no per-target split, no zero-fill, no
+        bytes round trip (each costs a pass over a ~1 GB genome; the
+        native projection engine consumes the array's pointer
+        directly). The array is UPPERCASED in place."""
         lib = get_lib()
         total = int(lib.oarfish_index_seqs_len(self._h))
         n = len(self.names)
-        buf = ctypes.create_string_buffer(max(total, 1))
+        arr = np.empty(max(total, 1), dtype=np.uint8)
         offs = np.zeros(n + 1, dtype=np.int64)
         lib.oarfish_index_get_seqs(
-            self._h, buf, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+            self._h, arr.ctypes.data_as(ctypes.c_char_p),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         )
-        return buf.raw[:total], offs
+        arr = arr[:total]
+        # single-pass uppercase: uint8 wraparound makes (c-97)<=25 the
+        # lowercase test; where= avoids the fancy-index slow path
+        lower = (arr - np.uint8(97)) <= 25
+        np.subtract(arr, 32, out=arr, where=lower)
+        return arr, offs
 
     def sequences(self) -> list:
         """Copy the index's embedded target sequences out as

@@ -155,8 +155,8 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
                 np.cumsum([len(s) for s in g_seqs], out=goff[1:])
                 genome_blob = (b"".join(g_seqs).upper(), goff)
             else:
-                blob, goff = mapper.sequences_blob()
-                genome_blob = (blob.upper(), goff)
+                # uint8 array, uppercased in place — zero bytes copies
+                genome_blob = mapper.sequences_blob()
         else:
             from ..genome.rescue import RescueDb
 
