@@ -22,6 +22,7 @@
 //        -o liboarfish_mapper.so -pthread
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -795,39 +796,97 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
   for (auto& th : pool) th.join();
   size_t total = 0;
   for (auto& pvec : parts) total += pvec.size();
-  std::vector<Minimizer> all;
-  all.reserve(total);
-  for (auto& pvec : parts) {
-    all.insert(all.end(), pvec.begin(), pvec.end());
-    pvec.clear();
-  }
-  std::sort(all.begin(), all.end(), [](const Minimizer& a, const Minimizer& b) {
-    return a.key < b.key;
+  // Bucketed parallel sort (at genome scale a serial std::sort over
+  // ~150M 24-byte minimizers plus push_back postings assembly was the
+  // index-build bottleneck). hash64 keys are uniform over [0, 2^2k), so
+  // 256 buckets by the top byte of the key domain balance well; bucket-
+  // major order preserves the global key sort the chainer's lower_bound
+  // relies on. Postings within a key are fully ordered (rid, pos,
+  // strand) — deterministic for every thread count, unlike the old
+  // concatenation order.
+  constexpr int NB = 256;
+  const int bshift = (k < 32) ? (2 * k > 8 ? 2 * k - 8 : 0) : 56;
+  std::vector<std::array<uint64_t, NB>> cnt(nt);
+  for (auto& c : cnt) c.fill(0);
+  auto parallel_for = [&](auto&& body) {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < nt; t++) ws.emplace_back(body, t);
+    for (auto& th : ws) th.join();
+  };
+  parallel_for([&](int t) {
+    for (const auto& m : parts[t]) cnt[t][m.key >> bshift]++;
   });
-  // unique keys + postings
-  for (size_t i = 0; i < all.size();) {
-    size_t j = i;
-    while (j < all.size() && all[j].key == all[i].key) j++;
-    idx.keys.push_back(all[i].key);
-    idx.key_off.push_back(idx.postings.size());
-    for (size_t m = i; m < j; m++)
-      idx.postings.push_back(
-          pack_post(all[m].rid, all[m].pos, all[m].strand));
-    i = j;
+  // region offsets: bucket-major, part-minor
+  std::vector<uint64_t> boff(NB + 1, 0);
+  std::vector<std::array<uint64_t, NB>> poff(nt);
+  uint64_t acc = 0;
+  for (int b = 0; b < NB; b++) {
+    boff[b] = acc;
+    for (int t = 0; t < nt; t++) {
+      poff[t][b] = acc;
+      acc += cnt[t][b];
+    }
   }
-  idx.key_off.push_back(idx.postings.size());
+  boff[NB] = acc;
+  std::vector<Minimizer> all(total);
+  parallel_for([&](int t) {
+    auto& off = poff[t];
+    for (const auto& m : parts[t]) all[off[m.key >> bshift]++] = m;
+    std::vector<Minimizer>().swap(parts[t]);
+  });
+  std::atomic<int> next_b{0};
+  std::vector<uint64_t> bkeys(NB, 0);  // unique keys per bucket
+  parallel_for([&](int) {
+    int b;
+    while ((b = next_b.fetch_add(1)) < NB) {
+      std::sort(all.begin() + boff[b], all.begin() + boff[b + 1],
+                [](const Minimizer& a, const Minimizer& c) {
+                  if (a.key != c.key) return a.key < c.key;
+                  if (a.rid != c.rid) return a.rid < c.rid;
+                  if (a.pos != c.pos) return a.pos < c.pos;
+                  return a.strand < c.strand;
+                });
+      uint64_t nk = 0;
+      for (uint64_t i = boff[b]; i < boff[b + 1]; i++)
+        if (i == boff[b] || all[i].key != all[i - 1].key) nk++;
+      bkeys[b] = nk;
+    }
+  });
+  std::vector<uint64_t> koff(NB + 1, 0);
+  for (int b = 0; b < NB; b++) koff[b + 1] = koff[b] + bkeys[b];
+  idx.keys.resize(koff[NB]);
+  idx.key_off.resize(koff[NB] + 1);
+  idx.postings.resize(total);
+  next_b.store(0);
+  parallel_for([&](int) {
+    int b;
+    while ((b = next_b.fetch_add(1)) < NB) {
+      uint64_t kpos = koff[b];
+      for (uint64_t i = boff[b]; i < boff[b + 1]; i++) {
+        if (i == boff[b] || all[i].key != all[i - 1].key) {
+          idx.keys[kpos] = all[i].key;
+          idx.key_off[kpos] = i;  // postings order == sorted `all` order
+          kpos++;
+        }
+        idx.postings[i] = pack_post(all[i].rid, all[i].pos, all[i].strand);
+      }
+    }
+  });
+  idx.key_off[koff[NB]] = total;
   // frequency cutoff: drop the top freq_cutoff_frac most frequent keys
+  // (O(n) quantile via nth_element; a full sort of ~100M occs is waste)
   std::vector<uint64_t> occ(idx.keys.size());
   for (size_t i = 0; i < idx.keys.size(); i++)
     occ[i] = idx.key_off[i + 1] - idx.key_off[i];
-  std::vector<uint64_t> sorted_occ = occ;
-  std::sort(sorted_occ.begin(), sorted_occ.end());
-  size_t cut_idx = size_t(double(sorted_occ.size()) * (1.0 - freq_cutoff_frac));
-  idx.max_occ = sorted_occ.empty()
-                    ? UINT32_MAX
-                    : uint32_t(std::max<uint64_t>(
-                          sorted_occ[std::min(cut_idx, sorted_occ.size() - 1)],
-                          10));
+  if (occ.empty()) {
+    idx.max_occ = UINT32_MAX;
+  } else {
+    size_t cut_idx = std::min(
+        size_t(double(occ.size()) * (1.0 - freq_cutoff_frac)),
+        occ.size() - 1);
+    std::nth_element(occ.begin(), occ.begin() + cut_idx, occ.end());
+    idx.max_occ = uint32_t(std::max<uint64_t>(occ[cut_idx], 10));
+  }
   return h;
 }
 
