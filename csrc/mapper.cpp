@@ -50,16 +50,21 @@ inline uint64_t hash64(uint64_t x, uint64_t mask) {
   return x;
 }
 
-// 2-bit encode; 4 = ambiguous
-inline int nt4(uint8_t c) {
-  switch (c) {
-    case 'A': case 'a': return 0;
-    case 'C': case 'c': return 1;
-    case 'G': case 'g': return 2;
-    case 'T': case 't': case 'U': case 'u': return 3;
-    default: return 4;
+// 2-bit encode; 4 = ambiguous (flat LUT: the switch compiled to a
+// branch chain that mispredicts on random genome bases — the index
+// build's extraction loop reads one base per cycle through this)
+struct Nt4Lut {
+  int8_t t[256];
+  constexpr Nt4Lut() : t{} {
+    for (int i = 0; i < 256; i++) t[i] = 4;
+    t['A'] = t['a'] = 0;
+    t['C'] = t['c'] = 1;
+    t['G'] = t['g'] = 2;
+    t['T'] = t['t'] = t['U'] = t['u'] = 3;
   }
-}
+};
+constexpr Nt4Lut kNt4{};
+inline int nt4(uint8_t c) { return kNt4.t[c]; }
 
 struct Minimizer {
   uint64_t key;   // hashed canonical k-mer
