@@ -1230,4 +1230,30 @@ void oarfish_index_get_seqs(void* hptr, char* seqs_out,
     offsets_out[i] = idx.seq_off[i];
 }
 
+// Copy + uppercase in one multithreaded pass (the projection engine's
+// rescue blob wants the index's embedded genome uppercased; doing it
+// host-side in NumPy costs two extra passes over ~1 GB).
+void oarfish_index_get_seqs_upper(void* hptr, char* seqs_out,
+                                  int64_t* offsets_out, int threads) {
+  auto& idx = static_cast<IndexHandle*>(hptr)->idx;
+  const uint8_t* src = idx.seqs.data();
+  size_t n = idx.seqs.size();
+  int nt = threads > 0 ? threads : 1;
+  size_t chunk = (n + size_t(nt) - 1) / size_t(nt);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; t++) {
+    size_t lo = size_t(t) * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    pool.emplace_back([=] {
+      for (size_t i = lo; i < hi; i++) {
+        uint8_t c = src[i];
+        seqs_out[i] = char(c - (uint8_t(c - 'a') <= 25 ? 32 : 0));
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  for (size_t i = 0; i < idx.seq_off.size(); i++)
+    offsets_out[i] = idx.seq_off[i];
+}
+
 }  // extern "C"

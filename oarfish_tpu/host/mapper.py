@@ -99,6 +99,11 @@ def get_lib():
     lib.oarfish_index_get_seqs.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "oarfish_index_get_seqs_upper"):
+        lib.oarfish_index_get_seqs_upper.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
     lib.oarfish_index_set_junctions.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -311,6 +316,14 @@ class Mapper:
         n = len(self.names)
         arr = np.empty(max(total, 1), dtype=np.uint8)
         offs = np.zeros(n + 1, dtype=np.int64)
+        if hasattr(lib, "oarfish_index_get_seqs_upper"):
+            # fused copy+uppercase, multithreaded in the native layer
+            lib.oarfish_index_get_seqs_upper(
+                self._h, arr.ctypes.data_as(ctypes.c_char_p),
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int(4),
+            )
+            return arr[:total], offs
         lib.oarfish_index_get_seqs(
             self._h, arr.ctypes.data_as(ctypes.c_char_p),
             offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
