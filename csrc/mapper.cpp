@@ -24,6 +24,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -784,6 +785,14 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
     idx.lengths.push_back(uint32_t(offsets[i + 1] - offsets[i]));
   }
   // extract minimizers (parallel over targets)
+  const bool prof = getenv("OARFISH_MAPPER_PROF") != nullptr;
+  auto now_s = [] {
+    return double(std::chrono::duration_cast<std::chrono::microseconds>(
+                      std::chrono::steady_clock::now().time_since_epoch())
+                      .count()) *
+           1e-6;
+  };
+  double t_ex = now_s();
   int nt = threads > 0 ? threads : 1;
   std::vector<std::vector<Minimizer>> parts(nt);
   std::atomic<int64_t> next{0};
@@ -799,6 +808,8 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
     });
   }
   for (auto& th : pool) th.join();
+  if (prof) fprintf(stderr, "mapper-prof extract %.3fs\n", now_s() - t_ex);
+  t_ex = now_s();
   size_t total = 0;
   for (auto& pvec : parts) total += pvec.size();
   // Bucketed parallel sort (at genome scale a serial std::sort over
@@ -809,10 +820,12 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
   // relies on. Postings within a key are fully ordered (rid, pos,
   // strand) — deterministic for every thread count, unlike the old
   // concatenation order.
-  constexpr int NB = 256;
-  const int bshift = (k < 32) ? (2 * k > 8 ? 2 * k - 8 : 0) : 56;
-  std::vector<std::array<uint64_t, NB>> cnt(nt);
-  for (auto& c : cnt) c.fill(0);
+  constexpr int NBBITS = 12;  // ~40k-entry buckets at genome scale:
+                              // per-bucket sorts stay cache-resident
+  constexpr int NB = 1 << NBBITS;
+  const int bshift =
+      (k < 32) ? (2 * k > NBBITS ? 2 * k - NBBITS : 0) : 64 - NBBITS;
+  std::vector<std::vector<uint64_t>> cnt(nt, std::vector<uint64_t>(NB, 0));
   auto parallel_for = [&](auto&& body) {
     std::vector<std::thread> ws;
     for (int t = 0; t < nt; t++) ws.emplace_back(body, t);
@@ -823,7 +836,8 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
   });
   // region offsets: bucket-major, part-minor
   std::vector<uint64_t> boff(NB + 1, 0);
-  std::vector<std::array<uint64_t, NB>> poff(nt);
+  std::vector<std::vector<uint64_t>> poff(nt,
+                                          std::vector<uint64_t>(NB, 0));
   uint64_t acc = 0;
   for (int b = 0; b < NB; b++) {
     boff[b] = acc;
@@ -878,6 +892,7 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
     }
   });
   idx.key_off[koff[NB]] = total;
+  if (prof) fprintf(stderr, "mapper-prof sort+assemble %.3fs\n", now_s() - t_ex);
   // frequency cutoff: drop the top freq_cutoff_frac most frequent keys
   // (O(n) quantile via nth_element; a full sort of ~100M occs is waste)
   std::vector<uint64_t> occ(idx.keys.size());
