@@ -112,18 +112,32 @@ struct ThreadScratch {
 };
 thread_local ThreadScratch g_scratch;
 
-// extract (k,w) minimizers of seq into out
+// extract (k,w) minimizers of seq into out — single pass. The
+// sliding-window minimum only ever looks back w candidates, so the
+// candidate store and the monotonic deque are W-slot rings (W = next
+// pow2 > w) instead of len-sized vectors: the old two-pass form kept
+// ~16 bytes/base of scratch per thread (~600 MB per 36 Mbp chromosome)
+// and its page churn dominated genome-scale index builds.
 void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
                         uint32_t rid, std::vector<Minimizer>& out) {
   if (len < size_t(k)) return;
   const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : ~0ULL;
   uint64_t fwd = 0, rev = 0;
   int l = 0;
-  // ring buffer of window candidates (per-thread, see ThreadScratch)
-  std::vector<Cand>& win = g_scratch.win;
-  win.clear();
-  win.reserve(len);
+  uint32_t W = 1;
+  while (W < uint32_t(w) + 1) W <<= 1;
+  const uint32_t wm = W - 1;
+  std::vector<Cand>& ring = g_scratch.win;
+  if (ring.size() < W) ring.resize(W);
+  std::vector<size_t>& dq = g_scratch.deque;
+  if (dq.size() < W) dq.resize(W);
+  // j: candidate counter; deque holds candidate indices in [dh, dt),
+  // all within the last w+1 candidates (ring slots never collide)
+  size_t j = 0, dh = 0, dt = 0;
   size_t last_emitted = SIZE_MAX;
+  uint64_t gmin_key = ~0ULL;
+  size_t gmin_idx = 0;
+  Cand gmin{};
   for (size_t i = 0; i < len; i++) {
     int c = nt4(seq[i]);
     if (c >= 4) { l = 0; fwd = rev = 0; continue; }
@@ -134,35 +148,27 @@ void extract_minimizers(const uint8_t* seq, size_t len, int k, int w,
     if (fwd < rev) { key = fwd; strand = 0; }
     else if (rev < fwd) { key = rev; strand = 1; }
     else continue;  // palindromic k-mer: skip (strand ambiguous)
-    win.push_back({hash64(key, mask), uint32_t(i + 1 - k), strand});
-  }
-  // sliding-window minima over win with window w
-  if (win.empty()) return;
-  std::vector<size_t>& deque = g_scratch.deque;
-  deque.clear();
-  deque.reserve(64);
-  size_t head = 0;
-  for (size_t i = 0; i < win.size(); i++) {
-    // the logical deque is deque[head..end): never pop below head
-    while (deque.size() > head && win[deque.back()].key >= win[i].key)
-      deque.pop_back();
-    deque.push_back(i);
-    if (i + 1 >= size_t(w)) {
-      // window is [i+1-w, i]
-      while (deque[head] + size_t(w) <= i) head++;
-      size_t m = deque[head];
+    Cand cand{hash64(key, mask), uint32_t(i + 1 - k), strand};
+    ring[j & wm] = cand;
+    while (dt > dh && ring[dq[(dt - 1) & wm] & wm].key >= cand.key) dt--;
+    dq[dt++ & wm] = j;
+    if (cand.key < gmin_key) { gmin_key = cand.key; gmin_idx = j; gmin = cand; }
+    if (j + 1 >= size_t(w)) {
+      // window is the last w candidates [j+1-w, j]
+      while (dq[dh & wm] + size_t(w) <= j) dh++;
+      size_t m = dq[dh & wm];
       if (m != last_emitted) {
-        out.push_back({win[m].key, rid, win[m].pos, win[m].strand});
+        const Cand& cm = ring[m & wm];
+        out.push_back({cm.key, rid, cm.pos, cm.strand});
         last_emitted = m;
       }
     }
+    j++;
   }
-  if (win.size() < size_t(w)) {
+  if (j > 0 && j < size_t(w)) {
     // short sequence: emit the global minimum
-    size_t m = 0;
-    for (size_t i = 1; i < win.size(); i++)
-      if (win[i].key < win[m].key) m = i;
-    out.push_back({win[m].key, rid, win[m].pos, win[m].strand});
+    (void)gmin_idx;
+    out.push_back({gmin.key, rid, gmin.pos, gmin.strand});
   }
 }
 
