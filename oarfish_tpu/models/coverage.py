@@ -25,6 +25,54 @@ from scipy.special import gammaln
 
 from ..host.store import AlignmentStore, TranscriptCoverage
 
+_lib = None
+_lib_tried = False
+
+
+def _get_lib():
+    """ctypes handle to the native covmodel pass (csrc/covmodel.cpp),
+    built on first use; None if the toolchain is unavailable. The NumPy
+    `*_np` functions below are the differential oracle and fallback."""
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    csrc = Path(__file__).resolve().parent.parent.parent / "csrc"
+    src = csrc / "covmodel.cpp"
+    so = csrc / "liboarfish_covmodel.so"
+    if not so.exists() or (
+        src.exists() and src.stat().st_mtime > so.stat().st_mtime
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-ffp-contract=off", "-shared",
+                 "-fPIC", str(src), "-o", str(so), "-pthread"],
+                check=True, capture_output=True, timeout=180,
+            )
+        except Exception:  # noqa: BLE001
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.oarfish_logistic_prob.argtypes = [
+        pd, pd, p64, ctypes.c_int64, ctypes.c_double, pd, ctypes.c_int,
+    ]
+    lib.oarfish_normalize_read_probs.restype = ctypes.c_int
+    lib.oarfish_normalize_read_probs.argtypes = [
+        p32, p64, p64, ctypes.c_int64, p64, ctypes.c_int64, p64, p64, pd,
+        pd, ctypes.c_int64, ctypes.c_double, pd, ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
 
 def logistic(x: np.ndarray, a: float) -> np.ndarray:
     """Scaled logistic clamped to [1e-8, 0.99999]
@@ -32,7 +80,32 @@ def logistic(x: np.ndarray, a: float) -> np.ndarray:
     return np.clip(1.0 / (1.0 + np.exp(-a * x)), 1e-8, 0.99999)
 
 
-def logistic_prob(cov: TranscriptCoverage, growth_rate: float) -> np.ndarray:
+def logistic_prob(
+    cov: TranscriptCoverage, growth_rate: float, threads: int = 8
+) -> np.ndarray:
+    """Native multithreaded `logistic_prob` (csrc/covmodel.cpp), falling
+    back to the NumPy oracle. Same contract as `logistic_prob_np`."""
+    lib = _get_lib()
+    if lib is None:
+        return logistic_prob_np(cov, growth_rate)
+    import ctypes
+
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    out = np.empty(len(cov.bins), dtype=np.float64)
+    lib.oarfish_logistic_prob(
+        cov.bins.ctypes.data_as(pd),
+        cov.total_weight.ctypes.data_as(pd),
+        cov.bin_offsets.ctypes.data_as(p64),
+        len(cov.txp_len),
+        float(growth_rate),
+        out.ctypes.data_as(pd),
+        int(threads),
+    )
+    return out
+
+
+def logistic_prob_np(cov: TranscriptCoverage, growth_rate: float) -> np.ndarray:
     """Per-bin logistic coverage probabilities for all transcripts
     (`logistic_prob`, `logistic_probability.rs:40-79`). Returns a flat f64
     array aligned with `cov.bins` / `cov.bin_offsets`. Mutates `cov.bins`
@@ -132,6 +205,54 @@ def binomial_continuous_prob(cov: TranscriptCoverage) -> np.ndarray:
 
 
 def normalize_read_probs(
+    store: AlignmentStore,
+    cov: TranscriptCoverage,
+    cov_prob_flat: np.ndarray,
+    bin_width: int,
+    threads: int = 8,
+) -> None:
+    """Native multithreaded `normalize_read_probs` (csrc/covmodel.cpp),
+    falling back to the NumPy oracle. Same contract as
+    `normalize_read_probs_np`."""
+    lib = _get_lib()
+    if lib is None:
+        return normalize_read_probs_np(store, cov, cov_prob_flat, bin_width)
+    A = store.num_alignments
+    if A == 0:
+        return
+    import ctypes
+
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    pd = ctypes.POINTER(ctypes.c_double)
+    tid = np.ascontiguousarray(store.txp_id, dtype=np.int32)
+    start = np.ascontiguousarray(store.start, dtype=np.int64)
+    end = np.ascontiguousarray(store.end, dtype=np.int64)
+    bnd = np.ascontiguousarray(store.boundaries, dtype=np.int64)
+    cpf = np.ascontiguousarray(cov_prob_flat, dtype=np.float64)
+    rc = lib.oarfish_normalize_read_probs(
+        tid.ctypes.data_as(p32),
+        start.ctypes.data_as(p64),
+        end.ctypes.data_as(p64),
+        A,
+        bnd.ctypes.data_as(p64),
+        store.num_reads,
+        cov.bin_offsets.ctypes.data_as(p64),
+        cov.nbins.ctypes.data_as(p64),
+        cov.lenf.ctypes.data_as(pd),
+        cpf.ctypes.data_as(pd),
+        len(cpf),
+        float(bin_width),
+        store.cov_prob.ctypes.data_as(pd),
+        int(threads),
+    )
+    if rc != 0:
+        raise FloatingPointError(
+            "invalid result in normalize_read_probs (NaN/inf coverage prob)"
+        )
+
+
+def normalize_read_probs_np(
     store: AlignmentStore,
     cov: TranscriptCoverage,
     cov_prob_flat: np.ndarray,

@@ -169,8 +169,21 @@ def perform_inference_and_write_output(
 
     if opts.model_coverage:
         t_cov = time.time()
-        cov_flat = logistic_prob(coverage, args.growth_rate)
-        normalize_read_probs(store, coverage, cov_flat, args.bin_width)
+        if os.environ.get("OARFISH_COVMODEL") == "jax":
+            # device segment-op formulation (right on a real TPU VM;
+            # under the axon tunnel the bins transfer dominates — see
+            # PERF_NOTES.md "covmodel")
+            from ..models.coverage_jax import (
+                logistic_prob_jax, normalize_read_probs_jax)
+
+            cov_flat = logistic_prob_jax(coverage, args.growth_rate)
+            normalize_read_probs_jax(store, coverage, cov_flat,
+                                     args.bin_width)
+        else:
+            cov_flat = logistic_prob(coverage, args.growth_rate,
+                                     threads=args.threads)
+            normalize_read_probs(store, coverage, cov_flat, args.bin_width,
+                                 threads=args.threads)
         log.info("phase bulk.covmodel %.3f", time.time() - t_cov)
 
     log.info("Total number of alignment records : %d", store.num_alignments)

@@ -159,3 +159,68 @@ def test_binomial_scalar_parity():
     want = np.exp(ln1 - lden + n2 + n3)
     want /= want.sum()
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_native_covmodel_matches_numpy_oracle():
+    """csrc/covmodel.cpp vs the NumPy oracle (`logistic_prob_np`,
+    `normalize_read_probs_np`) on randomized stores, including zero-sum
+    transcripts and 1-bin transcripts."""
+    from oarfish_tpu.models.coverage import (
+        _get_lib,
+        logistic_prob_np,
+        normalize_read_probs_np,
+    )
+
+    if _get_lib() is None:
+        import pytest
+
+        pytest.skip("native covmodel unavailable")
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        T = int(rng.integers(3, 12))
+        store, cov, tlens = build_store(rng, T=T, R=400)
+        cov2 = TranscriptCoverage(tlens, 100)
+        cov2.bins[:] = cov.bins
+        cov2.total_weight[:] = cov.total_weight
+
+        flat_nat = logistic_prob(cov, 2.0, threads=3)
+        flat_np = logistic_prob_np(cov2, 2.0)
+        np.testing.assert_allclose(flat_nat, flat_np, rtol=1e-13, atol=0)
+        # pseudo-count mutation identical
+        np.testing.assert_array_equal(cov.bins, cov2.bins)
+
+        normalize_read_probs(store, cov, flat_nat, 100, threads=3)
+        got = store.cov_prob.copy()
+        normalize_read_probs_np(store, cov2, flat_np, 100)
+        np.testing.assert_allclose(got, store.cov_prob, rtol=1e-13, atol=0)
+
+
+def test_jax_covmodel_matches_numpy_oracle():
+    """models/coverage_jax.py (device segment-op formulation, SURVEY §7.4)
+    vs the NumPy oracle, on the CPU backend (x64 on via conftest)."""
+    from oarfish_tpu.models.coverage import (
+        logistic_prob_np,
+        normalize_read_probs_np,
+    )
+    from oarfish_tpu.models.coverage_jax import (
+        logistic_prob_jax,
+        normalize_read_probs_jax,
+    )
+
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        store, cov, tlens = build_store(rng, T=7, R=300)
+        cov2 = TranscriptCoverage(tlens, 100)
+        cov2.bins[:] = cov.bins
+        cov2.total_weight[:] = cov.total_weight
+
+        flat_j = logistic_prob_jax(cov, 2.0)
+        flat_np = logistic_prob_np(cov2, 2.0)
+        np.testing.assert_allclose(flat_j, flat_np, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(cov.bins, cov2.bins, rtol=1e-15)
+
+        normalize_read_probs_jax(store, cov, flat_j, 100)
+        got = store.cov_prob.copy()
+        normalize_read_probs_np(store, cov2, flat_np, 100)
+        np.testing.assert_allclose(got, store.cov_prob, rtol=1e-12, atol=0)
