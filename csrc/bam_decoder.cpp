@@ -555,12 +555,15 @@ struct StreamState {
   // double-buffered windows: cur is being scanned on the caller's
   // thread while a background pool inflates the next batch of blocks
   // into nx (the window-level pipeline; see advance_window).
-  // `pipeline` gates the EAGER prefetch: measured on a 4-vCPU host,
-  // inflate already saturates the cores and background inflate of
-  // window k+1 only thrashes the LLC under the scan of window k
-  // (record-scan 0.26s -> ~1.0s, net +1-4 CPU-s; scripts/decode_ab.py
-  // 2026-08-19) — so overlap is enabled only when cores are plentiful
-  // (threads >= 6) or forced with OARFISH_DECODE_PIPELINE=1/0.
+  // `pipeline` gates the EAGER prefetch. An early A/B (scripts/
+  // decode_ab.py 2026-08-19) measured it harmful on the 4-vCPU host,
+  // but after the round-5 consumer-side changes (incremental CSR
+  // assembly, persistent coverage accumulator) it wins at every
+  // measured scale: R=5M pack 8.9s -> 8.3s, R=2M 4.2s -> 3.8s at
+  // threads=4 (record-scan still degrades ~0.3s from LLC sharing, but
+  // hiding the 1.5-2.6s serial bscan/scan/merge under inflate nets
+  // out). Default ON for threads >= 3; OARFISH_DECODE_PIPELINE=1/0
+  // still forces either mode.
   Win cur, nx;
   std::thread pf_th;
   bool pf_active = false;
@@ -866,7 +869,7 @@ OarfishDecoded* stream_open_impl(StreamState& S, const char* path,
   S.cur.len -= off;
   S.nx.p = S.nx.base;
   S.nx.len = 0;
-  S.pipeline = S.threads >= 6;
+  S.pipeline = S.threads >= 3;
   if (const char* pe = getenv("OARFISH_DECODE_PIPELINE"))
     S.pipeline = atoi(pe) != 0;
   if (S.pipeline) launch_prefetch(S);

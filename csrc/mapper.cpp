@@ -821,11 +821,11 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
   // Bucketed parallel sort (at genome scale a serial std::sort over
   // ~150M 24-byte minimizers plus push_back postings assembly was the
   // index-build bottleneck). hash64 keys are uniform over [0, 2^2k), so
-  // 256 buckets by the top byte of the key domain balance well; bucket-
-  // major order preserves the global key sort the chainer's lower_bound
-  // relies on. Postings within a key are fully ordered (rid, pos,
-  // strand) — deterministic for every thread count, unlike the old
-  // concatenation order.
+  // 4096 buckets by the top NBBITS=12 bits of the 2k-bit key domain
+  // balance well; bucket-major order preserves the global key sort the
+  // chainer's lower_bound relies on. Postings within a key are fully
+  // ordered (rid, pos, strand) — deterministic for every thread count,
+  // unlike the old concatenation order.
   constexpr int NBBITS = 12;  // ~40k-entry buckets at genome scale:
                               // per-bucket sorts stay cache-resident
   constexpr int NB = 1 << NBBITS;

@@ -171,12 +171,13 @@ class MapHits:
 
 class Mapper:
     def __init__(self, handle, names: List[str], lengths: List[int],
-                 k: int, w: int):
+                 k: int, w: int, threads: int = 4):
         self._h = handle
         self.names = names
         self.lengths = lengths
         self.k = k
         self.w = w
+        self.threads = threads  # used by native helpers (seqs accessor)
 
     @classmethod
     def from_sequences(
@@ -206,7 +207,8 @@ class Mapper:
             threads,
             freq_cutoff_frac,
         )
-        return cls(h, list(names), [len(s) for s in seqs], k, w)
+        return cls(h, list(names), [len(s) for s in seqs], k, w,
+                   threads=threads)
 
     @classmethod
     def load(cls, path, threads: int = 4) -> "Mapper":
@@ -236,7 +238,8 @@ class Mapper:
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), kw,
         )
         names = names_buf.raw.decode(errors="replace").split("\x00")[: int(n)]
-        return cls(h, names, [int(x) for x in lengths], int(kw[0]), int(kw[1]))
+        return cls(h, names, [int(x) for x in lengths], int(kw[0]),
+                   int(kw[1]), threads=threads)
 
     #: set on instances migrated from a foreign container: ("mmi",
     #: decoded sequences as list[bytes]) — the driver uses the
@@ -321,7 +324,7 @@ class Mapper:
             lib.oarfish_index_get_seqs_upper(
                 self._h, arr.ctypes.data_as(ctypes.c_char_p),
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                ctypes.c_int(4),
+                ctypes.c_int(self.threads),
             )
             return arr[:total], offs
         lib.oarfish_index_get_seqs(

@@ -34,16 +34,20 @@ def _get_cov_lib():
     from pathlib import Path
 
     csrc = Path(__file__).resolve().parent.parent.parent / "csrc"
+    src = csrc / "coverage.cpp"
     so = csrc / "liboarfish_coverage.so"
-    if not so.exists():
+    if not so.exists() or (
+        src.exists() and src.stat().st_mtime > so.stat().st_mtime
+    ):
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 str(csrc / "coverage.cpp"), "-o", str(so), "-pthread"],
+                 str(src), "-o", str(so), "-pthread"],
                 check=True, capture_output=True, timeout=180,
             )
         except Exception:  # noqa: BLE001
-            return None
+            if not so.exists():
+                return None
     try:
         lib = ctypes.CDLL(str(so))
     except OSError:
@@ -54,6 +58,19 @@ def _get_cov_lib():
         p64, p64, p64, ctypes.c_int64, pd, p64, p64, pd,
         ctypes.c_int64, ctypes.c_int64, pd, pd, ctypes.c_int,
     ]
+    try:  # persistent-accumulator API (absent in a stale prebuilt .so)
+        lib.oarfish_cov_acc_new.restype = ctypes.c_void_p
+        lib.oarfish_cov_acc_new.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, pd, p64, p64, pd, ctypes.c_int,
+        ]
+        lib.oarfish_cov_acc_add.argtypes = [
+            ctypes.c_void_p, p64, p64, p64, ctypes.c_int64,
+        ]
+        lib.oarfish_cov_acc_finish.argtypes = [ctypes.c_void_p, pd, pd]
+        lib.oarfish_cov_acc_abort.argtypes = [ctypes.c_void_p]
+        lib._has_acc = True
+    except AttributeError:
+        lib._has_acc = False
     _cov_lib = lib
     return lib
 
@@ -88,6 +105,59 @@ class TranscriptCoverage:
         # rounded per-transcript bin width used inside add_interval
         # (`oarfish_types.rs:501`: bin_width = round(tlen / num_intervals))
         self.rbw = _rust_round(self.lenf / self.nbins.astype(np.float64))
+        self._acc = None  # native accumulator session (begin_accumulation)
+
+    def begin_accumulation(self, threads: int = 8) -> bool:
+        """Open a persistent native accumulator session for chunked
+        packing: per-thread partial-bin arrays are allocated once and
+        merged once at `finish_accumulation`, instead of per
+        `add_intervals` call (which cost ~5s of zero+merge over 16
+        chunks at 14M bins). Returns True when the native session is
+        active; False falls back to per-call accumulation."""
+        if self.bin_width <= 0 or self._acc is not None:
+            return self._acc is not None
+        lib = _get_cov_lib()
+        if lib is None or not getattr(lib, "_has_acc", False):
+            return False
+        import ctypes
+
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        pd = ctypes.POINTER(ctypes.c_double)
+        h = lib.oarfish_cov_acc_new(
+            len(self.txp_len), len(self.bins),
+            self.lenf.ctypes.data_as(pd),
+            self.nbins.ctypes.data_as(p64),
+            self.bin_offsets.ctypes.data_as(p64),
+            self.rbw.ctypes.data_as(pd),
+            int(threads),
+        )
+        if not h:
+            return False
+        self._acc = (lib, h)
+        return True
+
+    def finish_accumulation(self) -> None:
+        """Merge the native session's partials into bins/total_weight
+        and close it. No-op when no session is open."""
+        if self._acc is None:
+            return
+        import ctypes
+
+        lib, h = self._acc
+        self._acc = None
+        pd = ctypes.POINTER(ctypes.c_double)
+        lib.oarfish_cov_acc_finish(
+            h, self.bins.ctypes.data_as(pd),
+            self.total_weight.ctypes.data_as(pd),
+        )
+
+    def abort_accumulation(self) -> None:
+        """Free the native session without merging (error paths)."""
+        if self._acc is None:
+            return
+        lib, h = self._acc
+        self._acc = None
+        lib.oarfish_cov_acc_abort(h)
 
     def add_intervals(
         self, tid: np.ndarray, start: np.ndarray, end: np.ndarray,
@@ -99,6 +169,21 @@ class TranscriptCoverage:
         differential oracle and fallback."""
         tid = np.asarray(tid, dtype=np.int64)
         if tid.size == 0:
+            return
+        if self._acc is not None:
+            import ctypes
+
+            p64 = ctypes.POINTER(ctypes.c_int64)
+            lib, h = self._acc
+            s64 = np.ascontiguousarray(start, dtype=np.int64)
+            e64 = np.ascontiguousarray(end, dtype=np.int64)
+            lib.oarfish_cov_acc_add(
+                h,
+                tid.ctypes.data_as(p64),
+                s64.ctypes.data_as(p64),
+                e64.ctypes.data_as(p64),
+                len(tid),
+            )
             return
         if self.bin_width > 0:
             lib = _get_cov_lib()

@@ -68,7 +68,11 @@ def _iter_fasta_blob(path) -> Iterator[Tuple[str, bytes]]:
     else:
         with open(p, "rb") as fh:
             blob = fh.read()
-    for i, rec in enumerate(blob.split(b"\n>")):
+    recs = blob.split(b"\n>")
+    del blob  # drop the second whole-genome copy the split materialized
+    for i in range(len(recs)):
+        rec = recs[i]
+        recs[i] = None  # progressively release consumed records
         if i == 0:
             if not rec.startswith(b">"):
                 continue  # leading junk before the first record

@@ -90,6 +90,16 @@ def logistic_prob(
         return logistic_prob_np(cov, growth_rate)
     import ctypes
 
+    # the native pass reads/writes f64 through raw pointers: normalize
+    # any caller-perturbed dtypes/layout first (in-place mutation
+    # semantics are preserved because cov keeps the converted arrays)
+    if cov.bins.dtype != np.float64 or not cov.bins.flags.c_contiguous:
+        cov.bins = np.ascontiguousarray(cov.bins, dtype=np.float64)
+    if (cov.total_weight.dtype != np.float64
+            or not cov.total_weight.flags.c_contiguous):
+        cov.total_weight = np.ascontiguousarray(
+            cov.total_weight, dtype=np.float64)
+
     p64 = ctypes.POINTER(ctypes.c_int64)
     pd = ctypes.POINTER(ctypes.c_double)
     out = np.empty(len(cov.bins), dtype=np.float64)

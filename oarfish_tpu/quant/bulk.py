@@ -155,10 +155,17 @@ def perform_inference_and_write_output(
                 # identical everywhere)
                 from ..parallel.multihost import allgather_hosts
 
-                coverage.bins = allgather_hosts(coverage.bins).sum(axis=0)
-                coverage.total_weight = allgather_hosts(
-                    coverage.total_weight
-                ).sum(axis=0)
+                # gather as raw bytes: process_allgather silently
+                # downcasts f64->f32 when jax x64 is off, which both
+                # loses precision and (before the dtype guard in
+                # models/coverage.py) corrupted the native covmodel's
+                # in-place bins write
+                def _gather_f64(a):
+                    g = allgather_hosts(np.ascontiguousarray(a).view(np.uint8))
+                    return g.view(np.float64).sum(axis=0)
+
+                coverage.bins = _gather_f64(coverage.bins)
+                coverage.total_weight = _gather_f64(coverage.total_weight)
 
     dens_prob = None
     if args.use_kde:
@@ -327,7 +334,16 @@ def perform_inference_and_write_output(
                         if args.em_accel == "squarem"
                         else run_em_v4_batch
                     )
-                    BB = min(8, args.num_bootstraps)
+                    BB = int(os.environ.get("OARFISH_BOOT_BB", "8"))
+                    BB = max(1, min(BB, args.num_bootstraps))
+                    # dispatch ALL replicate chunks before syncing any:
+                    # jax dispatch is async, so chunk k+1's compute
+                    # overlaps chunk k's result transfer, and under the
+                    # axon tunnel (which defers execution until a host
+                    # transfer) the per-chunk round trips collapse into
+                    # one pipelined drain (VERDICT r4 item 4: was a
+                    # blocking np.asarray per chunk = ~2 s/replicate)
+                    pending = []
                     b0 = 0
                     while b0 < args.num_bootstraps:
                         idx = np.arange(b0, b0 + BB)
@@ -337,11 +353,14 @@ def perform_inference_and_write_output(
                             args.convergence_thresh,
                             jnp.asarray(mult[idx], dtype=jnp.float32),
                         )
-                        take = min(BB, args.num_bootstraps - b0)
+                        pending.append(
+                            (cb, min(BB, args.num_bootstraps - b0))
+                        )
+                        b0 += BB
+                    for cb, take in pending:
                         breps.extend(
                             np.asarray(cb[:take], dtype=np.float64)
                         )
-                        b0 += BB
                 else:
                     for b in range(args.num_bootstraps):
                         cb, _ = runner(
@@ -854,7 +873,10 @@ def quantify_bulk_alignments_from_bam(args: Args, opts: FilterOpts) -> np.ndarra
             args.alignments,
             opts,
             bin_width=args.bin_width,
-            threads=max(args.threads - 1, 1),
+            # all threads go to the decoder: its pipeline mode overlaps
+            # the consumer phases itself, and the python-side filter is
+            # bursty (A/B in PERF_NOTES round 5: threads=4 beats 3+1)
+            threads=max(args.threads, 1),
             sort_check_num=args.sort_check_num,
             keep_names=opts.write_assignment_probs,
             timings=pack_timings,

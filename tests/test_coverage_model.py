@@ -224,3 +224,37 @@ def test_jax_covmodel_matches_numpy_oracle():
         got = store.cov_prob.copy()
         normalize_read_probs_np(store, cov2, flat_np, 100)
         np.testing.assert_allclose(got, store.cov_prob, rtol=1e-12, atol=0)
+
+
+def test_accumulator_session_matches_per_call():
+    """The persistent native accumulator (begin/finish_accumulation, used
+    by the streaming pack) must match per-call add_intervals to FP
+    tolerance (bin sums are accumulation-order tolerant)."""
+    rng = np.random.default_rng(9)
+    tlens = rng.integers(200, 4000, size=40).astype(np.int64)
+    T = len(tlens)
+    chunks = []
+    for _ in range(5):
+        n = int(rng.integers(50, 400))
+        tid = rng.integers(0, T, size=n).astype(np.int64)
+        L = tlens[tid]
+        end = rng.integers(1, L + 1)
+        start = rng.integers(0, end)
+        chunks.append((tid, start, end))
+
+    cov_a = TranscriptCoverage(tlens, 100)
+    for tid, s, e in chunks:
+        cov_a.add_intervals(tid, s, e, threads=3)
+
+    cov_b = TranscriptCoverage(tlens, 100)
+    opened = cov_b.begin_accumulation(threads=3)
+    for tid, s, e in chunks:
+        cov_b.add_intervals(tid, s, e)
+    cov_b.finish_accumulation()
+
+    np.testing.assert_allclose(cov_b.bins, cov_a.bins, rtol=1e-12)
+    np.testing.assert_allclose(cov_b.total_weight, cov_a.total_weight)
+    if not opened:
+        import pytest
+
+        pytest.skip("native accumulator unavailable (fallback verified)")

@@ -262,3 +262,130 @@ def test_dp_cache_cap_identical_results(sirv_mapper):
     np.testing.assert_array_equal(capped.score, base.score)
     np.testing.assert_array_equal(capped.tstart, base.tstart)
     np.testing.assert_array_equal(capped.tend, base.tend)
+
+
+def _py_hash64(x, mask):
+    M = (1 << 64) - 1
+    x = (~x + (x << 21)) & M & mask
+    x = (x ^ (x >> 24)) & M
+    x = (x + (x << 3) + (x << 8)) & M & mask
+    x = (x ^ (x >> 14)) & M
+    x = (x + (x << 2) + (x << 4)) & M & mask
+    x = (x ^ (x >> 28)) & M
+    x = (x + (x << 31)) & M & mask
+    return x
+
+
+_NT4 = {ord(c): v for cs, v in
+        (("Aa", 0), ("Cc", 1), ("Gg", 2), ("TtUu", 3)) for c in cs}
+
+
+def _py_extract(seq, k, w, rid):
+    """Python transliteration of the windowed-minima minimizer
+    recurrence (ADVICE r4: in-suite oracle for the single-pass
+    ring-buffer extraction in csrc/mapper.cpp:116)."""
+    out = []
+    if len(seq) < k:
+        return out
+    mask = (1 << (2 * k)) - 1 if k < 32 else (1 << 64) - 1
+    fwd = rev = l = 0
+    win = []
+    for i, b in enumerate(seq):
+        c = _NT4.get(b, 4)
+        if c >= 4:
+            l = 0
+            fwd = rev = 0
+            continue
+        fwd = ((fwd << 2) | c) & mask
+        rev = (rev >> 2) | ((3 - c) << (2 * (k - 1)))
+        l += 1
+        if l < k:
+            continue
+        if fwd < rev:
+            key, strand = fwd, 0
+        elif rev < fwd:
+            key, strand = rev, 1
+        else:
+            continue  # palindromic k-mer: strand ambiguous
+        win.append((_py_hash64(key, mask), i + 1 - k, strand))
+    if not win:
+        return out
+    dq, head, last = [], 0, None
+    for i in range(len(win)):
+        while len(dq) > head and win[dq[-1]][0] >= win[i][0]:
+            dq.pop()
+        dq.append(i)
+        if i + 1 >= w:
+            while dq[head] + w <= i:
+                head += 1
+            m = dq[head]
+            if m != last:
+                out.append((win[m][0], rid, win[m][1], win[m][2]))
+                last = m
+    if len(win) < w:  # short sequence: global minimum
+        m = min(range(len(win)), key=lambda i: (win[i][0], i))
+        out.append((win[m][0], rid, win[m][1], win[m][2]))
+    return out
+
+
+def _read_otmi(path):
+    import struct
+
+    data = open(path, "rb").read()
+    off = 8
+    k, w = struct.unpack_from("<ii", data, off); off += 8
+    (nt,) = struct.unpack_from("<Q", data, off); off += 8
+    for _ in range(nt):
+        (ln,) = struct.unpack_from("<I", data, off); off += 4 + ln
+    off += nt * 4  # lengths
+    (so,) = struct.unpack_from("<Q", data, off); off += 8 + so * 8
+    (sl,) = struct.unpack_from("<Q", data, off); off += 8 + sl
+    (nk,) = struct.unpack_from("<Q", data, off); off += 8
+    keys = struct.unpack_from(f"<{nk}Q", data, off); off += nk * 8
+    key_off = struct.unpack_from(f"<{nk + 1}Q", data, off)
+    off += (nk + 1) * 8
+    (npo,) = struct.unpack_from("<Q", data, off); off += 8
+    postings = struct.unpack_from(f"<{npo}Q", data, off)
+    return keys, key_off, postings
+
+
+def test_minimizer_extraction_vs_python_oracle(tmp_path):
+    """Randomized index builds (incl. w at pow2 boundaries, short seqs,
+    N runs, 1/3/4 threads) vs the Python transliteration of the
+    minimizer recurrence + serial sort (ADVICE r4 item 4)."""
+    import random
+
+    random.seed(1234)
+    alpha = b"ACGTacgtN"
+    for trial in range(12):
+        k = random.choice([5, 7, 13, 15])
+        w = random.choice([1, 2, 3, 4, 7, 8, 15, 16, 19])
+        n_seqs = random.randint(1, 5)
+        seqs = [
+            bytes(random.choice(alpha) for _ in range(random.choice(
+                [0, 3, k - 1, k, k + w - 2, k + w, 50, 300, 2000])))
+            for _ in range(n_seqs)
+        ]
+        names = [f"t{i}" for i in range(n_seqs)]
+        threads = random.choice([1, 3, 4])
+        m = mp.Mapper.from_sequences(
+            names, seqs, kw=(k, w), threads=threads, freq_cutoff_frac=0.0)
+        p = tmp_path / f"t{trial}.otmi"
+        m.save(p)
+        keys, key_off, postings = _read_otmi(p)
+
+        allm = []
+        for rid, s in enumerate(seqs):
+            allm.extend(_py_extract(s, k, w, rid))
+        by_key = {}
+        for key, rid, pos, strand in allm:
+            by_key.setdefault(key, []).append(
+                (rid << 33) | (pos << 1) | strand)
+        exp_keys = sorted(by_key)
+        got = {keys[i]: list(postings[key_off[i]:key_off[i + 1]])
+               for i in range(len(keys))}
+        exp = {kk: sorted(by_key[kk]) for kk in exp_keys}
+        assert list(keys) == exp_keys, (
+            f"trial {trial}: key set mismatch (k={k} w={w} thr={threads})")
+        assert got == exp, (
+            f"trial {trial}: postings mismatch (k={k} w={w} thr={threads})")
