@@ -201,7 +201,16 @@ class CellBatch:
 
     def run(self, args: Args, dtype, mesh=None):
         """Batched EM over this bucket; returns per-cell (global_ids,
-        counts) in bucket order.
+        counts) in bucket order. (dispatch + immediate drain)."""
+        return self.dispatch(args, dtype, mesh=mesh)()
+
+    def dispatch(self, args: Args, dtype, mesh=None):
+        """Enqueue this bucket's device EM and return a finalize()
+        closure that drains the result. Dispatch is async (jax), so the
+        caller can enqueue EVERY bucket before draining any: bucket
+        k+1's host build + transfer overlap bucket k's device compute,
+        and under the axon tunnel the per-bucket round trips collapse
+        into one pipelined drain (VERDICT r4 item 6).
 
         Two device formulations:
         - "dense" (default on TPU): the bucket's incidence structure as
@@ -225,7 +234,7 @@ class CellBatch:
         if impl == "auto":
             impl = "segsum" if jax.default_backend() == "cpu" else "dense"
         if impl == "dense":
-            return self._run_dense(args, dtype, mesh)
+            return self._dispatch_dense(args, dtype, mesh)
         B = len(self.txp_local)
         Bp = B
         if mesh is not None:
@@ -277,17 +286,23 @@ class CellBatch:
             from ..ops.em import run_em_squarem as _run
         else:
             _run = run_em
-        counts, _ = jax.vmap(
+        counts_dev, _ = jax.vmap(
             lambda d, i0: _run(
                 d, i0, args.max_em_iter, args.convergence_thresh
             )
         )(data, put(init))
-        counts = np.asarray(counts[:B], dtype=np.float64)
-        out = []
-        for i in range(B):
-            t_c = len(self.global_ids[i])
-            out.append((self.cell_index[i], self.global_ids[i], counts[i, :t_c]))
-        return out
+
+        def finalize():
+            counts = np.asarray(counts_dev[:B], dtype=np.float64)
+            out = []
+            for i in range(B):
+                t_c = len(self.global_ids[i])
+                out.append(
+                    (self.cell_index[i], self.global_ids[i], counts[i, :t_c])
+                )
+            return out
+
+        return finalize
 
     def _dense_sub_batch(self, n_devices: int) -> int:
         """Cells per dense sub-batch under a device-memory budget: the
@@ -308,7 +323,7 @@ class CellBatch:
         # keep the batch divisible over the cells mesh
         return max(n_devices, (sub // n_devices) * n_devices)
 
-    def _run_dense(self, args: Args, dtype, mesh=None):
+    def _dispatch_dense(self, args: Args, dtype, mesh=None):
         """Dense one-hot MXU formulation (see `run`). Large buckets run
         as fixed-size sub-batches (one compiled shape; the tail is
         padded with inert dummy cells) so peak memory stays bounded by
@@ -365,16 +380,20 @@ class CellBatch:
             args.max_em_iter, args.convergence_thresh,
             accel=args.em_accel == "squarem",
         )
-        counts = np.asarray(cc, dtype=np.float64).reshape(
-            Bp, self.t_pad
-        )[:B]
-        out = []
-        for i in range(B):
-            t_c = len(self.global_ids[i])
-            out.append(
-                (self.cell_index[i], self.global_ids[i], counts[i, :t_c])
-            )
-        return out
+
+        def finalize():
+            counts = np.asarray(cc, dtype=np.float64).reshape(
+                Bp, self.t_pad
+            )[:B]
+            out = []
+            for i in range(B):
+                t_c = len(self.global_ids[i])
+                out.append(
+                    (self.cell_index[i], self.global_ids[i], counts[i, :t_c])
+                )
+            return out
+
+        return finalize
 
 
 def _iter_cells_native(args: Args, opts: FilterOpts):
@@ -656,10 +675,13 @@ def _finish_single_cell(args, buckets, barcodes, num_cells, txps_name,
     val_parts: List[np.ndarray] = []
     t_em = time.time()
     mesh = _cell_mesh(args)
-    for key in sorted(buckets):
-        for cell_index, gids, counts in buckets[key].run(
-            args, dtype, mesh=mesh
-        ):
+    # enqueue every bucket before draining any (see CellBatch.dispatch)
+    pending = [
+        (key, buckets[key].dispatch(args, dtype, mesh=mesh))
+        for key in sorted(buckets)
+    ]
+    for key, finalize in pending:
+        for cell_index, gids, counts in finalize():
             nz = counts > 0.0
             n = int(np.count_nonzero(nz))
             if n == 0:
