@@ -888,10 +888,40 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
     }
     run_start = s;
   }
-  // keep top best_n by score
+  // keep top best_n by score, suppressing redundant same-locus chains:
+  // a chain whose target span overlaps a higher-scoring retained chain
+  // on the same target by >= 50% of the shorter span is a sub-chain of
+  // the same alignment locus, not an alternative mapping (minimap2
+  // prunes these during chain backtracking). Without this, a partial
+  // sub-chain of a spliced alignment projects onto the
+  // intron-RETAINING isoform with exonic similarity 1.0 and defeats
+  // the junction evidence the full chain carries
+  // (scripts/genome_vs_txome_eval.py exposed per-gene isoform
+  // collapse: 2436/2552 both-expressed genes).
   std::sort(hits.begin(), hits.end(),
             [](const Hit& a, const Hit& b) { return a.score > b.score; });
-  if (int(hits.size()) > best_n) hits.resize(best_n);
+  {
+    std::vector<Hit> keep;
+    keep.reserve(std::min<size_t>(hits.size(), size_t(best_n)));
+    for (auto& h : hits) {
+      if (int(keep.size()) >= best_n) break;
+      bool redundant = false;
+      for (const auto& g : keep) {
+        if (g.target != h.target) continue;
+        int64_t lo = std::max<int64_t>(g.tstart, h.tstart);
+        int64_t hi = std::min<int64_t>(g.tend, h.tend);
+        if (hi <= lo) continue;
+        int64_t span_h = int64_t(h.tend) - h.tstart;
+        int64_t span_g = int64_t(g.tend) - g.tstart;
+        if (2 * (hi - lo) >= std::min(span_h, span_g)) {
+          redundant = true;
+          break;
+        }
+      }
+      if (!redundant) keep.push_back(std::move(h));
+    }
+    hits.swap(keep);
+  }
 
   if (rescore && !spliced && !hits.empty()) {
     // base-level rescoring of the retained candidates (chain order may

@@ -294,10 +294,6 @@ static void project_one(
       matched += rl + rr;
     }
 
-    double sim = double(matched) / double(q_den);
-    if (junc_miss_discount < 1.0 && n_mismatch)
-      sim *= std::pow(junc_miss_discount, double(n_mismatch));
-
     int64_t t1 = to_txp_coord(g2t, t, first_g);
     int64_t t2 = to_txp_coord(g2t, t, last_g);
     if (t1 < 0 || t2 < 0) continue;
@@ -314,6 +310,17 @@ static void project_one(
       if (start < 1) start = 1;
       if (end > g2t.tlen[t]) end = g2t.tlen[t];
     }
+
+    // denominator = max(aligned query span, projected transcript span):
+    // the span term charges internal transcript sequence the alignment
+    // skips, so junction evidence discriminates against the
+    // intron-retaining isoform (see project_blocks in
+    // oarfish_tpu/genome/project.py, the differential oracle)
+    int64_t span = end - start + 1;
+    double sim =
+        double(matched) / double(q_den > span ? q_den : span);
+    if (junc_miss_discount < 1.0 && n_mismatch)
+      sim *= std::pow(junc_miss_discount, double(n_mismatch));
     out.tid.push_back(t);
     out.start.push_back(start);
     out.end.push_back(end);

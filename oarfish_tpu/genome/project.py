@@ -201,10 +201,6 @@ def project_blocks(
             rl, rr = rescue_clips(db, m, first_g, last_g, clip_l, clip_r)
             matched += rl + rr
 
-        similarity = matched / q_den
-        if junc_miss_discount < 1.0 and n_mismatch:
-            similarity *= junc_miss_discount**n_mismatch
-
         t1 = m.to_txp_coord(first_g)
         t2 = m.to_txp_coord(last_g)
         if t1 is None or t2 is None:
@@ -222,6 +218,20 @@ def project_blocks(
                 end += rr
             start = max(start, 1)
             end = min(end, m.length)
+
+        # similarity denominator: the aligned query span OR the projected
+        # transcript span, whichever is larger. The span term charges
+        # internal transcript sequence the alignment skips (an intron
+        # spanning a retained exon), so a junction-spanning read
+        # discriminates against the intron-retaining isoform — without
+        # it, both isoforms of a skipped-exon pair score 1.0 and the EM
+        # collapses the pair (genome_vs_txome_eval: 2436/2552
+        # both-expressed genes collapsed; with the span term the genome
+        # mode tracks direct transcriptome quantification, the
+        # reference's README.md:229 claim).
+        similarity = matched / max(q_den, end - start + 1)
+        if junc_miss_discount < 1.0 and n_mismatch:
+            similarity *= junc_miss_discount**n_mismatch
         out.append(
             ProjectedAlnRecord(
                 ref_id=tid,

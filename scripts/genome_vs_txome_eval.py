@@ -75,14 +75,16 @@ def main():
         return evaluate(d / f"{label}.quant", d / "truth.tsv")
 
     res = {}
+    tech = ["--seq-tech", "ont-cdna"]
     res["txome"] = run("txome", [
-        "--reads", str(d / "reads.fa"), "--annotated", str(d / "txome.fa")])
+        "--reads", str(d / "reads.fa"), "--annotated", str(d / "txome.fa"),
+        *tech])
     res["genome"] = run("genome", [
         "--reads", str(d / "reads.fa"), "--genome", str(d / "genome.fa"),
-        "--annotation", str(d / "anno.gtf")])
+        "--annotation", str(d / "anno.gtf"), *tech])
     res["genome_norescue"] = run("genome_nr", [
         "--reads", str(d / "reads.fa"), "--genome", str(d / "genome.fa"),
-        "--annotation", str(d / "anno.gtf"), "--no-rescue"])
+        "--annotation", str(d / "anno.gtf"), "--no-rescue", *tech])
 
     # mode-vs-mode agreement over all isoforms
     from scipy.stats import spearmanr
