@@ -69,35 +69,49 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     annotation = args.annotation
     log.info("operating in genome read-projection mode")
 
-    t_phase = time.time()
-    log.info("loading annotation from %s", annotation)
-    transcripts = load_transcripts(annotation)
-    log.info("loaded %d transcripts from annotation", len(transcripts))
+    # The annotation work (GTF load, junction derivation, BED write) is
+    # pure Python and fully independent of the index build, whose
+    # native call releases the GIL — run it on a worker thread UNDER
+    # the build (saves the whole annot phase, ~3-5s at GENCODE scale;
+    # round 5). The g2t build still needs refnames, so it stays on the
+    # main thread after the join.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # splice-junction hints for the spliced chainer (`main.rs:255-281`):
-    # --junctions BED12 wins; otherwise junctions are derived from the
-    # annotation (and the derived BED is also written for parity)
-    juncs = None
-    if args.junctions is not None:
-        juncs = read_junction_bed(args.junctions)
-        log.info(
-            "loaded splice junctions for %d sequences from %s",
-            len(juncs), args.junctions,
-        )
-    elif not args.ignore_annotation_junctions:
-        juncs = junctions_from_transcripts(transcripts)
-        bed = args.output.parent / f"{args.output.name}.annot_junctions.bed"
-        try:
-            bed.parent.mkdir(parents=True, exist_ok=True)
-            n = write_annotation_junction_bed(transcripts, bed)
+    def _load_annotation():
+        t0 = time.time()
+        log.info("loading annotation from %s", annotation)
+        transcripts = load_transcripts(annotation)
+        log.info("loaded %d transcripts from annotation", len(transcripts))
+
+        # splice-junction hints for the spliced chainer
+        # (`main.rs:255-281`): --junctions BED12 wins; otherwise
+        # junctions are derived from the annotation (and the derived
+        # BED is also written for parity)
+        juncs = None
+        if args.junctions is not None:
+            juncs = read_junction_bed(args.junctions)
             log.info(
-                "derived %d spliced transcript models from the annotation "
-                "for the splice-junction BED", n,
+                "loaded splice junctions for %d sequences from %s",
+                len(juncs), args.junctions,
             )
-        except OSError:
-            pass
+        elif not args.ignore_annotation_junctions:
+            juncs = junctions_from_transcripts(transcripts)
+            bed = (args.output.parent
+                   / f"{args.output.name}.annot_junctions.bed")
+            try:
+                bed.parent.mkdir(parents=True, exist_ok=True)
+                n = write_annotation_junction_bed(transcripts, bed)
+                log.info(
+                    "derived %d spliced transcript models from the "
+                    "annotation for the splice-junction BED", n,
+                )
+            except OSError:
+                pass
+        log.info("phase genome.annot %.3f (overlapped)", time.time() - t0)
+        return transcripts, juncs
 
-    log.info("phase genome.annot %.3f", time.time() - t_phase)
+    annot_pool = ThreadPoolExecutor(max_workers=1)
+    annot_fut = annot_pool.submit(_load_annotation)
 
     # genome aligner: --genome takes a FASTA or a prebuilt OTMI index
     # (the reference's --genome likewise accepts "a genome FASTA or
@@ -108,27 +122,58 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
 
     set_dp_cache_cap_mb(args.dp_cache_cap_mb)
     g_seqs = None
-    if _is_prebuilt_index(args.genome):
-        log.info("loading prebuilt genome index from %s", args.genome)
-        mapper = Mapper.load(args.genome, threads=max(args.threads, 1))
-        g_names = mapper.names
-    else:
-        t_sub = time.time()
-        g_names, g_seqs = read_fasta_concat([args.genome])
-        if not g_names:
-            raise ValueError(f"no sequences found in genome {args.genome}")
-        log.info("phase genome.index.fasta %.3f", time.time() - t_sub)
-        t_sub = time.time()
-        mapper = Mapper.from_sequences(
-            g_names, g_seqs, tech=args.seq_tech,
-            threads=max(args.threads, 1),
-        )
-        log.info("phase genome.index.build %.3f", time.time() - t_sub)
-        if args.index_out is not None:
+    try:
+        if _is_prebuilt_index(args.genome):
+            log.info("loading prebuilt genome index from %s", args.genome)
+            mapper = Mapper.load(args.genome, threads=max(args.threads, 1))
+            g_names = mapper.names
+        else:
             t_sub = time.time()
-            mapper.save(args.index_out)
-            log.info("wrote genome index to %s (%.3fs)",
-                     args.index_out, time.time() - t_sub)
+            g_names, g_seqs = read_fasta_concat([args.genome])
+            if not g_names:
+                raise ValueError(
+                    f"no sequences found in genome {args.genome}")
+            log.info("phase genome.index.fasta %.3f", time.time() - t_sub)
+
+            # chain the g2t build and the rescue blob onto the same
+            # worker: they only need the annotation + the FASTA names/
+            # sequences, all in hand before the (GIL-free) index build
+            # starts, so the whole aux phase rides under it
+            def _build_g2t_overlapped():
+                transcripts, _ = annot_fut.result()
+                t0 = time.time()
+                g2t = G2TIndex(transcripts, list(g_names))
+                log.info("phase genome.g2t %.3f (overlapped)",
+                         time.time() - t0)
+                return g2t
+
+            def _build_blob_overlapped():
+                t0 = time.time()
+                goff = np.zeros(len(g_seqs) + 1, np.int64)
+                np.cumsum([len(x) for x in g_seqs], out=goff[1:])
+                blob = (b"".join(g_seqs).upper(), goff)
+                log.info("phase genome.rescueblob %.3f (overlapped)",
+                         time.time() - t0)
+                return blob
+
+            g2t_fut = annot_pool.submit(_build_g2t_overlapped)
+            blob_fut = (annot_pool.submit(_build_blob_overlapped)
+                        if not args.no_rescue else None)
+            t_sub = time.time()
+            mapper = Mapper.from_sequences(
+                g_names, g_seqs, tech=args.seq_tech,
+                threads=max(args.threads, 1),
+            )
+            log.info("phase genome.index.build %.3f", time.time() - t_sub)
+            if args.index_out is not None:
+                t_sub = time.time()
+                mapper.save(args.index_out)
+                log.info("wrote genome index to %s (%.3fs)",
+                         args.index_out, time.time() - t_sub)
+    except BaseException:
+        annot_pool.shutdown(wait=False, cancel_futures=True)
+        raise
+    transcripts, juncs = annot_fut.result()
     refnames = mapper.names
     if juncs:
         n_j = mapper.set_junctions(juncs)
@@ -136,7 +181,10 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     log.info("phase genome.index %.3f", time.time() - t_phase)
 
     t_phase = time.time()
-    g2t = G2TIndex(transcripts, refnames)
+    try:
+        g2t = g2t_fut.result()
+    except NameError:
+        g2t = G2TIndex(transcripts, refnames)
 
     # soft-clip rescue: on by default (genome sequences are in hand
     # from the FASTA we just indexed — or copied back out of a
@@ -157,9 +205,12 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     if rescue_on:
         if use_native:
             if g_seqs is not None:
-                goff = np.zeros(len(g_seqs) + 1, np.int64)
-                np.cumsum([len(s) for s in g_seqs], out=goff[1:])
-                genome_blob = (b"".join(g_seqs).upper(), goff)
+                try:
+                    genome_blob = blob_fut.result()
+                except NameError:
+                    goff = np.zeros(len(g_seqs) + 1, np.int64)
+                    np.cumsum([len(s) for s in g_seqs], out=goff[1:])
+                    genome_blob = (b"".join(g_seqs).upper(), goff)
             else:
                 # uint8 array, uppercased in place — zero bytes copies
                 genome_blob = mapper.sequences_blob()
@@ -192,6 +243,7 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     flat_g2t = None
     if use_native:
         flat_g2t = pn.FlatG2T(g2t, genome_blob=genome_blob)
+    annot_pool.shutdown(wait=False)
     log.info("phase genome.aux %.3f", time.time() - t_phase)
     n_reads_total = 0
     n_mapped = 0
