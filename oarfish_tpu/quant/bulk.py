@@ -348,10 +348,21 @@ def perform_inference_and_write_output(
                     while b0 < args.num_bootstraps:
                         idx = np.arange(b0, b0 + BB)
                         idx = np.minimum(idx, args.num_bootstraps - 1)
+                        # ship multiplicities as int8 when they fit
+                        # (multinomial counts max ~12 at R=2M): the f32
+                        # form was 64 MB/chunk through the tunnel —
+                        # ~45s of the 100-replicate wall
+                        mi = mult[idx]
+                        if mi.max() <= 127:
+                            mdev = jnp.asarray(
+                                mi.astype(np.int8)
+                            ).astype(jnp.float32)
+                        else:
+                            mdev = jnp.asarray(mi, dtype=jnp.float32)
                         cb, _ = batch_fn(
                             v3data, init_j, args.max_em_iter,
                             args.convergence_thresh,
-                            jnp.asarray(mult[idx], dtype=jnp.float32),
+                            mdev,
                         )
                         pending.append(
                             (cb, min(BB, args.num_bootstraps - b0))
