@@ -31,6 +31,7 @@
 #include <sys/mman.h>
 #include <cstring>
 #include <memory>
+#include <mutex>
 #include <string>
 #include <thread>
 #ifdef __AVX512F__
@@ -300,6 +301,14 @@ struct Index {
   std::vector<uint64_t> key_off;    // n_keys + 1 into postings
   std::vector<uint64_t> postings;   // packed: rid(31) | pos(32) | strand(1)
   uint32_t max_occ;                 // frequent-seed cutoff
+  // key lookup acceleration: hi_off[b] = first index in `keys` whose
+  // top hi_bits (of the 2k-bit key domain) equal b. Shrinks the
+  // per-minimizer lower_bound from ~27 cache-missing probes over the
+  // full sorted key array (~1.2 GB at genome scale) to ~5 probes in a
+  // <=40-key bucket — the anchors phase was 60% of mapper CPU
+  // (round 5 map profile). Rebuilt at build/load; not serialized.
+  std::vector<uint64_t> hi_off;
+  int hi_shift = -1;
   // annotated splice junctions per target, sorted by donor: bias the
   // spliced chainer toward annotated introns and snap emitted block
   // edges (the reference feeds a junction BED into its spliced aligner,
@@ -738,6 +747,28 @@ struct Anchor {
   uint32_t tpos, qpos;
 };
 
+// map-time phase accumulators (per thread; summed + printed by
+// oarfish_map_batch under OARFISH_MAPPER_PROF)
+struct MapProf {
+  double extract = 0, anchors = 0, sort = 0, chain = 0, rescore = 0;
+};
+thread_local MapProf g_map_prof;
+thread_local bool g_map_prof_on = false;
+
+struct ProfTick {
+  double* slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfTick(double* s) : slot(s) {
+    if (g_map_prof_on) t0 = std::chrono::steady_clock::now();
+  }
+  ~ProfTick() {
+    if (g_map_prof_on)
+      *slot += std::chrono::duration<double>(
+                   std::chrono::steady_clock::now() - t0)
+                   .count();
+  }
+};
+
 void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
              std::vector<Hit>& hits, std::vector<Minimizer>& mbuf,
              std::vector<Anchor>& abuf, bool spliced = false,
@@ -745,14 +776,26 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
   hits.clear();
   mbuf.clear();
   abuf.clear();
-  extract_minimizers(seq, len, idx.k, idx.w, 0, mbuf);
+  {
+    ProfTick t_(&g_map_prof.extract);
+    extract_minimizers(seq, len, idx.k, idx.w, 0, mbuf);
+  }
   if (mbuf.empty()) return;
   // collect anchors
+  ProfTick* ta_ = new ProfTick(&g_map_prof.anchors);
+  const bool use_hi = idx.hi_shift >= 0 && !idx.hi_off.empty();
   for (const auto& m : mbuf) {
-    // binary search key
-    auto it = std::lower_bound(idx.keys.begin(), idx.keys.end(), m.key);
-    if (it == idx.keys.end() || *it != m.key) continue;
-    size_t ki = size_t(it - idx.keys.begin());
+    // binary search key (within the hi-bits bucket when available)
+    const uint64_t* kb = idx.keys.data();
+    const uint64_t* ke = kb + idx.keys.size();
+    if (use_hi) {
+      size_t b = size_t(m.key >> idx.hi_shift);
+      ke = kb + idx.hi_off[b + 1];
+      kb += idx.hi_off[b];
+    }
+    const uint64_t* it = std::lower_bound(kb, ke, m.key);
+    if (it == ke || *it != m.key) continue;
+    size_t ki = size_t(it - idx.keys.data());
     uint64_t lo = idx.key_off[ki], hi = idx.key_off[ki + 1];
     if (hi - lo > idx.max_occ) continue;  // repetitive seed
     for (uint64_t p = lo; p < hi; p++) {
@@ -765,13 +808,19 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
       abuf.push_back({rid, rel, tpos, q});
     }
   }
+  delete ta_;
   if (abuf.empty()) return;
-  std::sort(abuf.begin(), abuf.end(), [](const Anchor& a, const Anchor& b) {
-    if (a.target != b.target) return a.target < b.target;
-    if (a.strand != b.strand) return a.strand < b.strand;
-    if (a.tpos != b.tpos) return a.tpos < b.tpos;
-    return a.qpos < b.qpos;
-  });
+  {
+    ProfTick t_(&g_map_prof.sort);
+    std::sort(abuf.begin(), abuf.end(),
+              [](const Anchor& a, const Anchor& b) {
+                if (a.target != b.target) return a.target < b.target;
+                if (a.strand != b.strand) return a.strand < b.strand;
+                if (a.tpos != b.tpos) return a.tpos < b.tpos;
+                return a.qpos < b.qpos;
+              });
+  }
+  ProfTick* t_chain_ = new ProfTick(&g_map_prof.chain);
 
   // chain per (target, strand) run
   const int LOOKBACK = 48;
@@ -923,6 +972,8 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
     hits.swap(keep);
   }
 
+  delete t_chain_;
+  ProfTick t_rescore_(&g_map_prof.rescore);
   if (rescore && !spliced && !hits.empty()) {
     // base-level rescoring of the retained candidates (chain order may
     // change: re-sort after)
@@ -973,6 +1024,17 @@ struct OarfishMapResult {
 struct IndexHandle {
   Index idx;
 };
+
+// build the hi-bits bucket table (see Index::hi_off)
+void build_hi_index(Index& idx) {
+  int kbits = idx.k < 32 ? 2 * idx.k : 64;
+  int hb = kbits < 22 ? kbits : 22;
+  idx.hi_shift = kbits - hb;
+  size_t nb = size_t(1) << hb;
+  idx.hi_off.assign(nb + 1, 0);
+  for (uint64_t key : idx.keys) idx.hi_off[(key >> idx.hi_shift) + 1]++;
+  for (size_t b = 0; b < nb; b++) idx.hi_off[b + 1] += idx.hi_off[b];
+}
 
 // Build an index over concatenated target sequences.
 // seqs: all bases concatenated; offsets: n_targets+1; names: \0-separated.
@@ -1150,6 +1212,7 @@ void* oarfish_index_build(const char* seqs, const int64_t* offsets,
     std::nth_element(occ.begin(), occ.begin() + cut_idx, occ.end());
     idx.max_occ = uint32_t(std::max<uint64_t>(occ[cut_idx], 10));
   }
+  build_hi_index(idx);
   return h;
 }
 
@@ -1187,6 +1250,9 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
                                     int rescore) {
   auto& idx = static_cast<IndexHandle*>(hptr)->idx;
   int nt = threads > 0 ? threads : 1;
+  const bool mprof = getenv("OARFISH_MAPPER_PROF") != nullptr;
+  std::mutex prof_mu;
+  MapProf prof_sum;
   std::vector<std::vector<Hit>> per_read(n_reads);
   std::atomic<int64_t> next{0};
   std::vector<std::thread> pool;
@@ -1195,6 +1261,7 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
       std::vector<Hit> hits;
       std::vector<Minimizer> mbuf;
       std::vector<Anchor> abuf;
+      g_map_prof_on = mprof;
       int64_t i;
       while ((i = next.fetch_add(1)) < n_reads) {
         map_one(idx, reinterpret_cast<const uint8_t*>(seqs) + offsets[i],
@@ -1214,9 +1281,24 @@ OarfishMapResult* oarfish_map_batch(void* hptr, const char* seqs,
           std::vector<Hit>().swap(hits);
         }
       }
+      if (mprof) {
+        std::lock_guard<std::mutex> lk(prof_mu);
+        prof_sum.extract += g_map_prof.extract;
+        prof_sum.anchors += g_map_prof.anchors;
+        prof_sum.sort += g_map_prof.sort;
+        prof_sum.chain += g_map_prof.chain;
+        prof_sum.rescore += g_map_prof.rescore;
+        g_map_prof = MapProf();
+      }
     });
   }
   for (auto& th : pool) th.join();
+  if (mprof)
+    fprintf(stderr,
+            "mapper-prof map cpu-s: extract %.2f anchors %.2f sort %.2f "
+            "chain %.2f rescore %.2f (reads %lld)\n",
+            prof_sum.extract, prof_sum.anchors, prof_sum.sort,
+            prof_sum.chain, prof_sum.rescore, (long long)n_reads);
 
   auto* res = static_cast<OarfishMapResult*>(calloc(1, sizeof(OarfishMapResult)));
   int64_t total = 0;
@@ -1444,6 +1526,7 @@ void* oarfish_index_load(const char* path) {
   if (!R(idx.postings.data(), np * 8)) return fail();
   if (!R(&idx.max_occ, 4)) return fail();
   fclose(f);
+  build_hi_index(idx);
   return h;
 }
 

@@ -349,3 +349,117 @@ def filter_projected(
         prob=np.asarray(prob, dtype=np.float32),
         is_reverse=np.asarray(is_rev, dtype=bool),
     )
+
+
+def filter_projected_batch(
+    opts: FilterOpts,
+    discard,
+    txp_len: np.ndarray,
+    roff: np.ndarray,        # int64 [R+1] candidate offsets per read
+    tid: np.ndarray,         # int32/int64 [C] (dedup'd, segment-ordered)
+    pstart: np.ndarray,      # int64 [C]
+    pend: np.ndarray,        # int64 [C]
+    matched: np.ndarray,     # int64 [C] query_aligned_len
+    sim: np.ndarray,         # f64 [C]
+    score: np.ndarray,       # int64 [C]
+    is_rev: np.ndarray,      # bool [C]
+    read_len: np.ndarray,    # int64 [R]
+    beta: float,
+    prob_source: ProjProbSource,
+):
+    """Vectorized `filter_projected` over a whole mapped batch (the
+    per-read loop built ~80k ProjectedAlnRecord lists per GENCODE batch
+    = most of the map-phase wall; round 5). Semantics are the exact
+    reference port in `filter_projected` above, applied per `roff`
+    segment — differential-tested against it in
+    tests/test_genome_mode.py. Returns (keep_mask [C] bool,
+    prob [C] f32, read_ok [R] bool) where keep_mask selects the
+    surviving candidates in segment order and read_ok marks reads that
+    pass the group-level checks (best_sim > 0, aligned fraction)."""
+    C = len(tid)
+    R = len(roff) - 1
+    rid = np.repeat(np.arange(R), np.diff(roff))
+    tl = txp_len[tid]
+
+    kept = np.ones(C, dtype=bool)
+    if opts.which_strand == Strand.REVERSE:
+        bad = ~is_rev
+        discard.discard_ori += int(bad.sum())
+        kept &= ~bad
+    elif opts.which_strand == Strand.FORWARD:
+        bad = is_rev
+        discard.discard_ori += int(bad.sum())
+        kept &= ~bad
+    aligned_len = pend - pstart + 1
+    bad = kept & (aligned_len < opts.min_aligned_len)
+    discard.discard_aln_len += int(bad.sum())
+    kept &= ~bad
+    bad = kept & (pend <= tl - opts.three_prime_clip)
+    discard.discard_3p += int(bad.sum())
+    kept &= ~bad
+    bad = kept & (pstart >= opts.five_prime_clip)
+    discard.discard_5p += int(bad.sum())
+    kept &= ~bad
+    kept_basic = kept.copy()  # best_score is over pass-1 survivors
+
+    # group stats over kept candidates (reference iteration order ==
+    # segment order; "strictly greater" update == first argmax)
+    siml = np.where(kept, sim, -np.inf)
+    if C and np.all(np.diff(roff) > 0):
+        best_sim = np.maximum.reduceat(siml, roff[:-1])
+    else:
+        best_sim = np.full(R, -np.inf)
+        np.maximum.at(best_sim, rid, siml)
+    is_best = kept & (siml == best_sim[rid])
+    pos = np.where(is_best, np.arange(C), C)
+    if C and np.all(np.diff(roff) > 0):
+        first_best = np.minimum.reduceat(pos, roff[:-1])
+    else:
+        first_best = np.full(R, C, dtype=np.int64)
+        np.minimum.at(first_best, rid, pos)
+    has_kept = first_best < C
+    fb = np.minimum(first_best, max(C - 1, 0))
+    frac_at_best = np.where(
+        read_len > 0,
+        matched[fb].astype(np.float32)
+        / np.maximum(read_len, 1).astype(np.float32),
+        np.float32(0.0),
+    ).astype(np.float32)
+
+    read_ok = has_kept & (best_sim > 0.0)
+    frac_fail = read_ok & (
+        frac_at_best < np.float32(opts.min_aligned_fraction)
+    )
+    discard.discard_aln_frac += int(frac_fail.sum())
+    read_ok &= ~frac_fail
+    discard.valid_best_aln += int(read_ok.sum())
+
+    kept &= read_ok[rid]
+    # similarity-ratio threshold (f32 compare, as the reference)
+    inv_msim = np.where(best_sim > 0, 1.0 / best_sim, 0.0)
+    ratio_fail = kept & (
+        (sim * inv_msim[rid]).astype(np.float32)
+        < np.float32(opts.score_threshold)
+    )
+    discard.discard_score += int(ratio_fail.sum())
+    kept &= ~ratio_fail
+
+    # probabilities (f32, per prob source)
+    if prob_source == ProjProbSource.SIMILARITY:
+        f = (sim - best_sim[rid]).astype(np.float32) * np.float32(beta)
+    else:
+        scl = np.where(kept_basic, score, np.iinfo(np.int64).min)
+        if C and np.all(np.diff(roff) > 0):
+            best_score = np.maximum.reduceat(scl, roff[:-1])
+        else:
+            best_score = np.full(R, np.iinfo(np.int64).min)
+            np.maximum.at(best_score, rid, scl)
+        f = (score - best_score[rid]).astype(np.float32) / np.float32(
+            opts.score_prob_denom
+        )
+        if prob_source != ProjProbSource.SCORE:
+            f = f + np.float32(beta) * (
+                sim - best_sim[rid]
+            ).astype(np.float32)
+    prob = np.exp(f.astype(np.float32)).astype(np.float32)
+    return kept, prob, read_ok

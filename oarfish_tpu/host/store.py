@@ -514,6 +514,35 @@ class StoreBuilder:
             NameBlob() if keep_names else None
         )
 
+    def add_filtered_batch(
+        self,
+        txp_id: np.ndarray,
+        start: np.ndarray,
+        end: np.ndarray,
+        prob: np.ndarray,
+        sizes: np.ndarray,
+        names: Optional[List[str]] = None,
+    ) -> None:
+        """Append many already-filtered read groups at once (flat
+        concatenated arrays + per-group sizes; every size > 0). One
+        coverage pass instead of one per group — the vectorized
+        genome-mode filter path (round 5). Equivalent to
+        `add_filtered_group` called per group (coverage bins differ
+        only in FP accumulation order)."""
+        if len(sizes) == 0:
+            return
+        self.coverage.add_intervals(txp_id, start, end)
+        self._txp.append(np.asarray(txp_id, dtype=np.int32))
+        self._start.append(np.asarray(start, dtype=np.int64))
+        self._end.append(np.asarray(end, dtype=np.int64))
+        self._prob.append(np.asarray(prob, dtype=np.float32))
+        self._sizes.extend(int(x) for x in sizes)
+        if self.read_names is not None:
+            if names is None:
+                names = [""] * len(sizes)
+            for nm in names:
+                self.read_names.append(nm)
+
     def add_filtered_group(
         self, g: FilteredGroup, name: Optional[str] = None
     ) -> bool:

@@ -23,6 +23,7 @@ junction matching uses a tolerance.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import List
 
@@ -321,6 +322,52 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
         sel, roff = pn.dedup_best(
             cand_read, tid, sim, n_reads, g2t.num_transcripts
         )
+
+        if os.environ.get("OARFISH_BATCH_FILTER", "1") != "0":
+            # vectorized filter over the whole batch (the per-read
+            # ProjectedAlnRecord loop below, kept as the differential
+            # oracle, was most of the map-phase wall at GENCODE scale)
+            from ..genome.project import filter_projected_batch
+
+            hits_per_read = np.diff(read_off)
+            cand_per_read = np.diff(roff)
+            builder.discard.no_mapping += int((hits_per_read == 0).sum())
+            n_mapped += int((hits_per_read > 0).sum())
+            builder.discard.no_valid_aln += int(
+                ((hits_per_read > 0) & (cand_per_read == 0)).sum()
+            )
+            tid_d = tid[sel]
+            ps_d = pstart[sel]
+            pe_d = pend[sel]
+            kept, prob, read_ok = filter_projected_batch(
+                opts, builder.discard, txps_len, roff,
+                tid_d, ps_d, pe_d, matched[sel], sim[sel],
+                cand_score[sel], np.asarray(is_rev[sel], bool),
+                np.asarray([len(x) for x in seqs], np.int64),
+                args.projected_prob_beta, args.projected_prob_source,
+            )
+            if read_ok.any():
+                rid_d = np.repeat(np.arange(n_reads), cand_per_read)
+                tlk = txps_len[tid_d[kept]]
+                s_c = np.minimum(np.maximum(ps_d[kept], 1), tlk)
+                e_c = np.minimum(np.maximum(pe_d[kept], s_c), tlk)
+                sizes = np.bincount(
+                    rid_d[kept], minlength=n_reads
+                )[read_ok]
+                batch_names = None
+                if builder.read_names is not None:
+                    batch_names = [
+                        names[r] or EMPTY_READ_NAME
+                        for r in np.nonzero(read_ok)[0]
+                    ]
+                builder.add_filtered_batch(
+                    tid_d[kept], s_c, e_c, prob[kept], sizes,
+                    names=batch_names,
+                )
+                builder.num_unique_alignments += int(
+                    ((hits_per_read == 1) & read_ok).sum()
+                )
+            return
 
         for r in range(n_reads):
             s, e = int(read_off[r]), int(read_off[r + 1])

@@ -196,3 +196,30 @@ def test_native_projection_byte_identical(genome_fixture, tmp_path,
         assert rc == 0
         outs[label] = Path(str(out) + ".quant").read_bytes()
     assert outs["native"] == outs["python"]
+
+
+def test_batch_filter_byte_identical(genome_fixture, tmp_path, monkeypatch):
+    """The vectorized `filter_projected_batch` path must reproduce the
+    per-read filter loop's outputs byte-identically, including the
+    discard table (OARFISH_BATCH_FILTER=0 forces the loop oracle)."""
+    import json
+
+    d, gfa, gtf, reads = genome_fixture
+    outs = {}
+    for label, env in (("batch", "1"), ("loop", "0")):
+        monkeypatch.setenv("OARFISH_BATCH_FILTER", env)
+        out = tmp_path / label / "q"
+        rc = main([
+            "--reads", str(reads), "--genome", str(gfa),
+            "--annotation", str(gtf), "--seq-tech", "ont-cdna",
+            "-o", str(out), "--em-dtype", "float64", "--quiet",
+        ])
+        assert rc == 0
+        outs[label] = (
+            Path(str(out) + ".quant").read_bytes(),
+            json.loads(
+                Path(str(out) + ".meta_info.json").read_text()
+            ).get("discard_table"),
+        )
+    assert outs["batch"][0] == outs["loop"][0]
+    assert outs["batch"][1] == outs["loop"][1]
