@@ -979,7 +979,14 @@ void map_one(const Index& idx, const uint8_t* seq, size_t len, int best_n,
     // change: re-sort after)
     AlnParams P;
     std::vector<uint8_t> rc;
+    // hits are chain-score-sorted; a hit below half the best chain
+    // score cannot reach the 0.95 relative-score filter even after
+    // rescoring (rescored and chain scores share the ~2/base scale),
+    // so skip its base-level DP — at genome scale the spurious short
+    // chains best_n lets through were most of the rescore CPU
+    const int32_t chain_gate = hits.front().score / 2;
     for (auto& h : hits) {
+      if (h.score < chain_gate) continue;
       const uint8_t* q = seq;
       if (h.is_rc) {
         if (rc.empty()) {
