@@ -1463,6 +1463,51 @@ int oarfish_index_save(void* hptr, const char* path) {
   return 0;
 }
 
+// Read ONLY the name table from an OTMI header (ms vs the full load):
+// lets the genome driver start the g2t build under the index load.
+// Returns a malloc'd \0-joined blob (caller frees with free()); n_out
+// gets the target count, blob_len_out the blob size. nullptr on any
+// read problem.
+char* oarfish_index_peek_names(const char* path, int64_t* n_out,
+                               int64_t* blob_len_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto R = [&](void* p, size_t nbytes) -> bool {
+    return fread(p, 1, nbytes, f) == nbytes;
+  };
+  char magic[8];
+  int32_t kw[2];
+  uint64_t nt;
+  if (!R(magic, 8) || memcmp(magic, "OTMI\x01", 5) != 0 || !R(kw, 8) ||
+      !R(&nt, 8) || nt > (1ull << 40)) {
+    fclose(f);
+    return nullptr;
+  }
+  std::string blob;
+  for (uint64_t i = 0; i < nt; i++) {
+    uint32_t l;
+    if (!R(&l, 4) || l > (1u << 28)) {
+      fclose(f);
+      return nullptr;
+    }
+    size_t off = blob.size();
+    blob.resize(off + l + 1);
+    if (!R(blob.data() + off, l)) {
+      fclose(f);
+      return nullptr;
+    }
+    blob[off + l] = '\0';
+  }
+  fclose(f);
+  char* out = static_cast<char*>(malloc(blob.size() ? blob.size() : 1));
+  memcpy(out, blob.data(), blob.size());
+  *n_out = int64_t(nt);
+  *blob_len_out = int64_t(blob.size());
+  return out;
+}
+
+void oarfish_free_blob(char* p) { free(p); }
+
 void* oarfish_index_load(const char* path) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;

@@ -109,8 +109,38 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    if hasattr(lib, "oarfish_index_peek_names"):
+        lib.oarfish_index_peek_names.restype = ctypes.c_void_p
+        lib.oarfish_index_peek_names.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.oarfish_free_blob.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def peek_index_names(path) -> Optional[List[str]]:
+    """Read ONLY the target-name table from an OTMI header (ms vs the
+    full load) — lets the genome driver build its g2t index under the
+    index load. None when unavailable (foreign/corrupt index or old
+    .so)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "oarfish_index_peek_names"):
+        return None
+    n = ctypes.c_int64(0)
+    blen = ctypes.c_int64(0)
+    p = lib.oarfish_index_peek_names(
+        str(path).encode(), ctypes.byref(n), ctypes.byref(blen)
+    )
+    if not p:
+        return None
+    try:
+        raw = ctypes.string_at(p, blen.value)
+    finally:
+        lib.oarfish_free_blob(p)
+    names = raw.decode(errors="replace").split("\x00")[: n.value]
+    return names
 
 
 def available() -> bool:

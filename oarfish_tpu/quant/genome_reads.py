@@ -126,8 +126,27 @@ def quantify_genome_raw_reads(args: Args, opts: FilterOpts):
     try:
         if _is_prebuilt_index(args.genome):
             log.info("loading prebuilt genome index from %s", args.genome)
+            # peek the name table (ms) so the g2t build rides under the
+            # full index load on the worker, as in the FASTA branch
+            from ..host.mapper import peek_index_names
+
+            peeked = peek_index_names(args.genome)
+            if peeked is not None:
+                def _build_g2t_prebuilt():
+                    transcripts, _ = annot_fut.result()
+                    t0 = time.time()
+                    g2t = G2TIndex(transcripts, peeked)
+                    log.info("phase genome.g2t %.3f (overlapped)",
+                             time.time() - t0)
+                    return g2t
+
+                g2t_fut = annot_pool.submit(_build_g2t_prebuilt)
             mapper = Mapper.load(args.genome, threads=max(args.threads, 1))
             g_names = mapper.names
+            if peeked is not None and peeked != list(mapper.names):
+                # defensive: a foreign-index migration path could in
+                # principle rename targets; fall back to a fresh build
+                del g2t_fut
         else:
             t_sub = time.time()
             g_names, g_seqs = read_fasta_concat([args.genome])
