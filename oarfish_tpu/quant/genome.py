@@ -20,6 +20,7 @@ behavior, since there is no sequence to rescue against.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import List
 
@@ -216,6 +217,50 @@ def quantify_genome_alignments_from_bam(args: Args, opts: FilterOpts):
         sel, roff = pn.dedup_best(
             cand_read, tid, sim, n_reads, g2t.num_transcripts
         )
+        if os.environ.get("OARFISH_BATCH_FILTER", "1") != "0":
+            # vectorized filter (same batch machinery as genome_reads;
+            # the per-read loop below stays as the differential oracle)
+            from ..genome.project import filter_projected_batch
+
+            cand_per_read = np.diff(roff)
+            read_lens = np.asarray(
+                [next((a.read_len for a in alns if a.read_len > 0), 0)
+                 for _n, alns, _c in batch], np.int64)
+            tid_d = tid[sel]
+            ps_d = pstart[sel]
+            pe_d = pend[sel]
+            kept, prob, read_ok = filter_projected_batch(
+                opts, builder.discard, txps_len, roff,
+                tid_d, ps_d, pe_d, matched[sel], sim[sel],
+                cand_score[sel], np.asarray(is_rev[sel], bool),
+                read_lens, args.projected_prob_beta,
+                args.projected_prob_source,
+            )
+            if read_ok.any():
+                rid_d = np.repeat(np.arange(n_reads), cand_per_read)
+                tlk = txps_len[tid_d[kept]]
+                s_c = np.minimum(np.maximum(ps_d[kept], 1), tlk)
+                e_c = np.minimum(np.maximum(pe_d[kept], s_c), tlk)
+                sizes = np.bincount(
+                    rid_d[kept], minlength=n_reads
+                )[read_ok]
+                batch_names = None
+                if builder.read_names is not None:
+                    batch_names = [
+                        batch[r][0] or EMPTY_READ_NAME
+                        for r in np.nonzero(read_ok)[0]
+                    ]
+                builder.add_filtered_batch(
+                    tid_d[kept], s_c, e_c, prob[kept], sizes,
+                    names=batch_names,
+                )
+                nrecs = np.asarray([b[2] for b in batch])
+                builder.num_unique_alignments += int(
+                    ((nrecs == 1) & read_ok).sum()
+                )
+            batch.clear()
+            return
+
         for r, (name, alns, nrec) in enumerate(batch):
             a0, b0 = int(roff[r]), int(roff[r + 1])
             if a0 == b0:

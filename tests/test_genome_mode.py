@@ -219,3 +219,37 @@ def test_native_projection_byte_identical_bam_mode(gtf_file, tmp_path,
         assert rc == 0
         outs[label] = Path(str(out) + ".quant").read_bytes()
     assert outs["native"] == outs["python"]
+
+
+def test_batch_filter_byte_identical_bam_mode(gtf_file, tmp_path,
+                                              monkeypatch):
+    """Genome-BAM mode through the vectorized filter must match the
+    per-read loop byte-for-byte (OARFISH_BATCH_FILTER=0 pins the
+    oracle)."""
+    p = tmp_path / "genome.bam"
+    reads = []
+    for i in range(12):
+        reads.append((f"ra{i}", 100, "100M100N100M100N100M", 0, 280))
+    for i in range(6):
+        reads.append((f"rb{i}", 100, "100M300N100M", 0, 190))
+    for i in range(4):
+        reads.append((f"rc{i}", 1000, "100M100N100M", 0x10, 190))
+    make_genome_bam(p, reads)
+
+    outs = {}
+    for label, env in (("batch", "1"), ("loop", "0")):
+        monkeypatch.setenv("OARFISH_BATCH_FILTER", env)
+        out = tmp_path / label / "q"
+        rc = main([
+            "--genome-alignments", str(p), "--annotation", str(gtf_file),
+            "-o", str(out), "--junc-miss-discount", "0.5",
+            "--em-dtype", "float64", "--quiet",
+        ])
+        assert rc == 0
+        outs[label] = (
+            Path(str(out) + ".quant").read_bytes(),
+            json.loads(Path(str(out) + ".meta_info.json").read_text())
+            .get("discard_table"),
+        )
+    assert outs["batch"][0] == outs["loop"][0]
+    assert outs["batch"][1] == outs["loop"][1]
