@@ -2031,12 +2031,18 @@ def _run_em_v4_jit(data, init, max_iter, convergence_thresh,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "min_iters"))
 def run_em_v4_batch(data, init, max_iter, convergence_thresh, mult,
                     min_iters=50):
     """Batched bootstrap-replicate EMs: one EM per multiplicity row,
     vmapped through the routed m-step, with per-replicate convergence
     freezing (serial-loop semantics per replicate, `em.rs:144-255`;
-    replicate = multiplicity vector, `bootstrap.rs:7-16`)."""
+    replicate = multiplicity vector, `bootstrap.rs:7-16`).
+
+    jitted: the driver dispatches many replicate chunks with identical
+    shapes; without the jit wrapper each chunk RE-TRACED the routed
+    while_loop (~seconds of host work per chunk — most of the
+    100-replicate wall after the async drain landed, round 5)."""
     convergence_thresh = jnp.asarray(convergence_thresh, dtype=init.dtype)
     B = mult.shape[0]
     init_b = jnp.broadcast_to(init, (B,) + init.shape)
