@@ -378,6 +378,9 @@ def filter_projected_batch(
     pass the group-level checks (best_sim > 0, aligned fraction)."""
     C = len(tid)
     R = len(roff) - 1
+    if C == 0:
+        return (np.zeros(0, dtype=bool), np.zeros(0, dtype=np.float32),
+                np.zeros(R, dtype=bool))
     rid = np.repeat(np.arange(R), np.diff(roff))
     tl = txp_len[tid]
 

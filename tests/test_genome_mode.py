@@ -253,3 +253,34 @@ def test_batch_filter_byte_identical_bam_mode(gtf_file, tmp_path,
         )
     assert outs["batch"][0] == outs["loop"][0]
     assert outs["batch"][1] == outs["loop"][1]
+
+
+def test_filter_projected_batch_empty_segments(g2t):
+    """Edge cases for the vectorized filter: zero candidates total, and
+    reads with zero candidates among populated ones."""
+    import numpy as np
+
+    from oarfish_tpu.config import FilterOpts, ProjProbSource
+    from oarfish_tpu.genome.project import filter_projected_batch
+    from oarfish_tpu.host.filters import DiscardTable
+
+    tlens = g2t.transcript_lengths()
+    opts = FilterOpts()
+    # all-empty
+    kept, prob, ok = filter_projected_batch(
+        opts, DiscardTable(), tlens, np.array([0, 0, 0], np.int64),
+        np.zeros(0, np.int64), np.zeros(0, np.int64),
+        np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0),
+        np.zeros(0, np.int64), np.zeros(0, bool),
+        np.array([100, 100], np.int64), 10.0, ProjProbSource.SIMILARITY)
+    assert len(kept) == 0 and not ok.any()
+    # read 0 empty, read 1 has one good candidate
+    kept, prob, ok = filter_projected_batch(
+        opts, DiscardTable(), tlens, np.array([0, 0, 1], np.int64),
+        np.array([0], np.int64), np.array([1], np.int64),
+        np.array([200], np.int64), np.array([180], np.int64),
+        np.array([0.9]), np.array([100], np.int64),
+        np.array([False]), np.array([200, 200], np.int64),
+        10.0, ProjProbSource.SIMILARITY)
+    assert list(ok) == [False, True]
+    assert list(kept) == [True]
