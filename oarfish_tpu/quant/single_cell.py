@@ -372,11 +372,24 @@ class CellBatch:
             self.a_pad, self.r_pad, self.t_pad,
             dtype=dtype, put=put_stacked,
         )
-        init = np.asarray(num_reads, dtype=np.float64)[:, None] / (
-            self.t_global
-        ) * np.ones((Bp, self.t_pad))
+        # uniform init = R_cell / T_global broadcast over t_pad: build it
+        # ON DEVICE from the tiny per-cell read-count vector instead of
+        # shipping a [Bp, t_pad] f32 matrix (~100 MB at 100k cells
+        # through the tunnel; round 5)
+        nr_dev = put_stacked(
+            np.asarray(num_reads, dtype=np.float64).astype(dtype)
+        )
+        t_pad = self.t_pad
+        t_global = float(self.t_global)
+
+        @jax.jit
+        def _expand_init(nr):
+            return jnp.broadcast_to(
+                (nr / t_global)[..., None], nr.shape + (t_pad,)
+            )
+
         cc, _ = run_em_dense_scan(
-            data, put_stacked(init.astype(dtype)),
+            data, _expand_init(nr_dev),
             args.max_em_iter, args.convergence_thresh,
             accel=args.em_accel == "squarem",
         )
